@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs graft.Verify's output dir against DuckDB: for each <name>.parquet
+(Spark result) and the matching SQL in oracle_sql.json, executes the SQL
+over the testdata parquet tables and compares row-sets (columns sorted by
+name, rows sorted, values stringified like a hash compare would see them).
+
+Usage: python3 scripts/check_oracle.py <sfDir> <outDir>
+"""
+import sys, json, glob, os
+import duckdb
+import decimal
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        # normalize -0.0 and integral floats
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v)) + ".0"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return str(v)
+
+
+def table_rows(rel, names):
+    cols = rel.fetchall()
+    idx = sorted(range(len(names)), key=lambda i: names[i])
+    rows = [tuple(canon(r[i]) for i in idx) for r in cols]
+    return sorted(rows), [names[i] for i in idx]
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+
+    n_pass = n_fail = n_noracle = 0
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        spark_rel = con.sql(f"SELECT * FROM '{d}/*.parquet'")
+        srows, scols = table_rows(spark_rel, spark_rel.columns)
+        if name not in oracle:
+            n_noracle += 1
+            print(f"  ~ {name}: no oracle ({len(srows)} rows)")
+            continue
+        try:
+            orel = con.sql(oracle[name])
+            orows, ocols = table_rows(orel, orel.columns)
+        except Exception as e:
+            n_fail += 1
+            print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
+            continue
+        if scols != ocols:
+            n_fail += 1
+            print(f"  ✗ {name}: column mismatch spark={scols} oracle={ocols}")
+        elif srows != orows:
+            n_fail += 1
+            print(f"  ✗ {name}: rows spark={len(srows)} oracle={len(orows)}")
+            for i, (a, b) in enumerate(zip(srows, orows)):
+                if a != b:
+                    print(f"      first diff at {i}:\n      spark : {a}\n      oracle: {b}")
+                    break
+            else:
+                print(f"      (length mismatch only)")
+        else:
+            n_pass += 1
+            print(f"  ✓ {name} ({len(srows)} rows)")
+    print(f"\nPASS {n_pass}  FAIL {n_fail}  NO-ORACLE {n_noracle}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

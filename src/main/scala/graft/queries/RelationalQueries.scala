@@ -1,0 +1,516 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational parity set — scans, filters, joins, aggregates, windows,
+  * sorts, set ops (SURVEY.md §2.1–§2.7) expressed over the TPC-H-ish
+  * testdata. Each query names the SURVEY operator(s) it certifies.
+  *
+  * Scale notes (100 TB design): every query here keeps its filters and
+  * projections directly over the parquet scan (pushdown + pruning), joins
+  * dimension tables with explicit `broadcast()`, and lets AQE pick shuffle
+  * plans for the fact-fact joins. No collect(), no UDFs — everything stays
+  * inside whole-stage codegen.
+  */
+object RelationalQueries extends QueryModule {
+
+  // -- A1/A18/F6: grouped aggregation over the big fact table (TPC-H Q1 shape)
+  private val pricingSummary = QueryDef(
+    "q_pricing_summary",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2)       AS sum_qty,
+             round(sum(l_extendedprice), 2)  AS sum_base_price,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 4)       AS avg_qty,
+             round(avg(l_extendedprice), 4)  AS avg_price,
+             round(avg(l_discount), 6)       AS avg_disc,
+             count(*)                        AS count_order
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  // -- P1/P3-style predicate + pushdown filter over the fact table
+  private val filteredRevenue = QueryDef(
+    "q_filtered_revenue",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") > lit(0.02) && col("l_quantity") < lit(24.0))
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+             count(lit(1)).as("n_rows"))
+    },
+    Some("""
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+             count(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+        AND l_discount > 0.02 AND l_quantity < 24.0"""))
+
+  // -- J1: dim-chain broadcast joins (customer ⟕ nation ⟕ region)
+  private val customerGeo = QueryDef(
+    "q_customer_geo",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+             round(sum("c_acctbal"), 2).as("sum_acctbal"),
+             round(avg("c_acctbal"), 4).as("avg_acctbal"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""
+      SELECT r_name, n_name,
+             count(*) AS n_customers,
+             round(sum(c_acctbal), 2) AS sum_acctbal,
+             round(avg(c_acctbal), 4) AS avg_acctbal
+      FROM customer
+      LEFT JOIN nation ON c_nationkey = n_nationkey
+      LEFT JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""))
+
+  // -- J2/O3: fact-fact join + top-k (orders ⋈ lineitem, top revenue)
+  private val topRevenueOrders = QueryDef(
+    "q_top_revenue_orders",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      li.groupBy("l_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("revenue"),
+                date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(20)
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, o_orderpriority, o_orderdate
+      ORDER BY revenue DESC, o_orderkey ASC
+      LIMIT 20"""))
+
+  // -- J-filter: lineitem ⋈ part with LIKE predicate (pushdown through join)
+  private val partTypeRevenue = QueryDef(
+    "q_part_type_revenue",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir).filter(col("p_type").like("%PROMO%"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+             round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("p_brand")
+    },
+    Some("""
+      SELECT p_brand, count(*) AS n_items,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type LIKE '%PROMO%'
+      GROUP BY p_brand
+      ORDER BY p_brand"""))
+
+  // -- W1: latest-per-key dedup window (SURVEY W1/W2/W3)
+  private val latestEventPerUser = QueryDef(
+    "q_latest_event_per_user",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
+      ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                round(col("value"), 2).as("value"), col("ts_us"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, event_id, event_type, round(value, 2) AS value,
+             epoch_us(ts) AS ts_us
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+      ORDER BY user_id"""))
+
+  // -- W3: latest-per-(key, form): last event per (user, type)
+  private val latestPerUserType = QueryDef(
+    "q_latest_event_per_user_type",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+      ORDER BY user_id, event_type"""))
+
+  // -- W4/A9: top-k within group with total tie order
+  private val topEventTypes = QueryDef(
+    "q_top3_event_types_per_user",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val counts = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type").asc)
+      counts.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy("user_id", "rnk")
+    },
+    Some("""
+      SELECT user_id, event_type, n, rnk
+      FROM (SELECT user_id, event_type, count(*) AS n,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY count(*) DESC, event_type ASC) AS rnk
+            FROM events GROUP BY user_id, event_type)
+      WHERE rnk <= 3
+      ORDER BY user_id, rnk"""))
+
+  // -- O2: pagination via row_number (LIMIT/OFFSET semantics)
+  private val ordersPage = QueryDef(
+    "q_orders_pagination",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val w = Window.orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn").between(101, 150))
+        .select(col("rn"), col("o_orderkey"),
+                round(col("o_totalprice"), 2).as("o_totalprice"),
+                date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .orderBy("rn")
+    },
+    Some("""
+      SELECT rn, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      FROM (SELECT *, row_number() OVER (ORDER BY o_orderdate DESC,
+                      o_orderkey ASC) AS rn FROM orders)
+      WHERE rn BETWEEN 101 AND 150
+      ORDER BY rn"""))
+
+  // -- O5: exact median / quantiles (percentile ≡ quantile_cont)
+  private val quantiles = QueryDef(
+    "q_quantity_quantiles",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+             round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+             round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+             round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+             round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  // -- anti-join (S12/U4 dedup-gate shape): customers with no urgent order.
+  // This is exactly the content-hash ingest gate: "incoming" rows anti-joined
+  // against the "already present" key set.
+  private val customersNoOrders = QueryDef(
+    "q_customers_without_urgent_orders",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"), min("c_custkey").as("min_key"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_customers, min(c_custkey) AS min_key
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
+  // -- semi-join: customers having ≥1 urgent order
+  private val urgentCustomers = QueryDef(
+    "q_customers_with_urgent_orders",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_customers
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
+  // -- A2: two-level aggregation (per-key then portfolio mean)
+  private val twoLevelAgg = QueryDef(
+    "q_orders_per_customer_stats",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val per = o.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("spend"))
+      per.agg(count(lit(1)).as("n_customers_with_orders"),
+              round(avg("n_orders"), 4).as("avg_orders_per_customer"),
+              round(avg("spend"), 2).as("avg_spend_per_customer"),
+              round(max("spend"), 2).as("max_spend"))
+    },
+    Some("""
+      SELECT count(*) AS n_customers_with_orders,
+             round(avg(n_orders), 4) AS avg_orders_per_customer,
+             round(avg(spend), 2) AS avg_spend_per_customer,
+             round(max(spend), 2) AS max_spend
+      FROM (SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend
+            FROM orders GROUP BY o_custkey)"""))
+
+  // -- A5: pivoted per-type counts (SUM(CASE WHEN …)) per user
+  private val pivotEventCounts = QueryDef(
+    "q_event_type_pivot",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      def n(t: String) = sum(when(col("event_type") === t, 1).otherwise(0)).as(s"n_$t")
+      ev.groupBy("user_id")
+        .agg(n("click"), n("view"), n("purchase"), n("signup"), n("error"),
+             count(lit(1)).as("n_total"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
+             sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+             sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
+             sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error,
+             count(*) AS n_total
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  // -- A6/F9: JSON metadata extraction + aggregation
+  private val jsonMetaAvg = QueryDef(
+    "q_json_meta_avg",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+        .groupBy("event_type")
+        .agg(round(avg("k"), 4).as("avg_k"),
+             round(sum("k"), 2).as("sum_k"),
+             count(col("k")).as("n_with_k"))
+        .orderBy("event_type")
+    },
+    // regexp on the oracle side: avoids a DuckDB JSON-extension dependency;
+    // props is flat {"k": <int>} so the two extractions agree.
+    Some("""
+      SELECT event_type,
+             round(avg(k), 4) AS avg_k,
+             round(sum(k), 2) AS sum_k,
+             count(k) AS n_with_k
+      FROM (SELECT event_type,
+                   CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS DOUBLE) AS k
+            FROM events)
+      GROUP BY event_type ORDER BY event_type"""))
+
+  // -- §2.10: tumbling 7-day event-time window (epoch-aligned, as Spark's)
+  private val tumblingWindow = QueryDef(
+    "q_tumbling_window_7d",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(window(col("ts"), "7 days").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("window_start_us"),
+                col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start_us", "event_type")
+    },
+    Some("""
+      SELECT (epoch_us(ts) // 604800000000) * 604800000000 AS window_start_us,
+             event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start_us, event_type"""))
+
+  // -- frame window: running revenue per customer ordered by date
+  private val runningTotal = QueryDef(
+    "q_running_spend_per_customer",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).filter(col("o_custkey") < 100)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.select(col("o_custkey"), col("o_orderkey"),
+               round(sum("o_totalprice").over(w), 2).as("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_spend
+      FROM orders
+      WHERE o_custkey < 100
+      ORDER BY o_custkey, o_orderkey"""))
+
+  // -- lag: days between consecutive orders per customer
+  private val orderGaps = QueryDef(
+    "q_order_gaps",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).filter(col("o_custkey") < 200)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      o.withColumn("prev_date", lag("o_orderdate", 1).over(w))
+        .filter(col("prev_date").isNotNull)
+        .select(col("o_custkey"), col("o_orderkey"),
+                datediff(col("o_orderdate"), col("prev_date")).as("gap_days"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             date_diff('day', prev_date, o_orderdate) AS gap_days
+      FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                   lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_date
+            FROM orders WHERE o_custkey < 200)
+      WHERE prev_date IS NOT NULL
+      ORDER BY o_custkey, o_orderkey"""))
+
+  // -- U1: union of heterogeneous sources into a common evidence schema
+  private val unionEvidence = QueryDef(
+    "q_union_evidence",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(lit("document").as("origin"),
+                col("doc_id").cast("long").as("item_id"),
+                col("text"), col("source"))
+      val ev = Tables.events(s, dir)
+        .select(lit("event").as("origin"),
+                col("event_id").cast("long").as("item_id"),
+                col("props").as("text"), col("event_type").as("source"))
+      docs.unionByName(ev)
+        .withColumn("content_hash", sha2(col("text"), 256))
+        .groupBy("origin")
+        .agg(count(lit(1)).as("n_items"),
+             countDistinct("content_hash").as("n_distinct"),
+             countDistinct("source").as("n_sources"))
+        .orderBy("origin")
+    },
+    Some("""
+      WITH unioned AS (
+        SELECT 'document' AS origin, doc_id AS item_id, text, source
+        FROM documents
+        UNION ALL
+        SELECT 'event' AS origin, event_id AS item_id, props AS text,
+               event_type AS source
+        FROM events)
+      SELECT origin, count(*) AS n_items,
+             count(DISTINCT sha256(text)) AS n_distinct,
+             count(DISTINCT source) AS n_sources
+      FROM unioned GROUP BY origin ORDER BY origin"""))
+
+  // -- intersect / except set ops
+  private val setOps = QueryDef(
+    "q_set_ops",
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("k")).distinct()
+      val rich = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k"))
+      val both = o.intersect(rich).withColumn("op", lit("intersect"))
+      val onlyRich = rich.except(o).withColumn("op", lit("except"))
+      both.unionByName(onlyRich)
+        .groupBy("op").agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("op")
+    },
+    Some("""
+      WITH o AS (SELECT DISTINCT o_custkey AS k FROM orders),
+           rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+           u AS (
+             SELECT 'intersect' AS op, k FROM (SELECT k FROM o INTERSECT SELECT k FROM rich)
+             UNION ALL
+             SELECT 'except' AS op, k FROM (SELECT k FROM rich EXCEPT SELECT k FROM o))
+      SELECT op, count(*) AS n, min(k) AS min_k, max(k) AS max_k
+      FROM u GROUP BY op ORDER BY op"""))
+
+  // -- F8/F18: banding cascade + normalization (score→label semantics)
+  private val acctbalBands = QueryDef(
+    "q_acctbal_bands",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val band = when(col("c_acctbal") <= 0, "negative")
+        .when(col("c_acctbal") <= 2000, "low")
+        .when(col("c_acctbal") <= 6000, "mid")
+        .otherwise("high")
+      c.withColumn("band", band)
+        .withColumn("seg", upper(trim(col("c_mktsegment"))))
+        .groupBy("band", "seg")
+        .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 4).as("avg_bal"))
+        .orderBy("band", "seg")
+    },
+    Some("""
+      SELECT CASE WHEN c_acctbal <= 0 THEN 'negative'
+                  WHEN c_acctbal <= 2000 THEN 'low'
+                  WHEN c_acctbal <= 6000 THEN 'mid'
+                  ELSE 'high' END AS band,
+             upper(trim(c_mktsegment)) AS seg,
+             count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+      FROM customer
+      GROUP BY 1, 2 ORDER BY band, seg"""))
+
+  // -- grouping sets beyond parity: rollup supplier → nation
+  private val rollupSuppliers = QueryDef(
+    "q_supplier_rollup",
+    (s, dir) => {
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .rollup(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"), round(sum("s_acctbal"), 2).as("sum_bal"))
+        .withColumn("n_name", coalesce(col("n_name"), lit("ALL")))
+        .orderBy("n_name")
+    },
+    Some("""
+      SELECT coalesce(n_name, 'ALL') AS n_name,
+             count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS sum_bal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_name)
+      ORDER BY n_name"""))
+
+  override def queries: Seq[QueryDef] = Seq(
+    pricingSummary, filteredRevenue, customerGeo, topRevenueOrders,
+    partTypeRevenue, latestEventPerUser, latestPerUserType, topEventTypes,
+    ordersPage, quantiles, customersNoOrders, urgentCustomers, twoLevelAgg,
+    pivotEventCounts, jsonMetaAvg, tumblingWindow, runningTotal, orderGaps,
+    unionEvidence, setOps, acctbalBands, rollupSuppliers)
+}

@@ -1,0 +1,101 @@
+package graft.scoring
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import ScoringConfig.SynergyRule
+
+/** The flagship end-to-end scoring DAG (reference lifecycle:
+  * scripts/run_scoring_engine.py §3.1 of SURVEY.md), re-expressed as ONE
+  * declarative Spark plan over all entities at once — the reference loops
+  * per-company (run_scoring_engine.py:608-609); here every step is a
+  * set-based transform, which is the design-level decorrelation that makes
+  * the same computation run on 1000 executors.
+  *
+  * Mapping onto the driver testdata: entities = `events.user_id`
+  * ("companies"), dimensions = `event_type` ("the 7 readiness dimensions"),
+  * evidence strength = event `value` and volume.
+  *
+  * Plan shape at scale: two shuffles total (groupBy entity×dim, then
+  * entity-level re-agg); all config is literal/broadcast; window for
+  * percentile is a single global rank over #entities rows (small after agg).
+  */
+object ScorePipeline {
+
+  val Dimensions = Seq("click", "view", "purchase", "signup", "error")
+
+  val DimWeights: Map[String, Double] = Map(
+    "click" -> 0.25, "view" -> 0.20, "purchase" -> 0.30,
+    "signup" -> 0.15, "error" -> 0.10)
+
+  val Rules: Seq[SynergyRule] = Seq(
+    SynergyRule("purchase", "click", "positive", 55.0, 2.5),
+    SynergyRule("view", "signup", "positive", 55.0, 2.0),
+    SynergyRule("click", "error", "negative", 60.0, 3.0))
+
+  /** events → one row per (entity_id, dimension) with score/weight/confidence.
+    * score = clamp(6·avg(value), 0, 100); confidence = min(0.95, 0.3 + n/50). */
+  def dimensionInputs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val weightCol = Dimensions.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (acc, d) =>
+        Some(acc match {
+          case None => when(col("dimension") === d, DimWeights(d))
+          case Some(c) => c.when(col("dimension") === d, DimWeights(d))
+        })
+    }.get.otherwise(lit(0.0))
+    ev.groupBy(col("user_id").as("entity_id"), col("event_type").as("dimension"))
+      .agg(avg("value").as("avg_value"), count(lit(1)).as("n"))
+      .select(col("entity_id"), col("dimension"),
+        least(lit(100.0), greatest(lit(0.0), lit(6.0) * col("avg_value"))).as("score"),
+        least(lit(0.95), lit(0.3) + col("n").cast("double") / lit(50.0)).as("confidence"))
+      .withColumn("weight", weightCol)
+  }
+
+  /** Full composite chain: VR → CV penalty → HHI penalty → synergy → HR →
+    * composite + band. Returns one row per entity. */
+  def compositeScores(spark: SparkSession, dir: String): DataFrame = {
+    val dims = dimensionInputs(spark, dir)
+    val vr = VrModel.score(dims)
+    val cv = VrModel.cvPenalty(dims)
+
+    val events = Tables.events(spark, dir)
+      .select(col("user_id").as("entity_id"), col("event_type").as("category"))
+    val hhi = TalentPenalty.hhi(events)
+      .withColumn("penalty_factor", TalentPenalty.penaltyFactor(col("hhi"), col("n_total")))
+
+    val wide = dims.groupBy("entity_id")
+      .pivot("dimension", Dimensions)
+      .agg(first("score"))
+      .na.fill(0.0, Dimensions)
+    val withBonus = Synergy.ruleSynergy(wide, Rules)
+      .select(col("entity_id"), col("synergy_bonus"))
+
+    val sectorAvg = vr.agg(avg("vr_score").as("sector_avg"))
+    val wPct = Window.orderBy(col("vr_score").asc, col("entity_id").asc)
+    val scored = vr
+      .join(cv, "entity_id")
+      .join(hhi.select("entity_id", "hhi", "penalty_factor"), "entity_id")
+      .join(withBonus, "entity_id")
+      .crossJoin(broadcast(sectorAvg))
+      .withColumn("pctl", percent_rank().over(wPct))
+      .withColumn("position_factor",
+        PositionFactor.compute(col("vr_score"), col("sector_avg"), col("pctl")))
+      .withColumn("hr_score", HrBaselines.hrScore(lit(75.0), col("position_factor")))
+      .withColumn("vr_adjusted",
+        col("vr_score") * col("cv_factor") * col("penalty_factor"))
+      .withColumn("synergy_score",
+        Synergy.formulaSynergy(col("vr_adjusted"), col("hr_score"), lit(1.0)))
+      .withColumn("composite_score",
+        Composite.preferred(col("vr_adjusted"), col("hr_score"), col("synergy_score")))
+      .withColumn("composite_legacy",
+        Composite.legacy(col("vr_score"), col("synergy_bonus"), col("penalty_factor")))
+      .withColumn("score_band", Composite.band(col("composite_score")))
+
+    scored.select("entity_id", "vr_score", "cv_factor", "hhi", "penalty_factor",
+        "synergy_bonus", "position_factor", "hr_score", "synergy_score",
+        "composite_score", "composite_legacy", "score_band")
+      .orderBy("entity_id")
+  }
+}

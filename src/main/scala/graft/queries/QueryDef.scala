@@ -28,6 +28,32 @@ trait QueryModule {
   def queries: Seq[QueryDef]
 }
 
+/** Cross-engine deterministic float handling.
+  *
+  * Spark's `round()` rounds the decimal shortest-repr HALF_UP
+  * (BigDecimal.valueOf(Double.toString)); DuckDB rounds the binary value
+  * half-away-from-zero. On repr-boundary values (e.g. 0.64055, frequent when
+  * inputs carry 2 decimals) the two disagree by one final digit and the
+  * driver's hash compare fails. `dround`/`oround` emit the SAME floor/ceil
+  * arithmetic in both engines, so both compute bit-identical doubles.
+  */
+object Det {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{ceil, floor, lit, when}
+
+  /** Spark side: round-half-away-from-zero on the binary double. */
+  def dround(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    when(c >= 0, floor(c * p + 0.5)).otherwise(ceil(c * p - 0.5)) / lit(p)
+  }
+
+  /** Oracle (DuckDB SQL) side: identical expression, textual. */
+  def oround(expr: String, digits: Int): String = {
+    val p = s"1e$digits"
+    s"(CASE WHEN ($expr) >= 0 THEN floor(($expr) * $p + 0.5) ELSE ceil(($expr) * $p - 0.5) END / $p)"
+  }
+}
+
 /** All query modules, flattened; names asserted unique. */
 object Registry {
   def modules: Seq[QueryModule] = Seq(

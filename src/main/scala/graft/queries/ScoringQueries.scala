@@ -1,5 +1,386 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.scoring._
+import Det.{dround, oround}
+
+/** The scoring stack (SURVEY.md §2.4 A8-A12, §2.9 M1-M11) exposed as
+  * oracle-checked queries over the driver testdata. Entities = event users,
+  * dimensions = event types — the same set-based decorrelated DAG shape the
+  * 100 TB design needs (reference loops per company;
+  * scripts/run_scoring_engine.py:608-609).
+  *
+  * Float outputs go through Det.dround/oround (identical binary arithmetic
+  * in both engines) and every query carries a total order.
+  */
 object ScoringQueries extends QueryModule {
-  override def queries: Seq[QueryDef] = Seq()
+
+  /** CASE expression mirroring ScorePipeline.DimWeights for oracle SQL
+    * (CAST keeps DuckDB from inferring DECIMAL for the literals). */
+  private val weightCase: String =
+    "CASE event_type " + ScorePipeline.DimWeights
+      .map { case (d, w) => s"WHEN '$d' THEN CAST($w AS DOUBLE)" }.mkString(" ") +
+      " ELSE CAST(0.0 AS DOUBLE) END"
+
+  /** Shared oracle CTE: per-(entity, dimension) score/confidence/weight —
+    * mirrors ScorePipeline.dimensionInputs exactly. */
+  private val dimsCte: String = s"""
+    dims AS (
+      SELECT user_id AS entity_id, event_type AS dimension,
+             least(100.0, greatest(0.0, avg(value))) AS score,
+             least(0.95, 0.3 + count(*) / 50.0)      AS confidence,
+             $weightCase AS weight
+      FROM events GROUP BY 1, 2)"""
+
+  // -- the per-dimension feature rows (A10-shape input)
+  private val dimensionInputs = QueryDef(
+    "q_dimension_inputs",
+    (s, dir) =>
+      ScorePipeline.dimensionInputs(s, dir)
+        .select(col("entity_id"), col("dimension"),
+          dround(col("score"), 4).as("score"),
+          dround(col("confidence"), 4).as("confidence"),
+          col("weight"))
+        .orderBy("entity_id", "dimension"),
+    Some(s"""
+      WITH $dimsCte
+      SELECT entity_id, dimension,
+             ${oround("score", 4)} AS score,
+             ${oround("confidence", 4)} AS confidence,
+             weight
+      FROM dims ORDER BY entity_id, dimension"""))
+
+  // -- A11/A12: VR confidence-floored weighted mean + CV penalty
+  private val vrCv = QueryDef(
+    "q_vr_cv_scores",
+    (s, dir) => {
+      val dims = ScorePipeline.dimensionInputs(s, dir)
+      VrModel.score(dims)
+        .join(VrModel.cvPenalty(dims), "entity_id")
+        .select(col("entity_id"), dround(col("vr_score"), 4).as("vr_score"),
+          dround(col("cv"), 4).as("cv"), dround(col("cv_factor"), 4).as("cv_factor"))
+        .orderBy("entity_id")
+    },
+    Some(s"""
+      WITH $dimsCte,
+        v AS (SELECT entity_id,
+             least(100.0, greatest(0.0,
+               CASE WHEN sum(weight * greatest(confidence, 0.2)) <> 0
+                    THEN sum(score * weight * greatest(confidence, 0.2))
+                         / sum(weight * greatest(confidence, 0.2))
+                    ELSE 0.0 END)) AS vr_score,
+             CASE WHEN abs(avg(score)) > 0
+                  THEN stddev_pop(score) / abs(avg(score))
+                  ELSE 0.0 END AS cv
+           FROM dims GROUP BY entity_id)
+      SELECT entity_id,
+             ${oround("vr_score", 4)} AS vr_score,
+             ${oround("cv", 4)} AS cv,
+             ${oround("least(1.0, greatest(0.0, 1.0 - 0.25 * cv))", 4)} AS cv_factor
+      FROM v ORDER BY entity_id"""))
+
+  /** penalty-factor CASE over an `hhi`/`n_total` row (oracle mirror of
+    * TalentPenalty.penaltyFactor with the default config). */
+  private val penaltyCase: String = """
+    CAST(CASE WHEN n_total < 15 THEN 1.0
+              WHEN hhi >= 0.70 THEN 0.85
+              WHEN hhi >= 0.40 THEN 0.95
+              ELSE 1.0 END AS DOUBLE)"""
+
+  private val hhiCte: String = """
+    hh AS (SELECT entity_id, n_total, hhi
+           FROM (SELECT entity_id, sum(n_cat) AS n_total,
+                        sum(n_cat * n_cat) / (CAST(sum(n_cat) AS DOUBLE) * sum(n_cat)) AS hhi
+                 FROM (SELECT user_id AS entity_id, event_type AS category,
+                              count(*) AS n_cat
+                       FROM events GROUP BY 1, 2)
+                 GROUP BY entity_id))"""
+
+  // -- A8/M10: HHI concentration + penalty factor
+  private val hhiPenalty = QueryDef(
+    "q_hhi_penalty",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("entity_id"), col("event_type").as("category"))
+      TalentPenalty.hhi(ev)
+        .withColumn("penalty_factor", TalentPenalty.penaltyFactor(col("hhi"), col("n_total")))
+        .select(col("entity_id"), col("n_total"), dround(col("hhi"), 6).as("hhi"),
+          col("penalty_factor"))
+        .orderBy("entity_id")
+    },
+    Some(s"""
+      WITH $hhiCte
+      SELECT entity_id, n_total,
+             ${oround("hhi", 6)} AS hhi,
+             $penaltyCase AS penalty_factor
+      FROM hh ORDER BY entity_id"""))
+
+  // -- M1: rubric scorer over (hits, metric) features derived from events
+  private val rubricScores = QueryDef(
+    "q_rubric_scores",
+    (s, dir) => {
+      val feats = Tables.events(s, dir)
+        .groupBy(col("user_id").as("entity_id"), col("event_type").as("dimension"))
+        .agg(count(lit(1)).as("hits"),
+             least(lit(1.0), avg("value") / lit(100.0)).as("metric"))
+      RubricScorer.score(feats)
+        .select(col("entity_id"), col("dimension"), col("hits"),
+          dround(col("metric"), 4).as("metric"),
+          dround(col("score"), 4).as("score"),
+          dround(col("confidence"), 4).as("confidence"))
+        .orderBy("entity_id", "dimension")
+    },
+    // when-cascade mirror of RubricScorer.DefaultRubric (L5→L1, fallback 10/.40)
+    Some(s"""
+      WITH f AS (SELECT user_id AS entity_id, event_type AS dimension,
+                        count(*) AS hits,
+                        least(1.0, avg(value) / 100.0) AS metric
+                 FROM events GROUP BY 1, 2),
+        r AS (SELECT entity_id, dimension, hits, metric,
+             CASE
+               WHEN hits >= 8 AND metric >= 0.80 THEN 80.0 + 20.0 * least(1.0, hits / 10.0)
+               WHEN hits >= 6 AND metric >= 0.60 THEN 60.0 + 20.0 * least(1.0, hits / 8.0)
+               WHEN hits >= 4 AND metric >= 0.40 THEN 40.0 + 20.0 * least(1.0, hits / 6.0)
+               WHEN hits >= 2 AND metric >= 0.20 THEN 20.0 + 20.0 * least(1.0, hits / 4.0)
+               WHEN hits >= 1 AND metric >= 0.00 THEN  0.0 + 20.0 * least(1.0, hits / 3.0)
+               ELSE 10.0 END AS score,
+             CASE WHEN hits >= 1
+                  THEN least(0.95, 0.50 + 0.08 * hits + 0.30 * metric)
+                  ELSE 0.40 END AS confidence
+           FROM f)
+      SELECT entity_id, dimension, hits,
+             ${oround("metric", 4)} AS metric,
+             ${oround("score", 4)} AS score,
+             ${oround("confidence", 4)} AS confidence
+      FROM r ORDER BY entity_id, dimension"""))
+
+  // -- M2/A10: evidence-weighted dimension scores over per-event evidence rows
+  private val evidenceDims = QueryDef(
+    "q_evidence_weighted_dims",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("entity_id"), col("event_type").as("dimension"),
+          least(lit(100.0), greatest(lit(0.0), col("value"))).as("raw_score"),
+          least(lit(0.9), greatest(lit(0.1), col("value") / lit(500.0))).as("confidence"),
+          ((get_json_object(col("props"), "$.k").cast("double") % 5 + 1) / lit(5.0))
+            .as("relevance"),
+          lit(1.0).as("weight"))
+      EvidenceMapper.dimensionScores(ev)
+        .select(col("entity_id"), col("dimension"),
+          dround(col("score"), 4).as("score"),
+          dround(col("confidence"), 4).as("confidence"))
+        .orderBy("entity_id", "dimension")
+    },
+    Some(s"""
+      WITH e AS (SELECT user_id AS entity_id, event_type AS dimension,
+                        least(100.0, greatest(0.0, value)) AS raw_score,
+                        least(0.9, greatest(0.1, value / 500.0)) AS confidence,
+                        (CAST(regexp_extract(props, '"k":${"\\"}s*(-?${"\\"}d+)', 1) AS DOUBLE) % 5 + 1) / 5.0 AS relevance,
+                        1.0 AS weight
+                 FROM events),
+        g AS (SELECT entity_id, dimension,
+             CASE WHEN sum(weight * confidence * relevance) > 0
+                  THEN sum(raw_score * weight * confidence * relevance)
+                       / sum(weight * confidence * relevance)
+                  ELSE 50.0 END AS score,
+             CASE WHEN sum(weight) > 0
+                  THEN least(0.95, sum(weight * confidence * relevance) / sum(weight))
+                  ELSE 0.5 END AS confidence
+           FROM e GROUP BY 1, 2)
+      SELECT entity_id, dimension,
+             ${oround("score", 4)} AS score,
+             ${oround("confidence", 4)} AS confidence
+      FROM g ORDER BY entity_id, dimension"""))
+
+  // -- A19/M9: talent-concentration score + risk adjustment
+  private val talentConcentration = QueryDef(
+    "q_talent_concentration",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(col("user_id").as("entity_id"))
+        .agg(count(lit(1)).as("n_people"),
+          countDistinct("event_type").as("n_skills"),
+          (sum(when(col("event_type") === "purchase", 1).otherwise(0))
+            .cast("double") / count(lit(1))).as("leadership_ratio"))
+        .withColumn("tc", TalentConcentration.tcScore(
+          col("leadership_ratio"), col("n_people"), col("n_skills"), lit(0.5)))
+        .withColumn("risk_adjustment", TalentConcentration.riskAdjustment(col("tc")))
+        .select(col("entity_id"), col("n_people"), col("n_skills"),
+          dround(col("leadership_ratio"), 4).as("leadership_ratio"),
+          dround(col("tc"), 4).as("tc"),
+          dround(col("risk_adjustment"), 4).as("risk_adjustment"))
+        .orderBy("entity_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT user_id AS entity_id, count(*) AS n_people,
+                        count(DISTINCT event_type) AS n_skills,
+                        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+                          / count(*) AS leadership_ratio
+                 FROM events GROUP BY 1),
+           c AS (SELECT *,
+                   least(1.0, greatest(0.0,
+                     0.4 * leadership_ratio
+                     + 0.3 * least(1.0, 1.0 / (sqrt(CAST(n_people AS DOUBLE)) + 0.1))
+                     + 0.2 * greatest(0.0, 1.0 - CAST(n_skills AS DOUBLE) / 15.0)
+                     + 0.1 * 0.5)) AS tc
+                 FROM t)
+      SELECT entity_id, n_people, n_skills,
+             ${oround("leadership_ratio", 4)} AS leadership_ratio,
+             ${oround("tc", 4)} AS tc,
+             ${oround("least(1.0, greatest(0.0, 1.0 - 0.15 * greatest(0.0, tc - 0.25)))", 4)} AS risk_adjustment
+      FROM c ORDER BY entity_id"""))
+
+  // -- M4/A1/A2: HR factor from per-entity jobs counts vs portfolio average
+  private val hrFactor = QueryDef(
+    "q_hr_factor",
+    (s, dir) => {
+      val jobs = Tables.events(s, dir).filter(col("event_type") === "click")
+        .select(col("user_id").as("entity_id"))
+      HrBaselines.hrFactor(jobs, lit(75.0))
+        .select(col("entity_id"), col("jobs_count"),
+          dround(col("portfolio_avg"), 4).as("portfolio_avg"),
+          dround(col("hr_factor"), 4).as("hr_factor"))
+        .orderBy("entity_id")
+    },
+    Some(s"""
+      WITH c AS (SELECT user_id AS entity_id, count(*) AS jobs_count
+                 FROM events WHERE event_type = 'click' GROUP BY 1),
+           a AS (SELECT avg(jobs_count) AS portfolio_avg FROM c),
+           j AS (SELECT entity_id, jobs_count, portfolio_avg,
+                   CASE WHEN jobs_count < 3 OR portfolio_avg = 0 THEN 1.0
+                        ELSE least(2.0, greatest(0.0,
+                          1.0 + 0.5 * (jobs_count / portfolio_avg - 1.0)
+                              / least(1.3, greatest(0.7, 75.0 / 75.0)))) END AS hr_factor
+                 FROM c, a)
+      SELECT entity_id, jobs_count,
+             ${oround("portfolio_avg", 4)} AS portfolio_avg,
+             ${oround("hr_factor", 4)} AS hr_factor
+      FROM j ORDER BY entity_id"""))
+
+  /** wide-pivot mirror for the oracle: one score column per dimension. */
+  private val wideCols: String = ScorePipeline.Dimensions
+    .map(d => s"coalesce(max(CASE WHEN dimension = '$d' THEN score END), 0.0) AS s_$d")
+    .mkString(",\n                ")
+
+  /** synergy-rule mirror of ScorePipeline.Rules for the oracle. */
+  private val synergyCase: String = ScorePipeline.Rules.map { r =>
+    r.kind match {
+      case "positive" =>
+        s"(CASE WHEN s_${r.dimA} >= ${r.threshold} AND s_${r.dimB} >= ${r.threshold} THEN CAST(${r.magnitude} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
+      case "negative" =>
+        s"(CASE WHEN s_${r.dimA} >= ${r.threshold} AND s_${r.dimB} < ${r.threshold} THEN CAST(-${r.magnitude} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
+    }
+  }.mkString(" + ")
+
+  // -- M7: rule synergy over the pivoted per-dimension scores
+  private val synergyBonus = QueryDef(
+    "q_synergy_bonus",
+    (s, dir) => {
+      val dims = ScorePipeline.dimensionInputs(s, dir)
+      val wide = dims.groupBy("entity_id")
+        .pivot("dimension", ScorePipeline.Dimensions)
+        .agg(first("score"))
+        .na.fill(0.0, ScorePipeline.Dimensions)
+      Synergy.ruleSynergy(wide, ScorePipeline.Rules)
+        .select(col("entity_id"), dround(col("synergy_bonus"), 4).as("synergy_bonus"))
+        .orderBy("entity_id")
+    },
+    Some(s"""
+      WITH $dimsCte,
+           wide AS (SELECT entity_id,
+                $wideCols
+              FROM dims GROUP BY entity_id)
+      SELECT entity_id,
+             ${oround(s"least(15.0, greatest(-15.0, $synergyCase))", 4)} AS synergy_bonus
+      FROM wide ORDER BY entity_id"""))
+
+  // -- M3-M11 end-to-end: the flagship composite DAG (§3.1), all stages fused
+  private val composite = QueryDef(
+    "q_composite_scores",
+    (s, dir) =>
+      ScorePipeline.compositeScores(s, dir)
+        .select(col("entity_id"),
+          dround(col("vr_score"), 4).as("vr_score"),
+          dround(col("cv_factor"), 4).as("cv_factor"),
+          dround(col("hhi"), 6).as("hhi"),
+          col("penalty_factor"),
+          dround(col("synergy_bonus"), 4).as("synergy_bonus"),
+          dround(col("position_factor"), 4).as("position_factor"),
+          dround(col("hr_score"), 4).as("hr_score"),
+          dround(col("synergy_score"), 4).as("synergy_score"),
+          dround(col("composite_score"), 4).as("composite_score"),
+          dround(col("composite_legacy"), 4).as("composite_legacy"),
+          col("score_band"))
+        .orderBy("entity_id"),
+    Some(s"""
+      WITH $dimsCte,
+        vr AS (SELECT entity_id,
+             least(100.0, greatest(0.0,
+               CASE WHEN sum(weight * greatest(confidence, 0.2)) <> 0
+                    THEN sum(score * weight * greatest(confidence, 0.2))
+                         / sum(weight * greatest(confidence, 0.2))
+                    ELSE 0.0 END)) AS vr_score,
+             least(1.0, greatest(0.0,
+               1.0 - 0.25 * (CASE WHEN abs(avg(score)) > 0
+                                  THEN stddev_pop(score) / abs(avg(score))
+                                  ELSE 0.0 END))) AS cv_factor
+           FROM dims GROUP BY entity_id),
+        $hhiCte,
+        hp AS (SELECT entity_id, hhi, $penaltyCase AS penalty_factor FROM hh),
+        wide AS (SELECT entity_id,
+                $wideCols
+              FROM dims GROUP BY entity_id),
+        syn AS (SELECT entity_id,
+             least(15.0, greatest(-15.0, $synergyCase)) AS synergy_bonus
+           FROM wide),
+        ranked AS (SELECT v.*,
+             percent_rank() OVER (ORDER BY vr_score ASC, entity_id ASC) AS pctl,
+             avg(vr_score) OVER () AS sector_avg
+           FROM vr v),
+        calc AS (SELECT r.entity_id, r.vr_score, r.cv_factor, h.hhi,
+             h.penalty_factor, sy.synergy_bonus,
+             least(1.0, greatest(-1.0,
+               0.6 * least(1.0, greatest(-1.0, (r.vr_score - r.sector_avg) / 50.0))
+               + 0.4 * least(1.0, greatest(-1.0, (r.pctl - 0.5) * 2.0)))) AS position_factor,
+             r.vr_score * r.cv_factor * h.penalty_factor AS vr_adjusted
+           FROM ranked r JOIN hp h USING (entity_id) JOIN syn sy USING (entity_id)),
+        calc2 AS (SELECT *,
+             least(100.0, greatest(0.0, 75.0 * (1.0 + 0.15 * position_factor))) AS hr_score
+           FROM calc),
+        calc3 AS (SELECT *,
+             least(100.0, greatest(0.0,
+               (vr_adjusted * hr_score / 100.0)
+               * least(1.0, greatest(0.0, 1.0 - abs(vr_adjusted - hr_score) / 100.0))
+               * 1.0)) AS synergy_score
+           FROM calc2),
+        calc4 AS (SELECT *,
+             least(100.0, greatest(0.0,
+               0.88 * (0.6 * vr_adjusted + 0.4 * hr_score) + 0.12 * synergy_score))
+               AS composite_score,
+             least(100.0, greatest(0.0,
+               (vr_score + synergy_bonus) * penalty_factor)) AS composite_legacy
+           FROM calc3)
+      SELECT entity_id,
+             ${oround("vr_score", 4)} AS vr_score,
+             ${oround("cv_factor", 4)} AS cv_factor,
+             ${oround("hhi", 6)} AS hhi,
+             penalty_factor,
+             ${oround("synergy_bonus", 4)} AS synergy_bonus,
+             ${oround("position_factor", 4)} AS position_factor,
+             ${oround("hr_score", 4)} AS hr_score,
+             ${oround("synergy_score", 4)} AS synergy_score,
+             ${oround("composite_score", 4)} AS composite_score,
+             ${oround("composite_legacy", 4)} AS composite_legacy,
+             CASE WHEN composite_score <= 20.0 THEN 'Nascent'
+                  WHEN composite_score <= 40.0 THEN 'Developing'
+                  WHEN composite_score <= 60.0 THEN 'Emerging'
+                  WHEN composite_score <= 80.0 THEN 'Established'
+                  ELSE 'Leading' END AS score_band
+      FROM calc4 ORDER BY entity_id"""))
+
+  override def queries: Seq[QueryDef] = Seq(
+    dimensionInputs, vrCv, hhiPenalty, rubricScores, evidenceDims,
+    talentConcentration, hrFactor, synergyBonus, composite)
 }

@@ -35,7 +35,7 @@ object ScorePipeline {
     SynergyRule("click", "error", "negative", 60.0, 3.0))
 
   /** events → one row per (entity_id, dimension) with score/weight/confidence.
-    * score = clamp(6·avg(value), 0, 100); confidence = min(0.95, 0.3 + n/50). */
+    * score = clamp(avg(value), 0, 100); confidence = min(0.95, 0.3 + n/50). */
   def dimensionInputs(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val weightCol = Dimensions.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
@@ -48,7 +48,7 @@ object ScorePipeline {
     ev.groupBy(col("user_id").as("entity_id"), col("event_type").as("dimension"))
       .agg(avg("value").as("avg_value"), count(lit(1)).as("n"))
       .select(col("entity_id"), col("dimension"),
-        least(lit(100.0), greatest(lit(0.0), lit(6.0) * col("avg_value"))).as("score"),
+        least(lit(100.0), greatest(lit(0.0), col("avg_value"))).as("score"),
         least(lit(0.95), lit(0.3) + col("n").cast("double") / lit(50.0)).as("confidence"))
       .withColumn("weight", weightCol)
   }

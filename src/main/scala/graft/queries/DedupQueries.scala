@@ -1,5 +1,240 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Det.{dround, oround}
+
+/** Deduplication operators for a training-data pipeline: exact hashing,
+  * MinHash+LSH banding, SimHash hamming buckets, n-gram Jaccard, embedding
+  * cosine near-dup (builder brief; reference's own dedup backbone is the
+  * content-hash gate, SURVEY.md §2.1 S12).
+  *
+  * Scale design: every pairwise step is *blocked* — LSH band buckets,
+  * simhash values, or labels — never an unblocked O(n²) cross join. The
+  * candidate-pair joins are equi-joins on the bucket key, so at 100 TB they
+  * shuffle-partition by bucket and AQE handles the skewed buckets.
+  * All hashing is sha2 (no murmur) so the DuckDB oracle agrees bit-for-bit.
+  */
 object DedupQueries extends QueryModule {
-  override def queries: Seq[QueryDef] = Seq()
+
+  // -- exact dedup over a normalized content key (first 8 tokens) — the
+  //    content-hash ingest gate (S12) as a batch profile
+  private val exactDedup = QueryDef(
+    "q_exact_dedup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("dedup_key",
+          sha2(concat_ws(" ", slice(split(col("text"), " "), 1, 8)), 256))
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("dedup_key").as("n_distinct"),
+          (count(lit(1)) - countDistinct("dedup_key")).as("n_dups"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH d AS (SELECT lang,
+                   sha256(array_to_string((string_split(text, ' '))[1:8], ' ')) AS dedup_key
+                 FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             count(DISTINCT dedup_key) AS n_distinct,
+             count(*) - count(DISTINCT dedup_key) AS n_dups
+      FROM d GROUP BY lang ORDER BY lang"""))
+
+  // -- MinHash + LSH: 4 bands × 1 row over 2-token shingles; candidate pairs
+  //    share a band minhash; exact Jaccard on shingle sets over candidates.
+  private val minhashLsh = QueryDef(
+    "q_minhash_lsh_neardup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("shingles", array_distinct(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))")))
+      val sh = d.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      val bands = sh.withColumn("band", explode(expr("sequence(0, 3)")))
+        .groupBy("doc_id", "band")
+        .agg(min(sha2(concat(col("shingle"), lit("#"), col("band").cast("string")), 256))
+          .as("mh"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val sets = d.select(col("doc_id"), col("shingles"))
+      val jac = cand
+        .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sa"), "id_a")
+        .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sb"), "id_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sa"), col("sb"))).cast("double")
+            / size(array_union(col("sa"), col("sb"))))
+      jac.agg(count(lit(1)).as("n_candidate_pairs"),
+          sum(when(col("jaccard") >= 0.2, 1).otherwise(0)).as("n_near_dups"),
+          dround(avg("jaccard"), 4).as("avg_jaccard"),
+          dround(max("jaccard"), 4).as("max_jaccard"))
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id,
+                   list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                     i -> array_to_string(toks[i:i+1], ' '))) AS shingles
+                 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM d),
+        bands AS (SELECT doc_id, band,
+                    min(sha256(shingle || '#' || CAST(band AS VARCHAR))) AS mh
+                  FROM (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS band FROM sh)
+                  GROUP BY doc_id, band),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+        jac AS (SELECT id_a, id_b,
+                  CAST(len(list_filter(da.shingles, x -> list_contains(db.shingles, x))) AS DOUBLE)
+                    / (len(da.shingles) + len(db.shingles)
+                       - len(list_filter(da.shingles, x -> list_contains(db.shingles, x)))) AS jaccard
+                FROM cand JOIN d da ON cand.id_a = da.doc_id
+                          JOIN d db ON cand.id_b = db.doc_id)
+      SELECT count(*) AS n_candidate_pairs,
+             sum(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END) AS n_near_dups,
+             ${oround("avg(jaccard)", 4)} AS avg_jaccard,
+             ${oround("max(jaccard)", 4)} AS max_jaccard
+      FROM jac"""))
+
+  /** 16-bit SimHash from distinct tokens: bit i of sha256(token) taken from
+    * hex digit i (set iff digit ≥ '8'); simhash bit i set iff the ±1 vote
+    * sum over tokens is positive. */
+  private def simhashSparkCols = {
+    val hiDigits = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    (0 until 16).map { i =>
+      sum(when(substring(col("h"), i + 1, 1).isInCollection(hiDigits), 1).otherwise(-1))
+        .as(s"v$i")
+    }
+  }
+
+  private val simhash = QueryDef(
+    "q_simhash_hamming",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val tok = d.select(col("doc_id"), col("lang"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("h", sha2(col("tok"), 256))
+      val votes = tok.groupBy("doc_id", "lang").agg(simhashSparkCols.head, simhashSparkCols.tail: _*)
+      val simhashCol = (0 until 16).map(i =>
+        when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+      val sims = votes.select(col("doc_id"), col("lang"), simhashCol.as("simhash"))
+      val pairs = sims.as("a").join(sims.as("b"),
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.lang").as("lang"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      pairs.groupBy("lang")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("hamming") <= 3, 1).otherwise(0)).as("n_within_3"),
+          dround(avg("hamming"), 4).as("avg_hamming"),
+          min("hamming").as("min_hamming"))
+        .orderBy("lang")
+    },
+    Some {
+      val votes = (0 until 16).map { i =>
+        s"sum(CASE WHEN substr(h, ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$i"
+      }.mkString(",\n                  ")
+      val simhashExpr = (0 until 16).map(i =>
+        s"(CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH tok AS (SELECT doc_id, lang,
+                     unnest(list_distinct(string_split(text, ' '))) AS tok
+                   FROM documents),
+        h AS (SELECT doc_id, lang, sha256(tok) AS h FROM tok),
+        votes AS (SELECT doc_id, lang,
+                  $votes
+                  FROM h GROUP BY doc_id, lang),
+        sims AS (SELECT doc_id, lang, $simhashExpr AS simhash FROM votes),
+        pairs AS (SELECT a.lang AS lang,
+                    bit_count(xor(a.simhash, b.simhash)) AS hamming
+                  FROM sims a JOIN sims b
+                    ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      SELECT lang, count(*) AS n_pairs,
+             sum(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END) AS n_within_3,
+             ${oround("avg(hamming)", 4)} AS avg_hamming,
+             min(hamming) AS min_hamming
+      FROM pairs GROUP BY lang ORDER BY lang"""
+    })
+
+  // -- n-gram Jaccard blocked by (lang, token-count bucket): exact trigram
+  //    Jaccard inside cheap blocks (the classic blocking alternative to LSH)
+  private val ngramJaccard = QueryDef(
+    "q_ngram_jaccard_blocked",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("block", (size(col("toks")) / lit(10)).cast("long"))
+        .withColumn("grams", array_distinct(expr(
+          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")))
+        .select(col("doc_id"), col("lang"), col("block"), col("grams"))
+      val pairs = d.as("a").join(d.as("b"),
+          col("a.lang") === col("b.lang") && col("a.block") === col("b.block") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .withColumn("jaccard",
+          size(array_intersect(col("a.grams"), col("b.grams"))).cast("double")
+            / size(array_union(col("a.grams"), col("b.grams"))))
+      pairs.groupBy(col("a.lang").as("lang"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("jaccard") > 0.0, 1).otherwise(0)).as("n_overlapping"),
+          dround(avg("jaccard"), 4).as("avg_jaccard"),
+          dround(max("jaccard"), 4).as("max_jaccard"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, lang,
+                   CAST(len(toks) // 10 AS BIGINT) AS block,
+                   list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+2], ' '))) AS grams
+                 FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)),
+        pairs AS (SELECT a.lang AS lang,
+                    CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+                      / (len(a.grams) + len(b.grams)
+                         - len(list_filter(a.grams, x -> list_contains(b.grams, x)))) AS jaccard
+                  FROM d a JOIN d b
+                    ON a.lang = b.lang AND a.block = b.block AND a.doc_id < b.doc_id)
+      SELECT lang, count(*) AS n_pairs,
+             sum(CASE WHEN jaccard > 0.0 THEN 1 ELSE 0 END) AS n_overlapping,
+             ${oround("avg(jaccard)", 4)} AS avg_jaccard,
+             ${oround("max(jaccard)", 4)} AS max_jaccard
+      FROM pairs GROUP BY lang ORDER BY lang"""))
+
+  // -- embedding cosine near-dup, blocked by label (ANN-style candidate set)
+  private val embeddingNearDup = QueryDef(
+    "q_embedding_neardup",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("nrm", sqrt(expr(
+          "aggregate(vecd, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+        .select(col("vec_id"), col("label"), col("vecd"), col("nrm"))
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cosine", expr(
+          "aggregate(zip_with(a.vecd, b.vecd, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+          / (col("a.nrm") * col("b.nrm")))
+      pairs.groupBy(col("a.label").as("label"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("cosine") >= 0.3, 1).otherwise(0)).as("n_near"),
+          dround(avg("cosine"), 4).as("avg_cosine"),
+          dround(max("cosine"), 4).as("max_cosine"))
+        .orderBy("label")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd,
+                   sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                 FROM embeddings),
+        pairs AS (SELECT a.label AS label,
+                    list_sum(list_transform(list_zip(a.vecd, b.vecd),
+                      x -> x[1] * x[2])) / (a.nrm * b.nrm) AS cosine
+                  FROM e a JOIN e b
+                    ON a.label = b.label AND a.vec_id < b.vec_id)
+      SELECT label, count(*) AS n_pairs,
+             sum(CASE WHEN cosine >= 0.3 THEN 1 ELSE 0 END) AS n_near,
+             ${oround("avg(cosine)", 4)} AS avg_cosine,
+             ${oround("max(cosine)", 4)} AS max_cosine
+      FROM pairs GROUP BY label ORDER BY label"""))
+
+  override def queries: Seq[QueryDef] = Seq(
+    exactDedup, minhashLsh, simhash, ngramJaccard, embeddingNearDup)
 }

@@ -1,5 +1,156 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Det.{dround, oround}
+
+/** Similarity search over the embedding column (builder brief): brute-force
+  * cosine top-k as the exact baseline, and a sign-LSH bucketed variant as
+  * the scale path.
+  *
+  * Scale design: the query set is tiny → `broadcast()` it against the corpus
+  * scan (no shuffle of the big side). The LSH variant replaces the full scan
+  * with an equi-join on the bucket key — at 100 TB the corpus is written
+  * bucketed/partitioned by that key so candidate lookup is partition-pruned.
+  * Dot products run as codegen'd `aggregate(zip_with(...))` in index order,
+  * which the DuckDB oracle reproduces bit-for-bit.
+  */
 object EmbeddingQueries extends QueryModule {
-  override def queries: Seq[QueryDef] = Seq()
+
+  private val NQueries = 8
+
+  // -- exact brute-force cosine top-5 per query vector
+  private val bruteForceTopK = QueryDef(
+    "q_ann_bruteforce_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("nrm", sqrt(expr(
+          "aggregate(vecd, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+        .select(col("vec_id"), col("label"), col("vecd"), col("nrm"))
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("vecd").as("qv"), col("nrm").as("qn"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", expr(
+          "aggregate(zip_with(qv, vecd, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+          / (col("qn") * col("nrm")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          col("label").as("neighbor_label"), dround(col("cosine"), 4).as("cosine"))
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd,
+                   sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                 FROM embeddings),
+        q AS (SELECT vec_id AS q_id, vecd AS qv, nrm AS qn FROM e
+              WHERE vec_id < $NQueries),
+        scored AS (SELECT q.q_id, e.vec_id, e.label,
+                     list_sum(list_transform(list_zip(q.qv, e.vecd),
+                       x -> x[1] * x[2])) / (q.qn * e.nrm) AS cosine
+                   FROM e JOIN q ON e.vec_id <> q.q_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY cosine DESC, vec_id ASC) AS rank
+                   FROM scored)
+      SELECT q_id, rank, vec_id AS neighbor_id, label AS neighbor_label,
+             ${oround("cosine", 4)} AS cosine
+      FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""))
+
+  /** sign-LSH bucket: 4 axis-aligned hyperplanes (dims 0..3) → 16 buckets. */
+  private val bucketSpark = (0 until 4).map(i =>
+    when(element_at(col("embedding"), i + 1) > 0f, lit(1 << i)).otherwise(lit(0)))
+    .reduce(_ + _)
+  private val bucketSql = (0 until 4).map(i =>
+    s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+
+  // -- LSH-bucketed ANN: candidates restricted to the query's bucket
+  private val lshTopK = QueryDef(
+    "q_ann_lsh_bucketed",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("bucket", bucketSpark)
+        .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("nrm", sqrt(expr(
+          "aggregate(vecd, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+        .select(col("vec_id"), col("bucket"), col("vecd"), col("nrm"))
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
+          col("vecd").as("qv"), col("nrm").as("qn"))
+      val scored = e.join(broadcast(q),
+          col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", expr(
+          "aggregate(zip_with(qv, vecd, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+          / (col("qn") * col("nrm")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("q_id"), col("q_bucket").as("bucket"), col("rank"),
+          col("vec_id").as("neighbor_id"), dround(col("cosine"), 4).as("cosine"))
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, $bucketSql AS bucket,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd,
+                   sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                 FROM embeddings),
+        q AS (SELECT vec_id AS q_id, bucket AS q_bucket, vecd AS qv, nrm AS qn
+              FROM e WHERE vec_id < $NQueries),
+        scored AS (SELECT q.q_id, q.q_bucket, e.vec_id,
+                     list_sum(list_transform(list_zip(q.qv, e.vecd),
+                       x -> x[1] * x[2])) / (q.qn * e.nrm) AS cosine
+                   FROM e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY cosine DESC, vec_id ASC) AS rank
+                   FROM scored)
+      SELECT q_id, q_bucket AS bucket, rank, vec_id AS neighbor_id,
+             ${oround("cosine", 4)} AS cosine
+      FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""))
+
+  // -- per-label vector statistics incl. centroid norm (columnar re-agg over
+  //    posexploded dims — the shape a 100 TB feature-store rollup takes)
+  private val normStats = QueryDef(
+    "q_embedding_label_stats",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("nrm", sqrt(expr(
+          "aggregate(vecd, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+      val norms = e.groupBy("label")
+        .agg(count(lit(1)).as("n_vectors"),
+          dround(avg("nrm"), 4).as("avg_norm"),
+          dround(min("nrm"), 4).as("min_norm"),
+          dround(max("nrm"), 4).as("max_norm"))
+      val centroid = e.select(col("label"), posexplode(col("vecd")).as(Seq("pos", "x")))
+        .groupBy("label", "pos").agg(avg("x").as("m"))
+        .groupBy("label")
+        .agg(dround(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"))
+      norms.join(centroid, "label").orderBy("label")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd,
+                   sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                 FROM embeddings),
+        norms AS (SELECT label, count(*) AS n_vectors,
+                    ${oround("avg(nrm)", 4)} AS avg_norm,
+                    ${oround("min(nrm)", 4)} AS min_norm,
+                    ${oround("max(nrm)", 4)} AS max_norm
+                  FROM e GROUP BY label),
+        dims AS (SELECT label, i.i AS pos, avg(vecd[i.i + 1]) AS m
+                 FROM e, (SELECT unnest(generate_series(0, 63)) AS i) i
+                 GROUP BY label, i.i),
+        cent AS (SELECT label,
+                   ${oround("sqrt(sum(m * m))", 4)} AS centroid_norm
+                 FROM dims GROUP BY label)
+      SELECT norms.label, n_vectors, avg_norm, min_norm, max_norm, centroid_norm
+      FROM norms JOIN cent ON norms.label = cent.label
+      ORDER BY norms.label"""))
+
+  override def queries: Seq[QueryDef] = Seq(bruteForceTopK, lshTopK, normStats)
 }

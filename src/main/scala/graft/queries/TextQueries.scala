@@ -1,5 +1,170 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Det.{dround, oround}
+
+/** Text-analysis operators for a large-scale training-data pipeline (builder
+  * brief: token counting, quality scoring, language-ID, fingerprinting) over
+  * the `documents` table. Everything is built from codegen-friendly column
+  * expressions (split/transform/filter/sha2) — no UDFs — so at 100 TB the
+  * whole stage stays inside WholeStageCodegen with the parquet scan pruned
+  * to (doc_id, text, lang).
+  */
 object TextQueries extends QueryModule {
-  override def queries: Seq[QueryDef] = Seq()
+
+  private val StopWords = Seq("the", "a", "of", "and", "in")
+  private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+
+  // -- token counting (whitespace tokenizer) + corpus stats per language
+  private val tokenStats = QueryDef(
+    "q_token_stats",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          dround(avg("n_tokens"), 4).as("avg_tokens"),
+          dround(avg("n_chars"), 4).as("avg_chars"),
+          min("n_tokens").as("min_tokens"),
+          max("n_tokens").as("max_tokens"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH t AS (SELECT lang, n_chars,
+                        len(string_split(text, ' ')) AS n_tokens
+                 FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             sum(n_tokens) AS total_tokens,
+             ${oround("avg(n_tokens)", 4)} AS avg_tokens,
+             ${oround("avg(n_chars)", 4)} AS avg_chars,
+             min(n_tokens) AS min_tokens,
+             max(n_tokens) AS max_tokens
+      FROM t GROUP BY lang ORDER BY lang"""))
+
+  // -- quality scoring: lexical-diversity / stopword / length blend
+  private val docQuality = QueryDef(
+    "q_doc_quality",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_distinct", size(array_distinct(col("toks"))))
+        .withColumn("n_stop",
+          size(filter(col("toks"), t => t.isInCollection(StopWords))))
+        .withColumn("quality",
+          least(lit(1.0), greatest(lit(0.0),
+            lit(0.4) * (col("n_distinct").cast("double") / col("n_tokens"))
+              + lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
+              + lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / lit(50.0)))))
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          dround(avg("quality"), 4).as("avg_quality"),
+          dround(min("quality"), 4).as("min_quality"),
+          dround(max("quality"), 4).as("max_quality"),
+          sum(when(col("quality") > 0.6, 1).otherwise(0)).as("n_high_quality"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH d AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+        q AS (SELECT lang,
+             least(1.0, greatest(0.0,
+               0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+               + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE) / len(toks))
+               + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0))) AS quality
+           FROM d)
+      SELECT lang, count(*) AS n_docs,
+             ${oround("avg(quality)", 4)} AS avg_quality,
+             ${oround("min(quality)", 4)} AS min_quality,
+             ${oround("max(quality)", 4)} AS max_quality,
+             sum(CASE WHEN quality > 0.6 THEN 1 ELSE 0 END) AS n_high_quality
+      FROM q GROUP BY lang ORDER BY lang"""))
+
+  // -- language-ID: corpus-trained top-20 token profile per language, then
+  //    classify each doc by max profile overlap → confusion matrix.
+  //    Two-pass shape: the "train" side is a tiny broadcast (5 langs × 20
+  //    tokens); the classify side is one scan + broadcast cross join.
+  private val langId = QueryDef(
+    "q_lang_id_confusion",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val tok = d.select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      val freq = tok.groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n").desc, col("tok").asc)
+      val prof = freq.withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
+        .groupBy(col("lang").as("plang"))
+        .agg(collect_set("tok").as("ptoks"))
+      val docs = d.select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("dtoks"))
+      val scored = docs.crossJoin(broadcast(prof))
+        .withColumn("overlap", size(array_intersect(col("dtoks"), col("ptoks"))))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("overlap").desc, col("plang").asc)
+      scored.withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+        .groupBy(col("lang"), col("plang").as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    },
+    Some("""
+      WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        freq AS (SELECT lang, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+        prof AS (SELECT lang AS plang, list(tok) AS ptoks
+                 FROM (SELECT lang, tok, row_number() OVER (PARTITION BY lang
+                              ORDER BY n DESC, tok ASC) AS rn
+                       FROM freq)
+                 WHERE rn <= 20 GROUP BY 1),
+        docs AS (SELECT doc_id, lang,
+                        list_distinct(string_split(text, ' ')) AS dtoks
+                 FROM documents),
+        scored AS (SELECT doc_id, lang, plang,
+                          len(list_filter(dtoks, x -> list_contains(ptoks, x))) AS overlap
+                   FROM docs CROSS JOIN prof),
+        pred AS (SELECT doc_id, lang, plang AS predicted
+                 FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                              ORDER BY overlap DESC, plang ASC) AS rn
+                       FROM scored)
+                 WHERE rn = 1)
+      SELECT lang, predicted, count(*) AS n
+      FROM pred GROUP BY 1, 2 ORDER BY lang, predicted"""))
+
+  // -- document fingerprinting: min-hash over 3-token shingles (the k=1
+  //    MinHash signature — content-defined fingerprint, stable under token
+  //    order preservation)
+  private val fingerprint = QueryDef(
+    "q_doc_fingerprint",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+      val sh = d.select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+          .as("shingle"))
+      sh.groupBy("doc_id", "lang")
+        .agg(min(sha2(col("shingle"), 256)).as("fingerprint"),
+          countDistinct("shingle").as("n_shingles"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("fingerprint").as("n_distinct_fp"),
+          min("fingerprint").as("min_fp"),
+          dround(avg("n_shingles"), 4).as("avg_shingles"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH sh AS (SELECT doc_id, lang,
+                  unnest(list_transform(generate_series(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+                  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                        FROM documents)),
+        fp AS (SELECT doc_id, lang, min(sha256(shingle)) AS fingerprint,
+                      count(DISTINCT shingle) AS n_shingles
+               FROM sh GROUP BY 1, 2)
+      SELECT lang, count(*) AS n_docs,
+             count(DISTINCT fingerprint) AS n_distinct_fp,
+             min(fingerprint) AS min_fp,
+             ${oround("avg(n_shingles)", 4)} AS avg_shingles
+      FROM fp GROUP BY lang ORDER BY lang"""))
+
+  override def queries: Seq[QueryDef] = Seq(tokenStats, docQuality, langId, fingerprint)
 }

@@ -1,0 +1,49 @@
+package graft.stats
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("reliability: perfectly correlated items → avg_r clamped 0.99, rho near 1") {
+    val wide = (1 to 30).map(i => (i.toDouble, i * 2.0, i * 3.0)).toDF("a", "b", "c")
+    val r = SemConfidence.reliability(wide, Seq("a", "b", "c")).collect().head
+    assert(math.abs(r.getAs[Double]("avg_r") - 0.99) < 1e-9)
+    val rho = r.getAs[Double]("rho")
+    assert(math.abs(rho - 3 * 0.99 / (1 + 2 * 0.99)) < 1e-9)
+    assert(r.getAs[Int]("n_items") === 3)
+  }
+
+  test("reliability: independent noise → avg_r near 0, rho small") {
+    val rng = new scala.util.Random(11)
+    val wide = (1 to 500).map(_ => (rng.nextGaussian(), rng.nextGaussian(), rng.nextGaussian()))
+      .toDF("a", "b", "c")
+    val r = SemConfidence.reliability(wide, Seq("a", "b", "c")).collect().head
+    assert(r.getAs[Double]("avg_r") >= 0.0) // clamped at 0
+    assert(r.getAs[Double]("avg_r") < 0.2)
+  }
+
+  test("semBounds: sigma floor 1, SEM floor 0.5, z=1.96 interval") {
+    val df = Seq((70.0, 0.2, 0.99), (70.0, 4.0, 0.75)).toDF("x", "sigma", "rho")
+    val out = SemConfidence.semBounds(df, "x", "sigma", "rho").collect()
+    // row 0: σ→1, √(1−.99)=.1 → sem=max(.5,.1)=.5
+    assert(math.abs(out(0).getAs[Double]("sem") - 0.5) < 1e-12)
+    assert(math.abs(out(0).getAs[Double]("ci_lower") - (70 - 1.96 * 0.5)) < 1e-12)
+    // row 1: σ=4, √.25=.5 → sem=2
+    assert(math.abs(out(1).getAs[Double]("sem") - 2.0) < 1e-12)
+    assert(math.abs(out(1).getAs[Double]("ci_upper") - (70 + 1.96 * 2.0)) < 1e-12)
+  }
+
+  test("bootstrap: deterministic under seed; CI brackets the mean; degenerate ±5") {
+    val xs = Array(4.0, 7.0, 6.0, 5.0, 9.0, 3.0, 8.0, 6.0, 5.0, 7.0)
+    def mean(a: Array[Double]) = a.sum / a.length
+    val c1 = Bootstrap.percentileCI(xs, mean)
+    val c2 = Bootstrap.percentileCI(xs, mean)
+    assert(c1 == c2)
+    assert(c1.lower <= mean(xs) && mean(xs) <= c1.upper)
+    assert(c1.se > 0.0)
+    val d = Bootstrap.percentileCI(Array(5.0), mean)
+    assert(d.lower === 0.0 && d.upper === 10.0 && d.se === 0.0)
+  }
+}

@@ -49,11 +49,16 @@ object DedupQueries extends QueryModule {
         .withColumn("toks", split(col("text"), " "))
         .withColumn("shingles", array_distinct(expr(
           "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))")))
+      // One codegen'd sha2 per shingle; the 4 band hashes are disjoint
+      // 64-bit substrings of the single 256-bit digest. The groupBy
+      // partial-aggregates map-side, so the shuffle carries only one
+      // 4-signature row per doc — the 100 TB-safe LSH shape.
       val sh = d.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      val bands = sh.withColumn("band", explode(expr("sequence(0, 3)")))
-        .groupBy("doc_id", "band")
-        .agg(min(sha2(concat(col("shingle"), lit("#"), col("band").cast("string")), 256))
-          .as("mh"))
+        .withColumn("h", sha2(col("shingle"), 256))
+      val sigCols = (0 until 4).map(b => min(substring(col("h"), 1 + 16 * b, 16)).as(s"mh$b"))
+      val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bands = sigs.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b => col(s"mh$b")): _*)).as(Seq("band", "mh")))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -76,10 +81,10 @@ object DedupQueries extends QueryModule {
                    list_distinct(list_transform(generate_series(1, len(toks) - 1),
                      i -> array_to_string(toks[i:i+1], ' '))) AS shingles
                  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-        sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM d),
+        sh AS (SELECT doc_id, sha256(unnest(shingles)) AS h FROM d),
         bands AS (SELECT doc_id, band,
-                    min(sha256(shingle || '#' || CAST(band AS VARCHAR))) AS mh
-                  FROM (SELECT doc_id, shingle, unnest([0, 1, 2, 3]) AS band FROM sh)
+                    min(substr(h, 1 + 16 * band, 16)) AS mh
+                  FROM (SELECT doc_id, h, unnest([0, 1, 2, 3]) AS band FROM sh)
                   GROUP BY doc_id, band),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM bands a JOIN bands b

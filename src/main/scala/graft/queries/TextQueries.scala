@@ -135,15 +135,20 @@ object TextQueries extends QueryModule {
   private val fingerprint = QueryDef(
     "q_doc_fingerprint",
     (s, dir) => {
+      // explode → codegen'd sha2 → min with map-side partial aggregation:
+      // the shuffle carries one 64-char min per doc, not the shingles.
+      // (A lambda `transform(…, s -> sha2(s))` would leave sha2 in the
+      // interpreted HOF path — measurably slower at sf0.1.)
       val d = Tables.documents(s, dir)
         .withColumn("toks", split(col("text"), " "))
-      val sh = d.select(col("doc_id"), col("lang"),
-        explode(expr(
+        .withColumn("shingles", expr(
           "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
-          .as("shingle"))
-      sh.groupBy("doc_id", "lang")
-        .agg(min(sha2(col("shingle"), 256)).as("fingerprint"),
-          countDistinct("shingle").as("n_shingles"))
+      d.select(col("doc_id"), col("lang"),
+          size(array_distinct(col("shingles"))).cast("long").as("n_shingles"),
+          explode(col("shingles")).as("shingle"))
+        .withColumn("h", sha2(col("shingle"), 256))
+        .groupBy("doc_id", "lang", "n_shingles")
+        .agg(min("h").as("fingerprint"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct("fingerprint").as("n_distinct_fp"),

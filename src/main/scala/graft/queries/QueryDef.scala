@@ -59,6 +59,7 @@ object Registry {
   def modules: Seq[QueryModule] = Seq(
     RelationalQueries,
     ScoringQueries,
+    StatsQueries,
     TextQueries,
     DedupQueries,
     EmbeddingQueries,

@@ -171,5 +171,34 @@ object TextQueries extends QueryModule {
              ${oround("avg(n_shingles)", 4)} AS avg_shingles
       FROM fp GROUP BY lang ORDER BY lang"""))
 
-  override def queries: Seq[QueryDef] = Seq(tokenStats, docQuality, langId, fingerprint)
+  // -- F1/F2: keyword matching with BOTH reference semantics (word-boundary
+  //    regex vs substring `in` — the "ai"⊂"air" quirk preserved per site)
+  private val Keywords = Seq("data", "ai", "spark", "stream")
+  private val keywordHits = QueryDef(
+    "q_keyword_hits",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val aggCols = Keywords.flatMap { kw =>
+        Seq(
+          sum(when(graft.text.KeywordMatch.wordBoundary(col("text"), kw), 1)
+            .otherwise(0)).as(s"wb_$kw"),
+          sum(when(graft.text.KeywordMatch.substringMatch(col("text"), kw), 1)
+            .otherwise(0)).as(s"ss_$kw"))
+      }
+      d.groupBy("lang").agg(aggCols.head, aggCols.tail: _*).orderBy("lang")
+    },
+    Some {
+      val cols = Keywords.flatMap { kw =>
+        Seq(
+          s"sum(CASE WHEN regexp_matches(text, '(?i)\\b$kw\\b') THEN 1 ELSE 0 END) AS wb_$kw",
+          s"sum(CASE WHEN contains(lower(text), '$kw') THEN 1 ELSE 0 END) AS ss_$kw")
+      }.mkString(",\n             ")
+      s"""
+      SELECT lang,
+             $cols
+      FROM documents GROUP BY lang ORDER BY lang"""
+    })
+
+  override def queries: Seq[QueryDef] =
+    Seq(tokenStats, docQuality, langId, fingerprint, keywordHits)
 }

@@ -208,14 +208,12 @@ object DedupQueries extends QueryModule {
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
         .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-        .withColumn("nrm", sqrt(expr(
-          "aggregate(vecd, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+        .withColumn("nrm", graft.functions.VectorFunctions.vecNorm(col("vecd")))
         .select(col("vec_id"), col("label"), col("vecd"), col("nrm"))
       val pairs = e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cosine", expr(
-          "aggregate(zip_with(a.vecd, b.vecd, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
-          / (col("a.nrm") * col("b.nrm")))
+        .withColumn("cosine", graft.functions.VectorFunctions.cosine(
+          col("a.vecd"), col("b.vecd"), col("a.nrm"), col("b.nrm")))
       pairs.groupBy(col("a.label").as("label"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("cosine") >= 0.3, 1).otherwise(0)).as("n_near"),

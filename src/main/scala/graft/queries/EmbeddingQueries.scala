@@ -25,15 +25,13 @@ object EmbeddingQueries extends QueryModule {
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
         .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-        .withColumn("nrm", sqrt(expr(
-          "aggregate(vecd, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+        .withColumn("nrm", graft.functions.VectorFunctions.vecNorm(col("vecd")))
         .select(col("vec_id"), col("label"), col("vecd"), col("nrm"))
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q_id"), col("vecd").as("qv"), col("nrm").as("qn"))
       val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .withColumn("cosine", expr(
-          "aggregate(zip_with(qv, vecd, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
-          / (col("qn") * col("nrm")))
+        .withColumn("cosine", graft.functions.VectorFunctions.cosine(
+          col("qv"), col("vecd"), col("qn"), col("nrm")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
@@ -74,17 +72,15 @@ object EmbeddingQueries extends QueryModule {
       val e = Tables.embeddings(s, dir)
         .withColumn("bucket", bucketSpark)
         .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-        .withColumn("nrm", sqrt(expr(
-          "aggregate(vecd, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+        .withColumn("nrm", graft.functions.VectorFunctions.vecNorm(col("vecd")))
         .select(col("vec_id"), col("bucket"), col("vecd"), col("nrm"))
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
           col("vecd").as("qv"), col("nrm").as("qn"))
       val scored = e.join(broadcast(q),
           col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-        .withColumn("cosine", expr(
-          "aggregate(zip_with(qv, vecd, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
-          / (col("qn") * col("nrm")))
+        .withColumn("cosine", graft.functions.VectorFunctions.cosine(
+          col("qv"), col("vecd"), col("qn"), col("nrm")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
@@ -118,8 +114,7 @@ object EmbeddingQueries extends QueryModule {
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
         .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-        .withColumn("nrm", sqrt(expr(
-          "aggregate(vecd, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+        .withColumn("nrm", graft.functions.VectorFunctions.vecNorm(col("vecd")))
       val norms = e.groupBy("label")
         .agg(count(lit(1)).as("n_vectors"),
           dround(avg("nrm"), 4).as("avg_norm"),

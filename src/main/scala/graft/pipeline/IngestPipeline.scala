@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Upsert
+import graft.text.{Chunker, HtmlText, SectionExtractor}
+
+/** The reference's evidence-collection lifecycle (§3.2:
+  * collection.py:183-296 — fetch → parse F11 → sections F13 → hash-dedup
+  * S12 → chunk F14 → persist S8) as one typed Spark pipeline.
+  *
+  * Fetch stays an external concern (rate-limited HTTP has no place on
+  * executors); the pipeline input is a DataFrame of raw filing payloads.
+  * Parse/section run as column expressions + a typed flatMap (pure Scala,
+  * deterministic — SURVEY.md §2.11); dedup is the left_anti hash gate;
+  * chunk ids are content-derived sha2, not uuid4 (SURVEY.md §7.3).
+  *
+  * Scale: one scan, one flatMap, one anti-join shuffle, one write. Chunk
+  * explosion is bounded (MaxChars), so partitions stay memory-safe; output
+  * is partitionable by entity for downstream co-located joins.
+  */
+object IngestPipeline {
+
+  final case class RawFiling(entity_id: Long, filing_type: String, html: String)
+  final case class SectionRow(entity_id: Long, filing_type: String,
+      section: String, text: String)
+  final case class ChunkRow(entity_id: Long, filing_type: String,
+      section: String, chunk_index: Int, content: String, word_count: Int,
+      content_hash: String, chunk_id: String)
+
+  /** HTML → cleaned text → named sections (F11 + F13). */
+  def extractSections(raw: Dataset[RawFiling]): Dataset[SectionRow] = {
+    import raw.sparkSession.implicits._
+    val cleaned = raw.toDF()
+      .withColumn("text", HtmlText.htmlToText(col("html")))
+      .select(col("entity_id"), col("filing_type"), col("text"))
+    cleaned.as[(Long, String, String)].flatMap { case (e, ft, text) =>
+      SectionExtractor.extract(text).map { case (k, t) => SectionRow(e, ft, k, t) }
+    }
+  }
+
+  /** Sections → overlapping chunks with content-derived ids (F14 + F17). */
+  def chunkSections(sections: Dataset[SectionRow]): Dataset[ChunkRow] = {
+    import sections.sparkSession.implicits._
+    sections.flatMap { s =>
+      Chunker.chunk(s.text).map { c =>
+        val hash = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(c.content.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        ChunkRow(s.entity_id, s.filing_type, s.section, c.index, c.content,
+          c.content.split("\\s+").count(_.nonEmpty), hash,
+          s"${s.entity_id}#${s.filing_type}#${s.section}#${c.index}#${hash.take(16)}")
+      }
+    }
+  }
+
+  /** Full run: parse → section → chunk → cross-run hash-dedup → append.
+    * Returns the freshly-persisted chunks. */
+  def ingest(spark: SparkSession, raw: Dataset[RawFiling], storePath: String): DataFrame = {
+    val chunks = chunkSections(extractSections(raw)).toDF()
+    val deduped = Upsert.dedupInBatch(chunks, "content_hash",
+      Seq(col("chunk_id").asc))
+    val seen =
+      try spark.read.parquet(storePath).select("content_hash")
+      catch { case _: Throwable => null }
+    val fresh = if (seen == null) deduped
+      else Upsert.dedupGate(deduped, seen, "content_hash")
+    fresh.write.mode("append").parquet(storePath)
+    spark.read.parquet(storePath)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class IngestPipelineSpec extends SparkSpec {
+  import spark.implicits._
+  import IngestPipeline._
+
+  private def filing(entity: Long, seed: String): RawFiling = {
+    val para = (i: Int) => s"Paragraph $i $seed " + ("body " * 300)
+    val html = s"""<html><head><style>x{}</style></head><body>
+      <h1>Item 1. Business</h1>
+      <p>${para(1)}</p><p>${para(2)}</p><p>${para(3)}</p>
+      <h1>Item 1A. Risk Factors</h1>
+      <p>${para(4)}</p><p>${para(5)}</p>
+      </body></html>"""
+    RawFiling(entity, "10-K", html)
+  }
+
+  test("html filings flow to sections") {
+    val raw = Seq(filing(1, "alpha")).toDS()
+    val sections = extractSections(raw).collect()
+    assert(sections.map(_.section).toSet === Set("item_1", "item_1a"))
+    assert(sections.forall(!_.text.contains("<")))
+  }
+
+  test("sections chunk with content-derived ids and bounded sizes") {
+    val raw = Seq(filing(1, "alpha")).toDS()
+    val chunks = chunkSections(extractSections(raw)).collect()
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(_.content.length <= graft.text.Chunker.MaxChars))
+    assert(chunks.map(_.chunk_id).distinct.length === chunks.length)
+    assert(chunks.forall(_.word_count > 0))
+  }
+
+  test("ingest is idempotent across runs (cross-run hash gate)") {
+    val store = Files.createTempDirectory("graft-ingest").toString + "/chunks"
+    val raw = Seq(filing(1, "alpha"), filing(2, "beta")).toDS()
+    val first = IngestPipeline.ingest(spark, raw, store)
+    val n1 = first.count()
+    assert(n1 > 0)
+    // re-ingesting the same filings adds nothing
+    val second = IngestPipeline.ingest(spark, raw, store)
+    assert(second.count() === n1)
+    // a new filing adds only its own chunks
+    val third = IngestPipeline.ingest(spark, Seq(filing(3, "gamma")).toDS(), store)
+    assert(third.count() > n1)
+    assert(third.select("content_hash").distinct().count() === third.count())
+  }
+}

@@ -59,6 +59,7 @@ object Registry {
   def modules: Seq[QueryModule] = Seq(
     RelationalQueries,
     ScoringQueries,
+    SignalQueries,
     StatsQueries,
     TextQueries,
     DedupQueries,

@@ -296,26 +296,8 @@ object ScoringQueries extends QueryModule {
              ${oround(s"least(15.0, greatest(-15.0, $synergyCase))", 4)} AS synergy_bonus
       FROM wide ORDER BY entity_id"""))
 
-  // -- M3-M11 end-to-end: the flagship composite DAG (§3.1), all stages fused
-  private val composite = QueryDef(
-    "q_composite_scores",
-    (s, dir) =>
-      ScorePipeline.compositeScores(s, dir)
-        .select(col("entity_id"),
-          dround(col("vr_score"), 4).as("vr_score"),
-          dround(col("cv_factor"), 4).as("cv_factor"),
-          dround(col("hhi"), 6).as("hhi"),
-          col("penalty_factor"),
-          dround(col("synergy_bonus"), 4).as("synergy_bonus"),
-          dround(col("position_factor"), 4).as("position_factor"),
-          dround(col("hr_score"), 4).as("hr_score"),
-          dround(col("synergy_score"), 4).as("synergy_score"),
-          dround(col("composite_score"), 4).as("composite_score"),
-          dround(col("composite_legacy"), 4).as("composite_legacy"),
-          col("score_band"))
-        .orderBy("entity_id"),
-    Some(s"""
-      WITH $dimsCte,
+  /** Reusable oracle CTE chain for the composite DAG (dims → … → calc4). */
+  private[queries] val compositeCtes: String = s"""$dimsCte,
         vr AS (SELECT entity_id,
              least(100.0, greatest(0.0,
                CASE WHEN sum(weight * greatest(confidence, 0.2)) <> 0
@@ -361,7 +343,28 @@ object ScoringQueries extends QueryModule {
                AS composite_score,
              least(100.0, greatest(0.0,
                (vr_score + synergy_bonus) * penalty_factor)) AS composite_legacy
-           FROM calc3)
+           FROM calc3)"""
+
+  // -- M3-M11 end-to-end: the flagship composite DAG (§3.1), all stages fused
+  private val composite = QueryDef(
+    "q_composite_scores",
+    (s, dir) =>
+      ScorePipeline.compositeScores(s, dir)
+        .select(col("entity_id"),
+          dround(col("vr_score"), 4).as("vr_score"),
+          dround(col("cv_factor"), 4).as("cv_factor"),
+          dround(col("hhi"), 6).as("hhi"),
+          col("penalty_factor"),
+          dround(col("synergy_bonus"), 4).as("synergy_bonus"),
+          dround(col("position_factor"), 4).as("position_factor"),
+          dround(col("hr_score"), 4).as("hr_score"),
+          dround(col("synergy_score"), 4).as("synergy_score"),
+          dround(col("composite_score"), 4).as("composite_score"),
+          dround(col("composite_legacy"), 4).as("composite_legacy"),
+          col("score_band"))
+        .orderBy("entity_id"),
+    Some(s"""
+      WITH $compositeCtes
       SELECT entity_id,
              ${oround("vr_score", 4)} AS vr_score,
              ${oround("cv_factor", 4)} AS cv_factor,
@@ -380,7 +383,95 @@ object ScoringQueries extends QueryModule {
                   ELSE 'Leading' END AS score_band
       FROM calc4 ORDER BY entity_id"""))
 
+  // -- the COMPLETE lifecycle (M3-M13): composite + TC risk adjustment +
+  //    prior blend + SEM confidence interval — the org_air_scores row
+  private val fullScores = QueryDef(
+    "q_full_scores",
+    (s, dir) =>
+      ScorePipeline.fullScores(s, dir)
+        .select(col("entity_id"),
+          dround(col("composite_score"), 4).as("composite_score"),
+          dround(col("tc"), 4).as("tc"),
+          dround(col("risk_adjustment"), 4).as("risk_adjustment"),
+          col("jobs_count"),
+          dround(col("prior_weight"), 4).as("prior_weight"),
+          dround(col("vr_blended"), 4).as("vr_blended"),
+          dround(col("final_score"), 4).as("final_score"),
+          dround(col("sem"), 4).as("sem"),
+          dround(col("ci_lower"), 4).as("ci_lower"),
+          dround(col("ci_upper"), 4).as("ci_upper"),
+          col("final_band"))
+        .orderBy("entity_id"),
+    Some {
+      val wideC = ScorePipeline.Dimensions
+        .map(d => s"max(CASE WHEN dimension = '$d' THEN score END) AS s_$d")
+        .mkString(",\n                 ")
+      val pairs = ScorePipeline.Dimensions.combinations(2).toSeq
+      val corrSum = pairs.map { case Seq(a, b) => s"corr(s_$a, s_$b)" }.mkString(" + ")
+      val k = ScorePipeline.Dimensions.size
+      s"""
+      WITH $compositeCtes,
+        tcc AS (SELECT entity_id,
+                  least(1.0, greatest(0.0,
+                    0.4 * leadership_ratio
+                    + 0.3 * least(1.0, 1.0 / (sqrt(CAST(n_people AS DOUBLE)) + 0.1))
+                    + 0.2 * greatest(0.0, 1.0 - CAST(n_skills AS DOUBLE) / 15.0)
+                    + 0.1 * 0.5)) AS tc
+                FROM (SELECT user_id AS entity_id, count(*) AS n_people,
+                        count(DISTINCT event_type) AS n_skills,
+                        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+                          / count(*) AS leadership_ratio
+                      FROM events GROUP BY 1)),
+        tca AS (SELECT entity_id, tc,
+                  least(1.0, greatest(0.0,
+                    1.0 - 0.15 * greatest(0.0, tc - 0.25))) AS risk_adjustment
+                FROM tcc),
+        jobs AS (SELECT user_id AS entity_id, count(*) AS jobs_count
+                 FROM events WHERE event_type = 'click' GROUP BY 1),
+        sg AS (SELECT entity_id, stddev_samp(score) AS sigma FROM dims GROUP BY entity_id),
+        widec AS (SELECT entity_id,
+                 $wideC
+                 FROM dims GROUP BY entity_id),
+        rel AS (SELECT ($k.0 * avg_r) / (1.0 + ${k - 1}.0 * avg_r) AS rho
+                FROM (SELECT least(0.99, greatest(0.0, ($corrSum) / ${pairs.size}.0)) AS avg_r
+                      FROM widec)),
+        fa AS (SELECT c4.entity_id, c4.composite_score, c4.vr_score,
+                   t.tc, t.risk_adjustment,
+                   coalesce(j.jobs_count, 0) AS jobs_count,
+                   least(0.95, greatest(0.35, 1.0 - coalesce(j.jobs_count, 0) / 20.0)) AS prior_weight,
+                   sg.sigma
+                 FROM calc4 c4 JOIN tca t USING (entity_id)
+                   LEFT JOIN jobs j USING (entity_id)
+                   JOIN sg USING (entity_id)),
+        f2 AS (SELECT fa.*, rel.rho,
+                 CASE WHEN entity_id % 10 = 0
+                      THEN (1.0 - prior_weight) * vr_score + prior_weight * 60.0
+                      ELSE vr_score END AS vr_blended,
+                 least(100.0, greatest(0.0, composite_score * risk_adjustment)) AS final_score
+               FROM fa, rel),
+        f3 AS (SELECT *,
+                 greatest(0.5, greatest(1.0, sigma) * sqrt(1.0 - rho)) AS sem
+               FROM f2)
+      SELECT entity_id,
+             ${oround("composite_score", 4)} AS composite_score,
+             ${oround("tc", 4)} AS tc,
+             ${oround("risk_adjustment", 4)} AS risk_adjustment,
+             jobs_count,
+             ${oround("prior_weight", 4)} AS prior_weight,
+             ${oround("vr_blended", 4)} AS vr_blended,
+             ${oround("final_score", 4)} AS final_score,
+             ${oround("sem", 4)} AS sem,
+             ${oround("final_score - 1.96 * sem", 4)} AS ci_lower,
+             ${oround("final_score + 1.96 * sem", 4)} AS ci_upper,
+             CASE WHEN final_score <= 20.0 THEN 'Nascent'
+                  WHEN final_score <= 40.0 THEN 'Developing'
+                  WHEN final_score <= 60.0 THEN 'Emerging'
+                  WHEN final_score <= 80.0 THEN 'Established'
+                  ELSE 'Leading' END AS final_band
+      FROM f3 ORDER BY entity_id"""
+    })
+
   override def queries: Seq[QueryDef] = Seq(
     dimensionInputs, vrCv, hhiPenalty, rubricScores, evidenceDims,
-    talentConcentration, hrFactor, synergyBonus, composite)
+    talentConcentration, hrFactor, synergyBonus, composite, fullScores)
 }

@@ -98,4 +98,58 @@ object ScorePipeline {
         "composite_score", "composite_legacy", "score_band")
       .orderBy("entity_id")
   }
+
+  /** The COMPLETE §3.1 lifecycle: compositeScores extended with the
+    * talent-concentration risk adjustment (M9), evidence-weighted prior
+    * blending (M12), and the Spearman–Brown SEM confidence interval (M13).
+    * One row per entity with the final score + CI — what the reference's
+    * org_air_scores row carries. */
+  def fullScores(spark: SparkSession, dir: String): DataFrame = {
+    import graft.stats.SemConfidence
+    val base = compositeScores(spark, dir)
+    val ev = Tables.events(spark, dir)
+
+    // M9: talent concentration from the event population
+    val tc = ev.groupBy(col("user_id").as("entity_id"))
+      .agg(count(lit(1)).as("n_people"),
+        countDistinct("event_type").as("n_skills"),
+        (sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .cast("double") / count(lit(1))).as("leadership_ratio"))
+      .withColumn("tc", TalentConcentration.tcScore(
+        col("leadership_ratio"), col("n_people"), col("n_skills"), lit(0.5)))
+      .withColumn("risk_adjustment", TalentConcentration.riskAdjustment(col("tc")))
+      .select("entity_id", "tc", "risk_adjustment")
+
+    // M12: evidence-weighted prior blend on VR (calibration entities =
+    // entity_id % 10 == 0, prior target 60 — config-as-data stand-in)
+    val jobs = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("entity_id")).agg(count(lit(1)).as("jobs_count"))
+
+    // M13: per-entity sigma over dimension scores + corpus reliability
+    val dims = dimensionInputs(spark, dir)
+    val sigma = dims.groupBy("entity_id").agg(stddev_samp(col("score")).as("sigma"))
+    val wide = dims.groupBy("entity_id").pivot("dimension", Dimensions).agg(first("score"))
+    val rel = SemConfidence.reliability(wide, Dimensions).select("rho")
+
+    val joined = base
+      .join(tc, "entity_id")
+      .join(jobs, Seq("entity_id"), "left")
+      .join(sigma, "entity_id")
+      .crossJoin(broadcast(rel))
+      .na.fill(0L, Seq("jobs_count"))
+      .withColumn("prior_weight", PriorBlend.evidenceWeight(col("jobs_count")))
+      .withColumn("vr_blended",
+        when(col("entity_id") % 10 === 0,
+          PriorBlend.blend(col("vr_score"), lit(60.0), col("prior_weight")))
+          .otherwise(col("vr_score")))
+      .withColumn("final_score",
+        least(lit(100.0), greatest(lit(0.0),
+          col("composite_score") * col("risk_adjustment"))))
+    SemConfidence.semBounds(joined, "final_score", "sigma", "rho")
+      .withColumn("final_band", Composite.band(col("final_score")))
+      .select("entity_id", "composite_score", "tc", "risk_adjustment",
+        "jobs_count", "prior_weight", "vr_blended", "final_score",
+        "sem", "ci_lower", "ci_upper", "final_band")
+      .orderBy("entity_id")
+  }
 }

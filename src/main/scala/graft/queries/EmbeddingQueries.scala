@@ -147,5 +147,74 @@ object EmbeddingQueries extends QueryModule {
       FROM norms JOIN cent ON norms.label = cent.label
       ORDER BY norms.label"""))
 
-  override def queries: Seq[QueryDef] = Seq(bruteForceTopK, lshTopK, normStats)
+  // -- IVF-style ANN: deterministic coarse quantizer (centroids = the first
+  //    NCells corpus vectors), assign every vector to its nearest centroid
+  //    (the inverted-file cell), then search only the query's cell. At
+  //    100 TB the corpus is written partitioned by cell id → a query probes
+  //    one partition instead of the full scan (the IVF promise).
+  private val NCells = 8
+  private val ivfTopK = QueryDef(
+    "q_ann_ivf",
+    (s, dir) => {
+      import graft.functions.VectorFunctions.{cosine, vecDot, vecNorm}
+      val e = Tables.embeddings(s, dir)
+        .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("nrm", vecNorm(col("vecd")))
+        .select(col("vec_id"), col("vecd"), col("nrm"))
+      val cents = e.filter(col("vec_id") < NCells)
+        .select(col("vec_id").as("cent_id"), col("vecd").as("cv"), col("nrm").as("cn"))
+      // assign: nearest centroid by cosine (ties → lowest centroid id)
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("sim", cosine(col("vecd"), col("cv"), col("nrm"), col("cn")))
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)
+      val cells = assigned.withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cent_id").as("cell"), col("vecd"), col("nrm"))
+      val q = cells.filter(col("vec_id") < NCells)
+        .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
+          col("vecd").as("qv"), col("nrm").as("qn"))
+      val scored = cells.join(broadcast(q),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", cosine(col("qv"), col("vecd"), col("qn"), col("nrm")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("q_id"), col("q_cell").as("cell"), col("rank"),
+          col("vec_id").as("neighbor_id"), dround(col("cosine"), 4).as("cosine"))
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd,
+                   sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                 FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, vecd AS cv, nrm AS cn FROM e
+                  WHERE vec_id < $NCells),
+        assigned AS (SELECT e.vec_id, cents.cent_id,
+                       list_sum(list_transform(list_zip(e.vecd, cents.cv),
+                         x -> x[1] * x[2])) / (e.nrm * cents.cn) AS sim
+                     FROM e CROSS JOIN cents),
+        cells AS (SELECT a.vec_id, a.cent_id AS cell
+                  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, cent_id ASC) AS rn
+                        FROM assigned) a
+                  WHERE rn = 1),
+        ec AS (SELECT e.vec_id, cells.cell, e.vecd, e.nrm
+               FROM e JOIN cells ON e.vec_id = cells.vec_id),
+        q AS (SELECT vec_id AS q_id, cell AS q_cell, vecd AS qv, nrm AS qn
+              FROM ec WHERE vec_id < $NCells),
+        scored AS (SELECT q.q_id, q.q_cell, ec.vec_id,
+                     list_sum(list_transform(list_zip(q.qv, ec.vecd),
+                       x -> x[1] * x[2])) / (q.qn * ec.nrm) AS cosine
+                   FROM ec JOIN q ON ec.cell = q.q_cell AND ec.vec_id <> q.q_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY cosine DESC, vec_id ASC) AS rank
+                   FROM scored)
+      SELECT q_id, q_cell AS cell, rank, vec_id AS neighbor_id,
+             ${oround("cosine", 4)} AS cosine
+      FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""))
+
+  override def queries: Seq[QueryDef] = Seq(bruteForceTopK, lshTopK, ivfTopK, normStats)
 }

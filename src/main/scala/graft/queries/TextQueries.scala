@@ -199,6 +199,41 @@ object TextQueries extends QueryModule {
       FROM documents GROUP BY lang ORDER BY lang"""
     })
 
+  // -- BPE-ish token counting: whitespace tokens vs a subword-style regex
+  //    tokenizer (alpha runs, digit runs, single punctuation — the GPT-2
+  //    pre-tokenizer shape) plus a 4-char-chunk proxy for subword count
+  private val tokenCountsBpe = QueryDef(
+    "q_token_counts_bpe",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("ws_tokens", size(split(col("text"), " ")))
+        .withColumn("re_tokens",
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+        .withColumn("subword_est",
+          expr("aggregate(split(text, ' '), 0L, (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS LONG))"))
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ws_tokens").as("total_ws_tokens"),
+          sum("re_tokens").as("total_re_tokens"),
+          sum("subword_est").as("total_subword_est"),
+          dround(avg(col("subword_est").cast("double") / col("ws_tokens")), 4)
+            .as("avg_subwords_per_token"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH d AS (SELECT lang,
+                   len(string_split(text, ' ')) AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS re_tokens,
+                   list_sum(list_transform(string_split(text, ' '),
+                     t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS subword_est
+                 FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             sum(ws_tokens) AS total_ws_tokens,
+             sum(re_tokens) AS total_re_tokens,
+             sum(subword_est) AS total_subword_est,
+             ${oround("avg(CAST(subword_est AS DOUBLE) / ws_tokens)", 4)} AS avg_subwords_per_token
+      FROM d GROUP BY lang ORDER BY lang"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(tokenStats, docQuality, langId, fingerprint, keywordHits)
+    Seq(tokenStats, docQuality, langId, fingerprint, keywordHits, tokenCountsBpe)
 }

@@ -12,11 +12,12 @@ import graft.queries.Registry
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Runs the end-to-end composite-scoring DAG (SURVEY.md §3.1 re-expressed
-    * as one declarative plan over the events "signals" table).
+    * Runs the COMPLETE end-to-end scoring lifecycle (SURVEY.md §3.1 —
+    * composite + talent-risk adjustment + prior blend + SEM confidence
+    * interval) as one declarative plan over the events "signals" table.
     */
   def entry(spark: SparkSession): DataFrame =
-    graft.scoring.ScorePipeline.compositeScores(spark, "/root/testdata/sf0.001")
+    graft.scoring.ScorePipeline.fullScores(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

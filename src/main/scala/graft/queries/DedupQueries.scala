@@ -45,10 +45,16 @@ object DedupQueries extends QueryModule {
   private val minhashLsh = QueryDef(
     "q_minhash_lsh_neardup",
     (s, dir) => {
+      // persist: the shingle-set table feeds three consumers (band minhash +
+      // both sides of the candidate-pair join) — cache beats recomputing the
+      // split/transform scan 3× (5k rows/MBs at sf0.1; at 100 TB this is a
+      // checkpoint to storage instead)
       val d = Tables.documents(s, dir)
         .withColumn("toks", split(col("text"), " "))
         .withColumn("shingles", array_distinct(expr(
           "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))")))
+        .select(col("doc_id"), col("shingles"))
+        .persist()
       // One codegen'd sha2 per shingle; the 4 band hashes are disjoint
       // 64-bit substrings of the single 256-bit digest. The groupBy
       // partial-aggregates map-side, so the shuffle carries only one

@@ -124,10 +124,15 @@ object StatsQueries extends QueryModule {
   private val dedupGate = QueryDef(
     "q_dedup_gate",
     (s, dir) => {
+      // persist: both gate sides derive from the same hashed scan — cache
+      // avoids computing 1M sha2 twice (at 100 TB the hash column is
+      // materialized at ingest, not recomputed per read)
       val ev = Tables.events(s, dir)
         .withColumn("content_hash", sha2(concat_ws("#",
           col("user_id"), col("event_type"),
           get_json_object(col("props"), "$.k")), 256))
+        .select("event_id", "event_type", "content_hash")
+        .persist()
       val seen = ev.filter(col("event_id") % 2 === 0)
       val incoming = ev.filter(col("event_id") % 2 === 1)
       Upsert.dedupGate(incoming, seen, "content_hash")

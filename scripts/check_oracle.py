@@ -48,6 +48,11 @@ def main(sf_dir, out_dir):
         oracle = json.load(f)
 
     n_pass = n_fail = n_noracle = 0
+    produced = {os.path.basename(d.rstrip("/"))
+                for d in glob.glob(f"{out_dir}/*/")}
+    for name in sorted(set(oracle) - produced):
+        n_fail += 1
+        print(f"  ✗ {name}: declared in oracle_sql.json but NO OUTPUT (query failed?)")
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
         spark_rel = con.sql(f"SELECT * FROM '{d}/*.parquet'")

@@ -507,10 +507,84 @@ object RelationalQueries extends QueryModule {
       GROUP BY ROLLUP (n_name)
       ORDER BY n_name"""))
 
+  // -- 3-way fact join + filtered agg + top-k (TPC-H Q3 shipping-priority
+  //    shape): two shuffle joins the optimizer must order well
+  private val shippingPriority = QueryDef(
+    "q_shipping_priority",
+    (s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1997-06-15").cast("timestamp"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1997-06-15").cast("timestamp"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+    Some("""
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             o_orderpriority,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-06-15'
+        AND l_shipdate > TIMESTAMP '1997-06-15'
+      GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderkey ASC
+      LIMIT 10"""))
+
+  // -- 5-way dim-chain + fact join (TPC-H Q5 local-supplier-volume shape):
+  //    broadcasts for every dim, one fact-fact shuffle join
+  private val regionVolume = QueryDef(
+    "q_region_supplier_volume",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""
+      SELECT r_name, n_name,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             count(*) AS n_items
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON o_orderkey = l_orderkey
+                    JOIN supplier ON l_suppkey = s_suppkey
+                                 AND c_nationkey = s_nationkey
+                    JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""))
+
   override def queries: Seq[QueryDef] = Seq(
     pricingSummary, filteredRevenue, customerGeo, topRevenueOrders,
     partTypeRevenue, latestEventPerUser, latestPerUserType, topEventTypes,
     ordersPage, quantiles, customersNoOrders, urgentCustomers, twoLevelAgg,
     pivotEventCounts, jsonMetaAvg, tumblingWindow, runningTotal, orderGaps,
-    unionEvidence, setOps, acctbalBands, rollupSuppliers)
+    unionEvidence, setOps, acctbalBands, rollupSuppliers,
+    shippingPriority, regionVolume)
 }

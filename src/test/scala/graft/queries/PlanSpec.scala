@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-posture checks (the 100 TB design rules in README.md): filters and
+  * pruning reach the parquet scan, dimension joins broadcast, rank-filter
+  * windows use the group-limit optimization, and hot paths stay inside
+  * whole-stage codegen. These assert on the OPTIMIZED/physical plan, so a
+  * regression that silently de-optimizes a query fails the build. */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def physicalPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q_filtered_revenue: predicates push into the parquet scan") {
+    val plan = physicalPlan("q_filtered_revenue")
+    // toString truncates the PushedFilters list — assert the prefix that
+    // proves the pushdown happened (IsNotNull + the shipdate range start)
+    assert(plan.contains("PushedFilters: [IsNotNull"), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(l_shipda"), "shipdate filter not pushed")
+  }
+
+  test("q_filtered_revenue: scan reads only referenced columns (pruning)") {
+    val plan = physicalPlan("q_filtered_revenue")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("q_customer_geo: dimension joins broadcast (no shuffle join)") {
+    val plan = physicalPlan("q_customer_geo")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), "dim chain fell back to SMJ")
+  }
+
+  test("q_region_supplier_volume: nation/region broadcast under the fact joins") {
+    val plan = physicalPlan("q_region_supplier_volume")
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q_top3_event_types_per_user: rank filter uses WindowGroupLimit") {
+    val plan = physicalPlan("q_top3_event_types_per_user")
+    assert(plan.contains("WindowGroupLimit"),
+      "rank<=k filter did not trigger the group-limit optimization")
+  }
+
+  test("q_pricing_summary: aggregation is map-side partial (two-phase)") {
+    val plan = physicalPlan("q_pricing_summary")
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      plan.take(2000))
+  }
+
+  test("scoring pipeline plan contains no UDF nodes (codegen-friendly)") {
+    val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "flagship plan contains a UDF node")
+  }
+}

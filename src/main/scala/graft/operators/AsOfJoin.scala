@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — an operator Spark lacks natively (build brief §custom
+  * operators, preference (a): compose existing ops). For each left row,
+  * attach the latest right row with the same key and `rightTs <= leftTs`.
+  *
+  * Implementation: tagged union + one window with `last_value(..,
+  * ignoreNulls)` over (key) ordered by (ts, side, tiebreak) — right rows
+  * sort before left rows at equal timestamps so equality qualifies.
+  *
+  * Scale: ONE shuffle on the key (the window partition), no range
+  * explosion, no per-key collect — linear in |left| + |right| and
+  * skew-handled by AQE like any window. This beats the naive
+  * `left.join(right, rts <= lts)` + latest-per-key (a range join that
+  * explodes quadratically on hot keys).
+  */
+object AsOfJoin {
+
+  /** @param valueCols right-side columns to carry (renamed as-is onto the
+    *                   left rows; null when no right row precedes).
+    * @param tiebreak   right-side column ordering ties at equal rightTs
+    *                   (larger wins). */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      tiebreak: String): DataFrame = {
+    val lCols = left.columns
+    val rTagged = right.select(
+      (col(key) +: col(rightTs).as("_ts") +: lit(0).as("_side")
+        +: col(tiebreak).cast("long").as("_tie")
+        +: valueCols.map(c => col(c).as(s"_v_$c"))
+        ++: lCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val lTagged = left.select(
+      (col(key) +: col(leftTs).as("_ts") +: lit(1).as("_side")
+        +: lit(Long.MaxValue).as("_tie")
+        +: valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_v_$c"))
+        ++: lCols.filterNot(_ == key).map(col)): _*)
+    val unioned = rTagged.unionByName(lTagged)
+    val w = Window.partitionBy(key)
+      .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"_v_$c", last(col(s"_v_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_side") === 1)
+      .select((lCols.map(col) ++ valueCols.map(c => col(s"_v_$c").as(s"asof_$c"))): _*)
+  }
+}

@@ -580,11 +580,53 @@ object RelationalQueries extends QueryModule {
       GROUP BY r_name, n_name
       ORDER BY r_name, n_name"""))
 
+  // -- as-of join (beyond parity; brief §custom operators): for each
+  //    purchase, the latest click by the same user at-or-before it.
+  //    Single-shuffle union+window implementation (graft.operators.AsOfJoin)
+  //    — no range-join explosion on hot users.
+  private val asofJoin = QueryDef(
+    "q_asof_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_us").as("click_ts"), col("value").as("click_value"))
+      graft.operators.AsOfJoin.asOf(purchases, clicks, "user_id",
+          "ts_us", "click_ts", Seq("click_id", "click_value"), "click_id")
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("asof_click_id"),
+          graft.queries.Det.dround(col("asof_click_value"), 2).as("asof_click_value"))
+        .orderBy("user_id", "event_id")
+    },
+    Some(s"""
+      WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, 0 AS side,
+                   event_id AS tie, event_id AS v_id, value AS v_val,
+                   NULL::BIGINT AS l_event_id
+                 FROM events WHERE event_type = 'click'),
+        l AS (SELECT user_id, epoch_us(ts) AS ts_us, 1 AS side,
+                9223372036854775807 AS tie, NULL::BIGINT AS v_id,
+                NULL::DOUBLE AS v_val, event_id AS l_event_id
+              FROM events WHERE event_type = 'purchase'),
+        u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+        filled AS (SELECT *,
+                 last_value(v_id IGNORE NULLS) OVER w AS asof_click_id,
+                 last_value(v_val IGNORE NULLS) OVER w AS asof_val
+               FROM u
+               WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts_us ASC, side ASC, tie ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT user_id, l_event_id AS event_id, ts_us, asof_click_id,
+             ${Det.oround("asof_val", 2)} AS asof_click_value
+      FROM filled WHERE side = 1
+      ORDER BY user_id, event_id"""))
+
   override def queries: Seq[QueryDef] = Seq(
     pricingSummary, filteredRevenue, customerGeo, topRevenueOrders,
     partTypeRevenue, latestEventPerUser, latestPerUserType, topEventTypes,
     ordersPage, quantiles, customersNoOrders, urgentCustomers, twoLevelAgg,
     pivotEventCounts, jsonMetaAvg, tumblingWindow, runningTotal, orderGaps,
     unionEvidence, setOps, acctbalBands, rollupSuppliers,
-    shippingPriority, regionVolume)
+    shippingPriority, regionVolume, asofJoin)
 }

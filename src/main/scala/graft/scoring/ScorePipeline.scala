@@ -126,7 +126,9 @@ object ScorePipeline {
       .groupBy(col("user_id").as("entity_id")).agg(count(lit(1)).as("jobs_count"))
 
     // M13: per-entity sigma over dimension scores + corpus reliability
-    val dims = dimensionInputs(spark, dir)
+    // (persisted: feeds sigma, the reliability pivot, and — via base —
+    // the composite chain; tiny after aggregation)
+    val dims = dimensionInputs(spark, dir).persist()
     val sigma = dims.groupBy("entity_id").agg(stddev_samp(col("score")).as("sigma"))
     val wide = dims.groupBy("entity_id").pivot("dimension", Dimensions).agg(first("score"))
     val rel = SemConfidence.reliability(wide, Dimensions).select("rho")

@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val left = Seq(
+    ("a", 10L, 100L), ("a", 20L, 101L), ("a", 5L, 102L), ("b", 7L, 103L))
+    .toDF("k", "lts", "lid")
+  private val right = Seq(
+    ("a", 10L, 1L, 1.5), ("a", 10L, 2L, 2.5), // tie at ts=10 → larger rid wins
+    ("a", 15L, 3L, 3.5), ("c", 1L, 9L, 9.9))
+    .toDF("k", "rts", "rid", "rv")
+
+  test("as-of semantics: latest right at-or-before, ties by tiebreak, null when none") {
+    val out = AsOfJoin.asOf(left, right, "k", "lts", "rts", Seq("rid", "rv"), "rid")
+      .orderBy("k", "lid").collect()
+      .map(r => (r.getString(0), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("a", 100L, 2L),  // lts=10: equality qualifies, tie → rid 2
+      ("a", 101L, 3L),  // lts=20: latest is rts=15
+      ("a", 102L, -1L), // lts=5: nothing at-or-before
+      ("b", 103L, -1L)))// no right rows for key b
+  }
+
+  test("right-only keys produce no output rows; left row count preserved") {
+    val out = AsOfJoin.asOf(left, right, "k", "lts", "rts", Seq("rv"), "rid")
+    assert(out.count() === left.count())
+    assert(!out.select("k").as[String].collect().contains("c"))
+  }
+}

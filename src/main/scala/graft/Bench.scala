@@ -23,11 +23,12 @@ object Bench {
     // Warmup: exercise scan + shuffle + codegen paths once, untimed.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val results = graft.queries.Registry.all.filter(_.bench).sortBy(_.name)
+      .map { q =>
+        val t0 = System.nanoTime()
+        try { q.build(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        q.name -> (System.nanoTime() - t0) / 1e9
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -55,8 +55,12 @@ object ScorePipeline {
 
   /** Full composite chain: VR → CV penalty → HHI penalty → synergy → HR →
     * composite + band. Returns one row per entity. */
-  def compositeScores(spark: SparkSession, dir: String): DataFrame = {
-    val dims = dimensionInputs(spark, dir)
+  def compositeScores(spark: SparkSession, dir: String): DataFrame =
+    compositeFrom(spark, dir, dimensionInputs(spark, dir))
+
+  /** Same chain over a caller-provided dims frame (lets fullScores share
+    * one persisted dims across all its consumers). */
+  def compositeFrom(spark: SparkSession, dir: String, dims: DataFrame): DataFrame = {
     val vr = VrModel.score(dims)
     val cv = VrModel.cvPenalty(dims)
 
@@ -106,7 +110,10 @@ object ScorePipeline {
     * org_air_scores row carries. */
   def fullScores(spark: SparkSession, dir: String): DataFrame = {
     import graft.stats.SemConfidence
-    val base = compositeScores(spark, dir)
+    // one persisted dims frame feeds the composite chain, sigma, and the
+    // reliability pivot (otherwise the events scan + agg runs 3×)
+    val dimsShared = dimensionInputs(spark, dir).persist()
+    val base = compositeFrom(spark, dir, dimsShared)
     val ev = Tables.events(spark, dir)
 
     // M9: talent concentration from the event population
@@ -126,9 +133,7 @@ object ScorePipeline {
       .groupBy(col("user_id").as("entity_id")).agg(count(lit(1)).as("jobs_count"))
 
     // M13: per-entity sigma over dimension scores + corpus reliability
-    // (persisted: feeds sigma, the reliability pivot, and — via base —
-    // the composite chain; tiny after aggregation)
-    val dims = dimensionInputs(spark, dir).persist()
+    val dims = dimsShared
     val sigma = dims.groupBy("entity_id").agg(stddev_samp(col("score")).as("sigma"))
     val wide = dims.groupBy("entity_id").pivot("dimension", Dimensions).agg(first("score"))
     val rel = SemConfidence.reliability(wide, Dimensions).select("rho")

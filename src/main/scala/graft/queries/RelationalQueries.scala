@@ -622,11 +622,42 @@ object RelationalQueries extends QueryModule {
       FROM filled WHERE side = 1
       ORDER BY user_id, event_id"""))
 
+  // -- range (band) join (beyond parity): events bucketed into value bands
+  //    via the bucketized equi-join (graft.operators.RangeJoin) instead of
+  //    a nested-loop theta join
+  private val rangeJoin = QueryDef(
+    "q_range_join_banded",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+      val bands = (0 until 10).map(i => (s"band_$i", i * 50.0, i * 50.0 + 49.999))
+        .toDF("band", "lo", "hi")
+      graft.operators.RangeJoin.banded(ev, broadcast(bands), "value", "lo", "hi", 50.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_events"),
+          Det.dround(avg("value"), 4).as("avg_value"),
+          Det.dround(min("value"), 2).as("min_value"),
+          Det.dround(max("value"), 2).as("max_value"))
+        .orderBy("band")
+    },
+    Some {
+      val bandRows = (0 until 10)
+        .map(i => s"('band_$i', ${i * 50.0}, ${i * 50.0 + 49.999})").mkString(", ")
+      s"""
+      WITH bands(band, lo, hi) AS (VALUES $bandRows)
+      SELECT band, count(*) AS n_events,
+             ${Det.oround("avg(value)", 4)} AS avg_value,
+             ${Det.oround("min(value)", 2)} AS min_value,
+             ${Det.oround("max(value)", 2)} AS max_value
+      FROM events JOIN bands ON value >= lo AND value <= hi
+      GROUP BY band ORDER BY band"""
+    })
+
   override def queries: Seq[QueryDef] = Seq(
     pricingSummary, filteredRevenue, customerGeo, topRevenueOrders,
     partTypeRevenue, latestEventPerUser, latestPerUserType, topEventTypes,
     ordersPage, quantiles, customersNoOrders, urgentCustomers, twoLevelAgg,
     pivotEventCounts, jsonMetaAvg, tumblingWindow, runningTotal, orderGaps,
     unionEvidence, setOps, acctbalBands, rollupSuppliers,
-    shippingPriority, regionVolume, asofJoin)
+    shippingPriority, regionVolume, asofJoin, rangeJoin)
 }

@@ -26,7 +26,7 @@ object RelationalQueries extends QueryModule {
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_extendedprice"), 4).as("avg_price"),
           round(avg("l_discount"), 6).as("avg_disc"),
@@ -37,7 +37,7 @@ object RelationalQueries extends QueryModule {
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2)       AS sum_qty,
              round(sum(l_extendedprice), 2)  AS sum_base_price,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
              round(avg(l_quantity), 4)       AS avg_qty,
              round(avg(l_extendedprice), 4)  AS avg_price,
              round(avg(l_discount), 6)       AS avg_disc,
@@ -54,11 +54,11 @@ object RelationalQueries extends QueryModule {
       li.filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
           col("l_discount") > lit(0.02) && col("l_quantity") < lit(24.0))
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
              count(lit(1)).as("n_rows"))
     },
     Some("""
-      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
              count(*) AS n_rows
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -98,7 +98,7 @@ object RelationalQueries extends QueryModule {
       val o = Tables.orders(s, dir)
       val li = Tables.lineitem(s, dir)
       li.groupBy("l_orderkey")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
         .join(o, col("l_orderkey") === o("o_orderkey"))
         .select(col("o_orderkey"), col("o_orderpriority"), col("revenue"),
                 date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
@@ -107,7 +107,7 @@ object RelationalQueries extends QueryModule {
     },
     Some("""
       SELECT o_orderkey, o_orderpriority,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
              strftime(o_orderdate, '%Y-%m-%d') AS order_date
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderkey, o_orderpriority, o_orderdate
@@ -123,12 +123,12 @@ object RelationalQueries extends QueryModule {
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n_items"),
-             round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+             round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
         .orderBy("p_brand")
     },
     Some("""
       SELECT p_brand, count(*) AS n_items,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE p_type LIKE '%PROMO%'
       GROUP BY p_brand
@@ -522,15 +522,15 @@ object RelationalQueries extends QueryModule {
         .groupBy(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
           col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .agg(Det.dround(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
           .as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)
     },
-    Some("""
+    Some(s"""
       SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
              o_orderpriority,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             ${Det.oround("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS revenue
       FROM customer JOIN orders ON c_custkey = o_custkey
                     JOIN lineitem ON o_orderkey = l_orderkey
       WHERE c_mktsegment = 'BUILDING'
@@ -560,14 +560,14 @@ object RelationalQueries extends QueryModule {
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .agg(Det.dround(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
           .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("r_name"), col("n_name"))
     },
-    Some("""
+    Some(s"""
       SELECT r_name, n_name,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             ${Det.oround("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS revenue,
              count(*) AS n_items
       FROM customer JOIN orders ON c_custkey = o_custkey
                     JOIN lineitem ON o_orderkey = l_orderkey

@@ -14,6 +14,11 @@ import decimal
 
 
 def canon(v):
+    # Mimic the driver's hash compare: values pass through pandas first
+    # (rel.df()), so e.g. a DuckDB HUGEINT column becomes float64 and
+    # stringifies as "6.0" — a REAL driver-side mismatch vs Spark's int64
+    # "6".  Do NOT normalize integral floats back to ints here: round 1
+    # proved the driver doesn't (12 queries failed on exactly that).
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -21,9 +26,6 @@ def canon(v):
     if isinstance(v, float):
         if v != v:
             return "NaN"
-        # normalize -0.0 and integral floats
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v)) + ".0"
         return repr(v)
     if isinstance(v, decimal.Decimal):
         return str(v)
@@ -31,9 +33,12 @@ def canon(v):
 
 
 def table_rows(rel, names):
-    cols = rel.fetchall()
+    # Route through pandas like the driver does — this is what converts
+    # HUGEINT→float64, TIMESTAMP→Timestamp, etc.  NaT/NaN → None first.
+    df = rel.df()
+    recs = df.where(df.notna(), None).to_dict("records") if len(df) else []
     idx = sorted(range(len(names)), key=lambda i: names[i])
-    rows = [tuple(canon(r[i]) for i in idx) for r in cols]
+    rows = [tuple(canon(r[names[i]]) for i in idx) for r in recs]
     return sorted(rows), [names[i] for i in idx]
 
 

@@ -23,29 +23,35 @@ object AsOfJoin {
   /** @param valueCols right-side columns to carry (renamed as-is onto the
     *                   left rows; null when no right row precedes).
     * @param tiebreak   right-side column ordering ties at equal rightTs
-    *                   (larger wins). */
+    *                   (larger wins).
+    *
+    * All value columns travel in ONE struct filled by a single
+    * `last(ignoreNulls)` — per-column fills would mix fields across right
+    * rows whenever the latest qualifying row has a null in one column. */
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, valueCols: Seq[String],
       tiebreak: String): DataFrame = {
     val lCols = left.columns
+    val vStructType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c)))
     val rTagged = right.select(
       (col(key) +: col(rightTs).as("_ts") +: lit(0).as("_side")
         +: col(tiebreak).cast("long").as("_tie")
-        +: valueCols.map(c => col(c).as(s"_v_$c"))
-        ++: lCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+        +: struct(valueCols.map(col): _*).as("_vs")
+        +: lCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val lTagged = left.select(
       (col(key) +: col(leftTs).as("_ts") +: lit(1).as("_side")
         +: lit(Long.MaxValue).as("_tie")
-        +: valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_v_$c"))
-        ++: lCols.filterNot(_ == key).map(col)): _*)
+        +: lit(null).cast(vStructType).as("_vs")
+        +: lCols.filterNot(_ == key).map(col)): _*)
     val unioned = rTagged.unionByName(lTagged)
     val w = Window.partitionBy(key)
       .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"_v_$c", last(col(s"_v_$c"), ignoreNulls = true).over(w))
-    }
+    val filled = unioned
+      .withColumn("_vs", last(col("_vs"), ignoreNulls = true).over(w))
     filled.filter(col("_side") === 1)
-      .select((lCols.map(col) ++ valueCols.map(c => col(s"_v_$c").as(s"asof_$c"))): _*)
+      .select((lCols.map(col)
+        ++ valueCols.map(c => col(s"_vs.$c").as(s"asof_$c"))): _*)
   }
 }

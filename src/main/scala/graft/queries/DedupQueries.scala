@@ -102,7 +102,7 @@ object DedupQueries extends QueryModule {
                 FROM cand JOIN d da ON cand.id_a = da.doc_id
                           JOIN d db ON cand.id_b = db.doc_id)
       SELECT count(*) AS n_candidate_pairs,
-             sum(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END) AS n_near_dups,
+             CAST(sum(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
              ${oround("avg(jaccard)", 4)} AS avg_jaccard,
              ${oround("max(jaccard)", 4)} AS max_jaccard
       FROM jac"""))
@@ -160,7 +160,7 @@ object DedupQueries extends QueryModule {
                   FROM sims a JOIN sims b
                     ON a.lang = b.lang AND a.doc_id < b.doc_id)
       SELECT lang, count(*) AS n_pairs,
-             sum(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END) AS n_within_3,
+             CAST(sum(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_3,
              ${oround("avg(hamming)", 4)} AS avg_hamming,
              min(hamming) AS min_hamming
       FROM pairs GROUP BY lang ORDER BY lang"""
@@ -203,7 +203,7 @@ object DedupQueries extends QueryModule {
                   FROM d a JOIN d b
                     ON a.lang = b.lang AND a.block = b.block AND a.doc_id < b.doc_id)
       SELECT lang, count(*) AS n_pairs,
-             sum(CASE WHEN jaccard > 0.0 THEN 1 ELSE 0 END) AS n_overlapping,
+             CAST(sum(CASE WHEN jaccard > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlapping,
              ${oround("avg(jaccard)", 4)} AS avg_jaccard,
              ${oround("max(jaccard)", 4)} AS max_jaccard
       FROM pairs GROUP BY lang ORDER BY lang"""))
@@ -239,7 +239,7 @@ object DedupQueries extends QueryModule {
                   FROM e a JOIN e b
                     ON a.label = b.label AND a.vec_id < b.vec_id)
       SELECT label, count(*) AS n_pairs,
-             sum(CASE WHEN cosine >= 0.3 THEN 1 ELSE 0 END) AS n_near,
+             CAST(sum(CASE WHEN cosine >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
              ${oround("avg(cosine)", 4)} AS avg_cosine,
              ${oround("max(cosine)", 4)} AS max_cosine
       FROM pairs GROUP BY label ORDER BY label"""))

@@ -44,9 +44,9 @@ object MultimodalQueries extends QueryModule {
                    encode(text) AS payload
                  FROM documents)
       SELECT modality, count(*) AS n_items,
-             sum(octet_length(payload)) AS total_bytes,
+             CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
              count(DISTINCT sha256(text)) AS n_distinct_payloads,
-             sum((octet_length(payload) + 255) // 256) AS n_chunks,
+             CAST(sum((octet_length(payload) + 255) // 256) AS BIGINT) AS n_chunks,
              min(octet_length(payload)) AS min_bytes,
              max(octet_length(payload)) AS max_bytes
       FROM d GROUP BY modality ORDER BY modality"""))

@@ -54,6 +54,28 @@ object Det {
   }
 }
 
+/** DuckDB twin of `graft.stats.SemConfidence.reliability`: mean of the VALID
+  * pairwise correlations (0.50 fallback when none), with BOTH avg_r and rho
+  * clamped to [0, 0.99] — sem_confidence.py:349-362. `wideRel` must expose
+  * one `s_<dim>` column per dimension. */
+object OracleSem {
+  def relSubquery(dims: Seq[String], wideRel: String): String = {
+    val pairs = dims.combinations(2).toSeq
+    val defs = pairs.zipWithIndex.map { case (Seq(a, b), i) =>
+      s"corr(s_$a, s_$b) AS c$i"
+    }.mkString(",\n                      ")
+    val coal = pairs.indices.map(i => s"coalesce(c$i, 0)").mkString(" + ")
+    val valid = pairs.indices.map(i => s"(CASE WHEN c$i IS NOT NULL THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val k = dims.size
+    s"""(SELECT avg_r,
+               least(0.99, greatest(0.0, ($k.0 * avg_r) / (1.0 + ${k - 1}.0 * avg_r))) AS rho
+          FROM (SELECT least(0.99, greatest(0.0,
+                         coalesce(($coal) / NULLIF($valid, 0), 0.50))) AS avg_r
+                FROM (SELECT $defs FROM $wideRel)))"""
+  }
+}
+
 /** All query modules, flattened; names asserted unique. */
 object Registry {
   def modules: Seq[QueryModule] = Seq(

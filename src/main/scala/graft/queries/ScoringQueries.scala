@@ -91,7 +91,7 @@ object ScoringQueries extends QueryModule {
 
   private val hhiCte: String = """
     hh AS (SELECT entity_id, n_total, hhi
-           FROM (SELECT entity_id, sum(n_cat) AS n_total,
+           FROM (SELECT entity_id, CAST(sum(n_cat) AS BIGINT) AS n_total,
                         sum(n_cat * n_cat) / (CAST(sum(n_cat) AS DOUBLE) * sum(n_cat)) AS hhi
                  FROM (SELECT user_id AS entity_id, event_type AS category,
                               count(*) AS n_cat
@@ -378,8 +378,8 @@ object ScoringQueries extends QueryModule {
              ${oround("composite_legacy", 4)} AS composite_legacy,
              CASE WHEN composite_score <= 20.0 THEN 'Nascent'
                   WHEN composite_score <= 40.0 THEN 'Developing'
-                  WHEN composite_score <= 60.0 THEN 'Emerging'
-                  WHEN composite_score <= 80.0 THEN 'Established'
+                  WHEN composite_score <= 60.0 THEN 'Progressing'
+                  WHEN composite_score <= 80.0 THEN 'Advanced'
                   ELSE 'Leading' END AS score_band
       FROM calc4 ORDER BY entity_id"""))
 
@@ -406,9 +406,6 @@ object ScoringQueries extends QueryModule {
       val wideC = ScorePipeline.Dimensions
         .map(d => s"max(CASE WHEN dimension = '$d' THEN score END) AS s_$d")
         .mkString(",\n                 ")
-      val pairs = ScorePipeline.Dimensions.combinations(2).toSeq
-      val corrSum = pairs.map { case Seq(a, b) => s"corr(s_$a, s_$b)" }.mkString(" + ")
-      val k = ScorePipeline.Dimensions.size
       s"""
       WITH $compositeCtes,
         tcc AS (SELECT entity_id,
@@ -432,9 +429,7 @@ object ScoringQueries extends QueryModule {
         widec AS (SELECT entity_id,
                  $wideC
                  FROM dims GROUP BY entity_id),
-        rel AS (SELECT ($k.0 * avg_r) / (1.0 + ${k - 1}.0 * avg_r) AS rho
-                FROM (SELECT least(0.99, greatest(0.0, ($corrSum) / ${pairs.size}.0)) AS avg_r
-                      FROM widec)),
+        rel AS (SELECT rho FROM ${OracleSem.relSubquery(ScorePipeline.Dimensions, "widec")}),
         fa AS (SELECT c4.entity_id, c4.composite_score, c4.vr_score,
                    t.tc, t.risk_adjustment,
                    coalesce(j.jobs_count, 0) AS jobs_count,
@@ -450,7 +445,8 @@ object ScoringQueries extends QueryModule {
                  least(100.0, greatest(0.0, composite_score * risk_adjustment)) AS final_score
                FROM fa, rel),
         f3 AS (SELECT *,
-                 greatest(0.5, greatest(1.0, sigma) * sqrt(1.0 - rho)) AS sem
+                 greatest(0.5, greatest(1.0, sigma)
+                   * sqrt(greatest(0.0, 1.0 - rho))) AS sem
                FROM f2)
       SELECT entity_id,
              ${oround("composite_score", 4)} AS composite_score,
@@ -465,8 +461,8 @@ object ScoringQueries extends QueryModule {
              ${oround("final_score + 1.96 * sem", 4)} AS ci_upper,
              CASE WHEN final_score <= 20.0 THEN 'Nascent'
                   WHEN final_score <= 40.0 THEN 'Developing'
-                  WHEN final_score <= 60.0 THEN 'Emerging'
-                  WHEN final_score <= 80.0 THEN 'Established'
+                  WHEN final_score <= 60.0 THEN 'Progressing'
+                  WHEN final_score <= 80.0 THEN 'Advanced'
                   ELSE 'Leading' END AS final_band
       FROM f3 ORDER BY entity_id"""
     })

@@ -154,7 +154,7 @@ object SignalQueries extends QueryModule {
       SELECT lang, count(*) AS n_docs,
              ${oround("avg(n_tech)", 4)} AS avg_tech_terms,
              ${oround("avg(tech_score)", 4)} AS avg_tech_score,
-             sum(CASE WHEN n_tech >= 3 THEN 1 ELSE 0 END) AS n_tech_heavy
+             CAST(sum(CASE WHEN n_tech >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tech_heavy
       FROM sc GROUP BY lang ORDER BY lang"""
     })
 

@@ -39,15 +39,12 @@ object StatsQueries extends QueryModule {
           dround(col("rho"), 4).as("rho"), col("n_items"))
     },
     Some {
-      val pairs = dims.combinations(2).toSeq
-      val corrSum = pairs.map { case Seq(a, b) => s"corr(s_$a, s_$b)" }.mkString(" + ")
       val k = dims.size
       s"""
       WITH $wideCte,
-        r AS (SELECT least(0.99, greatest(0.0, ($corrSum) / ${pairs.size}.0)) AS avg_r
-              FROM wide)
+        r AS (SELECT avg_r, rho FROM ${OracleSem.relSubquery(dims, "wide")})
       SELECT ${oround("avg_r", 4)} AS avg_r,
-             ${oround(s"($k.0 * avg_r) / (1.0 + ${k - 1}.0 * avg_r)", 4)} AS rho,
+             ${oround("rho", 4)} AS rho,
              $k AS n_items
       FROM r"""
     })
@@ -72,19 +69,15 @@ object StatsQueries extends QueryModule {
         .orderBy("entity_id")
     },
     Some {
-      val pairs = dims.combinations(2).toSeq
-      val corrSum = pairs.map { case Seq(a, b) => s"corr(s_$a, s_$b)" }.mkString(" + ")
-      val k = dims.size
       s"""
       WITH $wideCte,
-        rel AS (SELECT ($k.0 * avg_r) / (1.0 + ${k - 1}.0 * avg_r) AS rho
-                FROM (SELECT least(0.99, greatest(0.0, ($corrSum) / ${pairs.size}.0)) AS avg_r
-                      FROM wide)),
+        rel AS (SELECT rho FROM ${OracleSem.relSubquery(dims, "wide")}),
         pe AS (SELECT entity_id, avg(score) AS mean_score,
                       stddev_samp(score) AS sigma
                FROM dimscores GROUP BY entity_id),
         sb AS (SELECT entity_id, mean_score, sigma,
-                      greatest(0.5, greatest(1.0, sigma) * sqrt(1.0 - rho)) AS sem
+                      greatest(0.5, greatest(1.0, sigma)
+                        * sqrt(greatest(0.0, 1.0 - rho))) AS sem
                FROM pe, rel)
       SELECT entity_id,
              ${oround("mean_score", 4)} AS mean_score,

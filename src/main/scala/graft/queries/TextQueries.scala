@@ -36,7 +36,7 @@ object TextQueries extends QueryModule {
                         len(string_split(text, ' ')) AS n_tokens
                  FROM documents)
       SELECT lang, count(*) AS n_docs,
-             sum(n_tokens) AS total_tokens,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
              ${oround("avg(n_tokens)", 4)} AS avg_tokens,
              ${oround("avg(n_chars)", 4)} AS avg_chars,
              min(n_tokens) AS min_tokens,
@@ -78,7 +78,7 @@ object TextQueries extends QueryModule {
              ${oround("avg(quality)", 4)} AS avg_quality,
              ${oround("min(quality)", 4)} AS min_quality,
              ${oround("max(quality)", 4)} AS max_quality,
-             sum(CASE WHEN quality > 0.6 THEN 1 ELSE 0 END) AS n_high_quality
+             CAST(sum(CASE WHEN quality > 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
       FROM q GROUP BY lang ORDER BY lang"""))
 
   // -- language-ID: corpus-trained top-20 token profile per language, then
@@ -190,8 +190,8 @@ object TextQueries extends QueryModule {
     Some {
       val cols = Keywords.flatMap { kw =>
         Seq(
-          s"sum(CASE WHEN regexp_matches(text, '(?i)\\b$kw\\b') THEN 1 ELSE 0 END) AS wb_$kw",
-          s"sum(CASE WHEN contains(lower(text), '$kw') THEN 1 ELSE 0 END) AS ss_$kw")
+          s"CAST(sum(CASE WHEN regexp_matches(text, '(?i)\\b$kw\\b') THEN 1 ELSE 0 END) AS BIGINT) AS wb_$kw",
+          s"CAST(sum(CASE WHEN contains(lower(text), '$kw') THEN 1 ELSE 0 END) AS BIGINT) AS ss_$kw")
       }.mkString(",\n             ")
       s"""
       SELECT lang,
@@ -228,9 +228,9 @@ object TextQueries extends QueryModule {
                      t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS subword_est
                  FROM documents)
       SELECT lang, count(*) AS n_docs,
-             sum(ws_tokens) AS total_ws_tokens,
-             sum(re_tokens) AS total_re_tokens,
-             sum(subword_est) AS total_subword_est,
+             CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+             CAST(sum(re_tokens) AS BIGINT) AS total_re_tokens,
+             CAST(sum(subword_est) AS BIGINT) AS total_subword_est,
              ${oround("avg(CAST(subword_est AS DOUBLE) / ws_tokens)", 4)} AS avg_subwords_per_token
       FROM d GROUP BY lang ORDER BY lang"""))
 

@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   *   composite = (1−β)·(α·VR + (1−α)·HR) + β·Synergy, clamped [0,100]
   * legacy path (composite.py:37-53):
   *   composite = (VR + bonus) · penalty, clamped [0,100]
-  * banding (composite.py:17-34): ≤20 Nascent, ≤40 Developing, ≤60 Emerging,
-  * ≤80 Established, else Leading.
+  * banding (composite.py:17-34): ≤20 Nascent, ≤40 Developing, ≤60 Progressing,
+  * ≤80 Advanced, else Leading.
   */
 object Composite {
 

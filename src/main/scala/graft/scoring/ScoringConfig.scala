@@ -33,11 +33,11 @@ object ScoringConfig {
 
   val DefaultTalentPenalty: TalentPenaltyConfig = TalentPenaltyConfig()
 
-  /** Band thresholds: <=20 Nascent, <=40 Developing, <=60 Emerging,
-    * <=80 Established, else Leading (composite.py:17-34 semantics —
+  /** Band thresholds: <=20 Nascent, <=40 Developing, <=60 Progressing,
+    * <=80 Advanced, else Leading (composite.py:17-34 semantics —
     * inclusive upper boundary at each threshold). */
   val BandThresholds: Seq[(Double, String)] = Seq(
-    20.0 -> "Nascent", 40.0 -> "Developing", 60.0 -> "Emerging",
-    80.0 -> "Established")
+    20.0 -> "Nascent", 40.0 -> "Developing", 60.0 -> "Progressing",
+    80.0 -> "Advanced")
   val TopBand = "Leading"
 }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *   1. standardize the k item columns (ddof=1);
   *   2. Pearson correlation matrix → principal eigenvector; |PC1|
   *      normalized to sum 1 → loadings;
-  *   3. composite factor η = X_std · loadings;
+  *   3. composite factor η = X · loadings (RAW scores — sem_confidence.py:119);
   *   4. OLS y = a + b·η closed-form (residual σ ddof=2, R²);
   *   5. prediction SE = σ·√(1/n + (x0−x̄)²/Sxx); CI = ŷ ± z·SE.
   *
@@ -62,9 +62,12 @@ object PcaOls {
     val pc1 = principalEigenvector(corrM).map(math.abs)
     val lsum = pc1.sum
     val loadings = if (lsum == 0) pc1.map(_ => 1.0 / pc1.length) else pc1.map(_ / lsum)
-    // 3. η as a column expression
+    // 3. η as a column expression — over the RAW item columns (loadings come
+    //    from standardized data, but sem_confidence.py:113-120 does
+    //    `eta = X @ loadings` on raw X; standardized-η is a different linear
+    //    combination and shifts the OLS fit)
     val eta = items.zipWithIndex
-      .map { case (c, i) => col(s"z_$c") * lit(loadings(i)) }
+      .map { case (c, i) => col(c) * lit(loadings(i)) }
       .reduce(_ + _)
     val withEta = std.withColumn("eta", eta)
     // 4. closed-form OLS via one agg (Σx, Σy, Σxy, Σx², Σy², n)

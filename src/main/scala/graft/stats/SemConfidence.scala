@@ -1,6 +1,6 @@
 package graft.stats
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SEM confidence interval, Spearman–Brown path (reference:
@@ -17,18 +17,50 @@ import org.apache.spark.sql.functions._
   */
 object SemConfidence {
 
+  /** Pairwise-complete Pearson r as ONE agg expression built from guarded
+    * raw moments. Spark 4's ANSI-mode `corr` throws DIVIDE_BY_ZERO on a
+    * constant column (Corr.evaluateExpression divides by a zero co-moment);
+    * this returns null instead — the same degenerate-case contract as
+    * DuckDB's corr and numpy's NaN (which the reference filters out). */
+  private def pairCorr(aName: String, bName: String): Column = {
+    val a = col(aName).cast("double"); val b = col(bName).cast("double")
+    val both = a.isNotNull && b.isNotNull
+    val av = when(both, a); val bv = when(both, b)
+    val n = count(when(both, lit(1))).cast("double")
+    val sa = sum(av); val sb = sum(bv)
+    val saa = sum(av * av); val sbb = sum(bv * bv); val sab = sum(av * bv)
+    val vx = saa - sa * sa / n
+    val vy = sbb - sb * sb / n
+    val cv = sab - sa * sb / n
+    when(n >= 2, when(vx > 0 && vy > 0, cv / sqrt(vx * vy)))
+  }
+
   /** wide: one row per entity, one column per dimension in `dims`.
-    * Returns a 1-row DataFrame (avg_r, rho, n_items). */
+    * Returns a 1-row DataFrame (avg_r, rho, n_items).
+    *
+    * Averages only the VALID pairwise correlations (a constant dimension
+    * yields a null r, which must not poison the mean), falls back to
+    * 0.50 when none are valid, and clamps BOTH avg_r and rho to [0, 0.99] —
+    * sem_confidence.py:349-362 exactly. */
   def reliability(wide: DataFrame, dims: Seq[String]): DataFrame = {
     require(dims.size >= 2, "need ≥2 item columns")
     val pairs = dims.combinations(2).toSeq
-    val corrCols = pairs.map { case Seq(a, b) => corr(col(a), col(b)) }
-    val sumCorr = corrCols.reduce(_ + _)
+    val corrCols = pairs.zipWithIndex.map { case (Seq(a, b), i) =>
+      pairCorr(a, b).as(s"c$i")
+    }
     val k = dims.size
-    wide.agg((sumCorr / lit(pairs.size.toDouble)).as("raw_r"))
-      .select(least(lit(0.99), greatest(lit(0.0), col("raw_r"))).as("avg_r"))
+    val validN = pairs.indices.map(i => when(col(s"c$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    val validSum = pairs.indices.map(i => coalesce(col(s"c$i"), lit(0.0)))
+      .reduce(_ + _)
+    wide.agg(corrCols.head, corrCols.tail: _*)
+      .select(least(lit(0.99), greatest(lit(0.0),
+        when(validN > 0, validSum / validN.cast("double")).otherwise(lit(0.50))))
+        .as("avg_r"))
       .withColumn("rho",
-        (lit(k.toDouble) * col("avg_r")) / (lit(1.0) + lit((k - 1).toDouble) * col("avg_r")))
+        least(lit(0.99), greatest(lit(0.0),
+          (lit(k.toDouble) * col("avg_r"))
+            / (lit(1.0) + lit((k - 1).toDouble) * col("avg_r")))))
       .withColumn("n_items", lit(k))
   }
 
@@ -37,7 +69,8 @@ object SemConfidence {
   def semBounds(df: DataFrame, scoreCol: String, sigmaCol: String,
       rhoCol: String, z: Double = 1.96): DataFrame = {
     val sem = greatest(lit(0.5),
-      greatest(lit(1.0), col(sigmaCol)) * sqrt(lit(1.0) - col(rhoCol)))
+      greatest(lit(1.0), col(sigmaCol))
+        * sqrt(greatest(lit(0.0), lit(1.0) - col(rhoCol))))
     df.withColumn("sem", sem)
       .withColumn("ci_lower", col(scoreCol) - lit(z) * col("sem"))
       .withColumn("ci_upper", col(scoreCol) + lit(z) * col("sem"))

@@ -25,6 +25,18 @@ class AsOfJoinSpec extends SparkSpec {
       ("b", 103L, -1L)))// no right rows for key b
   }
 
+  test("null field in latest right row does NOT fall back to an older row") {
+    // latest right row (ts=15) has rv=null: asof_rv must be null too, not
+    // 2.5 from the older ts=10 row — all asof_* fields come from ONE row
+    val r2 = Seq(("a", 10L, Some(2L), Some(2.5)), ("a", 15L, Some(3L), None))
+      .toDF("k", "rts", "rid", "rv")
+    val l2 = Seq(("a", 20L, 1L)).toDF("k", "lts", "lid")
+    val out = AsOfJoin.asOf(l2, r2, "k", "lts", "rts", Seq("rid", "rv"), "rid")
+      .collect().head
+    assert(out.getAs[Long]("asof_rid") === 3L)
+    assert(out.isNullAt(out.fieldIndex("asof_rv")))
+  }
+
   test("right-only keys produce no output rows; left row count preserved") {
     val out = AsOfJoin.asOf(left, right, "k", "lts", "rts", Seq("rv"), "rid")
     assert(out.count() === left.count())

@@ -165,8 +165,8 @@ class ScoringModelsSpec extends SparkSpec {
     // band boundaries inclusive at 20/40/60/80
     val bands = Seq(20.0, 20.000001, 40.0, 60.0, 80.0, 80.000001, 0.0)
       .toDF("s").select(Composite.band(col("s")).as("b")).as[String].collect()
-    assert(bands.toSeq == Seq("Nascent", "Developing", "Developing", "Emerging",
-      "Established", "Leading", "Nascent"))
+    assert(bands.toSeq == Seq("Nascent", "Developing", "Developing", "Progressing",
+      "Advanced", "Leading", "Nascent"))
   }
 
   // ---- Position factor / HR / priors / TC --------------------------------

@@ -62,7 +62,7 @@ class SourcesSpec extends SparkSpec {
 
   test("audit rows wrap stage outputs as JSON and append to parquet") {
     val dir = Files.createTempDirectory("graft-audit").toString
-    val stage = Seq((7L, 61.5, "Established")).toDF("entity_id", "score", "band")
+    val stage = Seq((7L, 61.5, "Advanced")).toDF("entity_id", "score", "band")
     val rows = AuditLog.auditRows(stage, "run-1", "composite", "entity_id",
       Seq("score", "band"))
     AuditLog.append(rows, s"$dir/audit")
@@ -71,6 +71,6 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() === 2)
     val r = back.head()
     assert(r.getAs[String]("step_name") === "composite")
-    assert(r.getAs[String]("output_json").contains("\"band\":\"Established\""))
+    assert(r.getAs[String]("output_json").contains("\"band\":\"Advanced\""))
   }
 }

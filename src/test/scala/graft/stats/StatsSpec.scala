@@ -10,9 +10,23 @@ class StatsSpec extends SparkSpec {
     val wide = (1 to 30).map(i => (i.toDouble, i * 2.0, i * 3.0)).toDF("a", "b", "c")
     val r = SemConfidence.reliability(wide, Seq("a", "b", "c")).collect().head
     assert(math.abs(r.getAs[Double]("avg_r") - 0.99) < 1e-9)
+    // Spearman–Brown would give 3·0.99/(1+2·0.99) ≈ 0.9966, but the
+    // reference clamps rho itself to 0.99 (sem_confidence.py:362)
     val rho = r.getAs[Double]("rho")
-    assert(math.abs(rho - 3 * 0.99 / (1 + 2 * 0.99)) < 1e-9)
+    assert(math.abs(rho - 0.99) < 1e-9)
     assert(r.getAs[Int]("n_items") === 3)
+  }
+
+  test("reliability: null corrs from a constant dim excluded; all-null → 0.50 fallback") {
+    // c is constant → corr(a,c) and corr(b,c) are null; only corr(a,b)=1
+    // participates (→ clamped 0.99), instead of nulling the whole mean
+    val wide = (1 to 30).map(i => (i.toDouble, i * 2.0, 5.0)).toDF("a", "b", "c")
+    val r = SemConfidence.reliability(wide, Seq("a", "b", "c")).collect().head
+    assert(math.abs(r.getAs[Double]("avg_r") - 0.99) < 1e-9)
+    // every pair invalid → reference falls back to avg_r = 0.50
+    val allConst = (1 to 30).map(_ => (1.0, 2.0)).toDF("a", "b")
+    val r2 = SemConfidence.reliability(allConst, Seq("a", "b")).collect().head
+    assert(math.abs(r2.getAs[Double]("avg_r") - 0.50) < 1e-12)
   }
 
   test("reliability: independent noise → avg_r near 0, rho small") {

@@ -118,6 +118,15 @@ object DedupQueries extends QueryModule {
     }
   }
 
+  /** Near-dup pairs at hamming ≤ 3 over the 16-bit SimHash.
+    *
+    * Spark side is BANDED: the simhash splits into 4 × 4-bit chunks and
+    * candidates come from an equi-join on (lang, band, chunk) — by
+    * pigeonhole, two hashes within hamming 3 agree on ≥1 of 4 chunks, so
+    * banding finds EVERY near pair while generating only bucket-sized
+    * candidate sets (linear-ish at 100 TB, vs the all-pairs-per-lang join
+    * that is O(n²/|langs|)). The DuckDB oracle brute-forces ALL pairs:
+    * equality of the two proves the pigeonhole blocking lossless. */
   private val simhash = QueryDef(
     "q_simhash_hamming",
     (s, dir) => {
@@ -129,15 +138,27 @@ object DedupQueries extends QueryModule {
       val simhashCol = (0 until 16).map(i =>
         when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
       val sims = votes.select(col("doc_id"), col("lang"), simhashCol.as("simhash"))
-      val pairs = sims.as("a").join(sims.as("b"),
-          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.lang").as("lang"),
+        .persist()
+      val bands = sims.select(col("doc_id"), col("lang"), col("simhash"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("chunk", expr("(simhash >> (band * 4)) & 15"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+            col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.lang").as("lang"), col("a.doc_id").as("id_a"),
+          col("b.doc_id").as("id_b"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      pairs.groupBy("lang")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("hamming") <= 3, 1).otherwise(0)).as("n_within_3"),
-          dround(avg("hamming"), 4).as("avg_hamming"),
-          min("hamming").as("min_hamming"))
+        .distinct() // a pair may agree on several chunks
+      val near = cand.filter(col("hamming") <= 3)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_within_3"),
+          dround(avg("hamming"), 4).as("avg_hamming_near"),
+          min("hamming").as("min_hamming_near"))
+      sims.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .join(near, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          coalesce(col("n_within_3"), lit(0L)).as("n_within_3"),
+          col("avg_hamming_near"), col("min_hamming_near"))
         .orderBy("lang")
     },
     Some {
@@ -155,15 +176,20 @@ object DedupQueries extends QueryModule {
                   $votes
                   FROM h GROUP BY doc_id, lang),
         sims AS (SELECT doc_id, lang, $simhashExpr AS simhash FROM votes),
+        docs AS (SELECT lang, count(*) AS n_docs FROM sims GROUP BY lang),
         pairs AS (SELECT a.lang AS lang,
                     bit_count(xor(a.simhash, b.simhash)) AS hamming
                   FROM sims a JOIN sims b
-                    ON a.lang = b.lang AND a.doc_id < b.doc_id)
-      SELECT lang, count(*) AS n_pairs,
-             CAST(sum(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_3,
-             ${oround("avg(hamming)", 4)} AS avg_hamming,
-             min(hamming) AS min_hamming
-      FROM pairs GROUP BY lang ORDER BY lang"""
+                    ON a.lang = b.lang AND a.doc_id < b.doc_id),
+        near AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_within_3,
+                   ${oround("avg(hamming)", 4)} AS avg_hamming_near,
+                   min(hamming) AS min_hamming_near
+                 FROM pairs WHERE hamming <= 3 GROUP BY lang)
+      SELECT d.lang AS lang, d.n_docs AS n_docs,
+             coalesce(n.n_within_3, 0) AS n_within_3,
+             n.avg_hamming_near AS avg_hamming_near,
+             n.min_hamming_near AS min_hamming_near
+      FROM docs d LEFT JOIN near n ON d.lang = n.lang ORDER BY d.lang"""
     })
 
   // -- n-gram Jaccard blocked by (lang, token-count bucket): exact trigram
@@ -208,27 +234,36 @@ object DedupQueries extends QueryModule {
              ${oround("max(jaccard)", 4)} AS max_jaccard
       FROM pairs GROUP BY lang ORDER BY lang"""))
 
-  // -- embedding cosine near-dup, blocked by label (ANN-style candidate set)
+  // -- embedding cosine near-dup, blocked on (label, sign-LSH bucket) — the
+  //    same 16-bucket hash the ANN path uses (EmbeddingQueries.bucketSpark).
+  //    Candidates are same-bucket pairs only: candidate volume scales with
+  //    Σ bucket² instead of Σ label² (quadratic-in-n within a label was the
+  //    100 TB killer). Sign-LSH is probabilistic — a ≥0.3-cosine pair CAN
+  //    land in different buckets; the oracle mirrors the same blocking, so
+  //    the check certifies the blocked computation, and recall is the
+  //    documented LSH trade-off (tune bucket bits per corpus).
   private val embeddingNearDup = QueryDef(
     "q_embedding_neardup",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
+        .withColumn("bucket", EmbeddingQueries.bucketSpark)
         .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         .withColumn("nrm", graft.functions.VectorFunctions.vecNorm(col("vecd")))
-        .select(col("vec_id"), col("label"), col("vecd"), col("nrm"))
+        .select(col("vec_id"), col("label"), col("bucket"), col("vecd"), col("nrm"))
       val pairs = e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
         .withColumn("cosine", graft.functions.VectorFunctions.cosine(
           col("a.vecd"), col("b.vecd"), col("a.nrm"), col("b.nrm")))
       pairs.groupBy(col("a.label").as("label"))
-        .agg(count(lit(1)).as("n_pairs"),
+        .agg(count(lit(1)).as("n_candidate_pairs"),
           sum(when(col("cosine") >= 0.3, 1).otherwise(0)).as("n_near"),
           dround(avg("cosine"), 4).as("avg_cosine"),
           dround(max("cosine"), 4).as("max_cosine"))
         .orderBy("label")
     },
     Some(s"""
-      WITH e AS (SELECT vec_id, label,
+      WITH e AS (SELECT vec_id, label, ${EmbeddingQueries.bucketSql} AS bucket,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd,
                    sqrt(list_sum(list_transform(embedding,
                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
@@ -237,8 +272,9 @@ object DedupQueries extends QueryModule {
                     list_sum(list_transform(list_zip(a.vecd, b.vecd),
                       x -> x[1] * x[2])) / (a.nrm * b.nrm) AS cosine
                   FROM e a JOIN e b
-                    ON a.label = b.label AND a.vec_id < b.vec_id)
-      SELECT label, count(*) AS n_pairs,
+                    ON a.label = b.label AND a.bucket = b.bucket
+                       AND a.vec_id < b.vec_id)
+      SELECT label, count(*) AS n_candidate_pairs,
              CAST(sum(CASE WHEN cosine >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
              ${oround("avg(cosine)", 4)} AS avg_cosine,
              ${oround("max(cosine)", 4)} AS max_cosine

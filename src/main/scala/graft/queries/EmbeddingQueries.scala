@@ -58,11 +58,12 @@ object EmbeddingQueries extends QueryModule {
              ${oround("cosine", 4)} AS cosine
       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""))
 
-  /** sign-LSH bucket: 4 axis-aligned hyperplanes (dims 0..3) → 16 buckets. */
-  private val bucketSpark = (0 until 4).map(i =>
+  /** sign-LSH bucket: 4 axis-aligned hyperplanes (dims 0..3) → 16 buckets.
+    * Shared with DedupQueries' near-dup blocking. */
+  private[queries] val bucketSpark = (0 until 4).map(i =>
     when(element_at(col("embedding"), i + 1) > 0f, lit(1 << i)).otherwise(lit(0)))
     .reduce(_ + _)
-  private val bucketSql = (0 until 4).map(i =>
+  private[queries] val bucketSql = (0 until 4).map(i =>
     s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
   // -- LSH-bucketed ANN: candidates restricted to the query's bucket

@@ -77,13 +77,35 @@ object ScorePipeline {
       .select(col("entity_id"), col("synergy_bonus"))
 
     val sectorAvg = vr.agg(avg("vr_score").as("sector_avg"))
-    val wPct = Window.orderBy(col("vr_score").asc, col("entity_id").asc)
-    val scored = vr
+    // Distributed percent_rank: a bare `Window.orderBy(vr_score)` funnels
+    // every entity through ONE task — the 100 TB killer. Instead: bucket by
+    // floor(vr_score) (total order preserved: equal scores share a bucket),
+    // aggregate per-bucket counts into cumulative offsets (the only global
+    // window left runs over ≤101 BUCKET rows, not entities), then rank
+    // within buckets in parallel. global_rank = offset + within-bucket
+    // row_number reproduces percent_rank = (rank-1)/(n-1) exactly because
+    // (vr_score, entity_id) is a total order.
+    val joined0 = vr
       .join(cv, "entity_id")
       .join(hhi.select("entity_id", "hhi", "penalty_factor"), "entity_id")
       .join(withBonus, "entity_id")
       .crossJoin(broadcast(sectorAvg))
-      .withColumn("pctl", percent_rank().over(wPct))
+      .withColumn("_bkt", floor(col("vr_score")).cast("long"))
+    val offsets = joined0.groupBy("_bkt").agg(count(lit(1)).as("_bn"))
+      .withColumn("_off", coalesce(
+        sum("_bn").over(Window.orderBy("_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_bkt", "_off")
+    val total = joined0.agg(count(lit(1)).as("_n"))
+    val wIn = Window.partitionBy("_bkt")
+      .orderBy(col("vr_score").asc, col("entity_id").asc)
+    val scored = joined0
+      .join(broadcast(offsets), "_bkt")
+      .crossJoin(broadcast(total))
+      .withColumn("_rn", row_number().over(wIn))
+      .withColumn("pctl", when(col("_n") > 1,
+        (col("_off") + col("_rn") - lit(1)).cast("double")
+          / (col("_n") - lit(1)).cast("double")).otherwise(lit(0.0)))
       .withColumn("position_factor",
         PositionFactor.compute(col("vr_score"), col("sector_avg"), col("pctl")))
       .withColumn("hr_score", HrBaselines.hrScore(lit(75.0), col("position_factor")))

@@ -53,6 +53,24 @@ class PlanSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("composite/full scores: no global percent_rank window over entities") {
+    // the percentile is computed via bucketed two-pass ranking; the only
+    // unpartitioned window allowed is the cumulative-offset scan over the
+    // ≤101 bucket rows. A bare percent_rank over the entity frame would
+    // funnel 100 TB through one task.
+    for (q <- Seq("q_composite_scores", "q_full_scores")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("percent_rank"),
+        s"$q plan regressed to a global percent_rank window")
+    }
+  }
+
+  test("q_simhash_hamming: candidates come from the banded equi-join") {
+    val plan = physicalPlan("q_simhash_hamming")
+    assert(plan.contains("chunk"),
+      "simhash join no longer keyed on banded chunks (all-pairs regression)")
+  }
+
   test("scoring pipeline plan contains no UDF nodes (codegen-friendly)") {
     val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Upsert
-import graft.text.{Chunker, HtmlText, SectionExtractor}
+import graft.text.{Chunker, HtmlText, PdfText, SectionExtractor}
 
 /** The reference's evidence-collection lifecycle (§3.2:
   * collection.py:183-296 — fetch → parse F11 → sections F13 → hash-dedup
@@ -27,6 +27,27 @@ object IngestPipeline {
   final case class ChunkRow(entity_id: Long, filing_type: String,
       section: String, chunk_index: Int, content: String, word_count: Int,
       content_hash: String, chunk_id: String)
+
+  /** parse_filing_bytes (document_parser.py:81-90): file_hint routes PDFs
+    * through the per-page parser (F12), everything else through the HTML
+    * path (F11). Input is the `binaryFile`-source shape (binary `content`
+    * + a path/filename hint). HTML rows stay fully columnar/codegen'd;
+    * only the PDF branch takes the typed-map seam, and the two unions
+    * back into one text frame — at 100 TB the split-route-union is two
+    * filters over one scan, no shuffle. */
+  def parseFilings(raw: DataFrame): DataFrame = {
+    import raw.sparkSession.implicits._
+    val isPdf = lower(col("file_hint")).endsWith(".pdf")
+    val htmls = raw.filter(!isPdf)
+      .select(col("entity_id"), col("filing_type"),
+        HtmlText.htmlToText(decode(col("content"), "UTF-8")).as("text"))
+    val pdfs = raw.filter(isPdf)
+      .select(col("entity_id"), col("filing_type"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .map { case (e, ft, b) => (e, ft, PdfText.pdfToText(b)) }
+      .toDF("entity_id", "filing_type", "text")
+    htmls.unionByName(pdfs)
+  }
 
   /** HTML → cleaned text → named sections (F11 + F13). */
   def extractSections(raw: Dataset[RawFiling]): Dataset[SectionRow] = {

@@ -100,9 +100,10 @@ object MultimodalQueries extends QueryModule {
   }
 
   // -- the mapPartitions pipeline variant: binary → typed Dataset →
-  //    partition-local decode (stub) → columnar result. No SQL oracle (the
-  //    decode stage is engine-side code); the driver records a rows-only
-  //    check, and MultimodalSpec asserts equality with the columnar variant.
+  //    partition-local decode (stub) → columnar result. The stub decoder is
+  //    deterministic (every-64th-byte mean), and the corpus is ASCII (byte i
+  //    == char i+1), so the oracle reproduces it in SQL — the one
+  //    engine-side-code stage in the suite still gets a full hash check.
   private val decodePipeline = QueryDef(
     "q_multimodal_decode_stub",
     (s: SparkSession, dir: String) => {
@@ -120,7 +121,19 @@ object MultimodalQueries extends QueryModule {
           dround(col("feature"), 4).as("feature"))
         .orderBy("doc_id")
     },
-    None,
+    Some(s"""
+      WITH d AS (SELECT doc_id, text,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   octet_length(encode(text)) AS n_bytes
+                 FROM documents),
+        f AS (SELECT doc_id, modality, n_bytes,
+                list_transform(generate_series(1, n_bytes, 64),
+                  p -> ord(substr(text, CAST(p AS INT), 1))) AS frames
+              FROM d)
+      SELECT doc_id, modality, n_bytes, len(frames) AS n_frames,
+             ${oround("CAST(list_sum(frames) AS DOUBLE) / len(frames)", 4)} AS feature
+      FROM f ORDER BY doc_id"""),
     bench = false)
 
   override def queries: Seq[QueryDef] = Seq(payloadStats, frameFeatures, decodePipeline)

@@ -40,6 +40,75 @@ object Normalize {
   def syntheticId(cols: Column*): Column =
     sha2(concat_ws("§", cols.map(c => coalesce(c.cast("string"), lit(""))): _*), 256)
 
+  /** Recursive review discovery (S6 parity — glassdoor_collector.py:426-522
+    * `_iter_dicts` + `_looks_like_review`): the reference walks ARBITRARY
+    * nested JSON and normalizes every dict that looks like a review.
+    *
+    * Spark-first shape: an iterative bounded-depth frontier walk, all
+    * column expressions. Each level probes the node both ways —
+    * `from_json(node, map<string,string>)` (non-null iff object; nested
+    * values come back as raw JSON text) and `from_json(node,
+    * array<string>)` (non-null iff array) — collects object nodes as
+    * candidates, and explodes children that still look like containers.
+    * No UDFs, no recursion in the plan beyond `maxDepth` stacked
+    * explodes; rows fan out only as wide as the payload's actual nesting
+    * (explode of an empty child array terminates the branch). At 100 TB
+    * the walk stays inside codegen and shuffles nothing.
+    *
+    * Returns one row per discovered OBJECT, as `_obj: map<string,string>`
+    * plus the caller's columns. */
+  def discoverObjects(df: DataFrame, jsonCol: String, maxDepth: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StringType}
+    val keep = df.columns.filterNot(_ == jsonCol).map(col).toSeq
+    var frontier = df.withColumn("_node", col(jsonCol).cast("string"))
+    var levels = Vector.empty[DataFrame]
+    for (_ <- 0 until maxDepth) {
+      val probed = frontier
+        .withColumn("_obj", from_json(col("_node"), MapType(StringType, StringType)))
+        .withColumn("_arr", from_json(col("_node"), ArrayType(StringType)))
+      levels :+= probed.filter(col("_obj").isNotNull)
+        .select(keep :+ col("_obj"): _*)
+      frontier = probed
+        .select(keep :+ explode(
+          when(col("_obj").isNotNull, map_values(col("_obj")))
+            .otherwise(coalesce(col("_arr"), array()))).as("_node"): _*)
+        .filter(trim(col("_node")).startsWith("{") ||
+          trim(col("_node")).startsWith("["))
+    }
+    levels.reduce(_ unionByName _)
+  }
+
+  /** Discover + filter + normalize: keep objects with a parseable rating
+    * and (any text field OR a date) — `_looks_like_review` — then apply
+    * the alias/rating/synthetic-id normalization. */
+  def discoverAndNormalizeReviews(df: DataFrame, jsonCol: String,
+      maxDepth: Int = 8): DataFrame = {
+    val objs = discoverObjects(df, jsonCol, maxDepth)
+    def fp(keys: Seq[String]): Column =
+      coalesce(keys.map(k => element_at(col("_obj"), k)) :+ lit(null).cast("string"): _*)
+    val rating = normalizeRating(
+      fp(Seq("rating", "overallRating", "overall_rating", "ratingValue", "score")))
+    val title = fp(Seq("title", "reviewTitle", "headline", "summary"))
+    val pros = fp(Seq("pros", "prosText", "advantages"))
+    val cons = fp(Seq("cons", "consText", "disadvantages"))
+    val advice = fp(Seq("adviceToManagement", "advice_to_management"))
+    val date = fp(Seq("reviewDate", "review_date", "date", "createdAt", "created_at"))
+    val idRaw = fp(Seq("reviewId", "review_id", "id", "uuid", "reviewUUID"))
+    val hasText = Seq(title, pros, cons, advice)
+      .map(c => trim(coalesce(c, lit(""))) =!= "").reduce(_ || _)
+    objs
+      .withColumn("rating", rating)
+      .withColumn("title", title)
+      .withColumn("pros", pros)
+      .withColumn("cons", cons)
+      .withColumn("advice_to_management", advice)
+      .withColumn("review_date", date)
+      .filter(col("rating").isNotNull && (hasText || col("review_date").isNotNull))
+      .withColumn("review_id", coalesce(idRaw, syntheticId(title, pros, cons)))
+      .dropDuplicates("review_id")
+      .drop("_obj")
+  }
+
   /** Normalize a messy review frame: alias-coalesced fields + rating +
     * synthetic id + dedup (U2 semantics). */
   def normalizeReviews(df: DataFrame): DataFrame = {

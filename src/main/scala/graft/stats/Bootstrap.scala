@@ -1,5 +1,7 @@
 package graft.stats
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import scala.util.Random
 
 /** Seeded bootstrap confidence interval (reference:
@@ -11,10 +13,8 @@ import scala.util.Random
   * level; this implementation is deterministic under its own seed.
   *
   * The reference bootstraps n≈10 history rows — driver-side math is the
-  * correct scale call. The distributed variant for huge histories is
-  * `df.sample(withReplacement = true, 1.0, seed + i)` per replicate, with the
-  * statistic as an `agg` — documented here, implemented when a >memory
-  * history exists.
+  * correct scale call there. For >memory histories `distributedMeanCI`
+  * runs all R replicates in ONE scan via poissonized resampling.
   */
 object Bootstrap {
   final case class CI(lower: Double, upper: Double, se: Double)
@@ -39,6 +39,52 @@ object Bootstrap {
     }
     val mean = stats.sum / stats.length
     val se = math.sqrt(stats.map(s => (s - mean) * (s - mean)).sum / (stats.length - 1))
+    CI(pct(alpha / 2), pct(1 - alpha / 2), se)
+  }
+
+  /** Poisson(λ=1) cumulative thresholds for inverse-CDF sampling (k ≤ 8
+    * covers 1 − 1e-6 of the mass). */
+  private val poissonCdf = Array(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253)
+
+  /** M15, distributed variant: bootstrap CI of the MEAN over a DataFrame
+    * column, all `resamples` replicates in ONE scan.
+    *
+    * Multinomial resampling is a driver-side loop (R passes); for large n
+    * the per-row replicate weight converges to Poisson(1), so each row
+    * draws a deterministic Poisson weight per replicate — keyed by
+    * `xxhash64(key, replicate, seed)`, partition-order independent — and
+    * each replicate's statistic is a weighted agg. The explode is CPU-only
+    * fan-out; map-side partial aggregation means the shuffle carries R
+    * partial sums per partition, not R copies of the data. Only the R
+    * replicate statistics (tiny) reach the driver. */
+  def distributedMeanCI(df: DataFrame, valueCol: String, keyCol: String,
+      resamples: Int = 400, seed: Long = 42L, alpha: Double = 0.05): CI = {
+    val u = (abs(xxhash64(col(keyCol), col("r"), lit(seed))) % 1000000000L)
+      .cast("double") / 1e9
+    val w = poissonCdf.zipWithIndex.foldRight(lit(poissonCdf.length): org.apache.spark.sql.Column) {
+      case ((cdf, k), rest) => when(u < cdf, k).otherwise(rest)
+    }
+    val reps = df.select(col(valueCol).cast("double").as("v"), col(keyCol))
+      .withColumn("r", explode(expr(s"sequence(0, ${resamples - 1})")))
+      .withColumn("w", w.cast("double"))
+      .groupBy("r")
+      .agg(sum(col("w") * col("v")).as("wv"), sum("w").as("ws"))
+      .filter(col("ws") > 0)
+      .select((col("wv") / col("ws")).as("stat"))
+    val stats = reps.collect().map(_.getDouble(0)).sorted
+    require(stats.nonEmpty, "all bootstrap replicates degenerate")
+    def pct(p: Double): Double = {
+      val idx = p * (stats.length - 1)
+      val lo = math.floor(idx).toInt; val hi = math.ceil(idx).toInt
+      val frac = idx - lo
+      stats(lo) * (1 - frac) + stats(hi) * frac
+    }
+    val mean = stats.sum / stats.length
+    val se = math.sqrt(stats.map(s => (s - mean) * (s - mean)).sum
+      / math.max(1, stats.length - 1))
     CI(pct(alpha / 2), pct(1 - alpha / 2), se)
   }
 }

@@ -25,6 +25,22 @@ class IngestPipelineSpec extends SparkSpec {
     assert(sections.forall(!_.text.contains("<")))
   }
 
+  test("pdf filings route through the per-page parser; html stays columnar") {
+    // per-page contract (document_parser.py:61-77): non-empty pages joined
+    // with \n, runs of >=3 newlines collapsed to two, result trimmed
+    val pdfBytes = "  Page one text\n\n\n\nstill page one\fPage two\f\f  "
+      .getBytes("UTF-8")
+    val htmlBytes = "<html><body><p>plain html</p></body></html>".getBytes("UTF-8")
+    val raw = Seq(
+      (1L, "10-K", "filing.PDF", pdfBytes),
+      (2L, "10-K", "filing.htm", htmlBytes))
+      .toDF("entity_id", "filing_type", "file_hint", "content")
+    val out = parseFilings(raw).collect()
+      .map(r => r.getAs[Long]("entity_id") -> r.getAs[String]("text")).toMap
+    assert(out(1L) == "Page one text\n\nstill page one\nPage two")
+    assert(out(2L).contains("plain html") && !out(2L).contains("<"))
+  }
+
   test("sections chunk with content-derived ids and bounded sizes") {
     val raw = Seq(filing(1, "alpha")).toDS()
     val chunks = chunkSections(extractSections(raw)).collect()

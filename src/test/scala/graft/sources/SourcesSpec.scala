@@ -26,6 +26,26 @@ class SourcesSpec extends SparkSpec {
     assert(out.toSeq == Seq("fresh"))
   }
 
+  test("recursive discovery finds review objects at any nesting depth") {
+    // 3+ levels of object/array nesting, including array-of-array, mirroring
+    // the reference's walk of "anything that looks like a review"
+    val payload = """{"data":{"employerReviews":{"reviews":[
+        {"reviewId":"r1","overallRating":4,"pros":"good pay"},
+        {"id":"r2","rating":"8/10","reviewDate":"2024-01-01"},
+        {"note":"not a review"}],
+      "meta":{"nested":[{"deep":[{"score":5,"headline":"wow"}]}]}}},
+      "other":[[{"ratingValue":3,"cons":"meh"}]]}""".replaceAll("\n\\s*", "")
+    val df = Seq(("p1", payload)).toDF("source_id", "payload")
+    val out = Normalize.discoverAndNormalizeReviews(df, "payload")
+      .select("rating", "title", "pros", "cons").collect()
+    val ratings = out.map(_.getAs[Double]("rating")).sorted.toSeq
+    // r1 → 4.0; r2 "8/10" → 10-scale halved → 4.0; score 5 → 5.0;
+    // ratingValue 3 → 3.0; the no-rating dict and container dicts dropped
+    assert(ratings == Seq(3.0, 4.0, 4.0, 5.0))
+    assert(out.exists(r => r.getAs[String]("title") == "wow"))
+    assert(out.exists(r => r.getAs[String]("cons") == "meh"))
+  }
+
   // ---- Normalize (S6/P6/F16/U2) ------------------------------------------
 
   test("firstPresent coalesces alias spellings and tolerates missing columns") {

@@ -49,6 +49,29 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(out(1).getAs[Double]("ci_upper") - (70 + 1.96 * 2.0)) < 1e-12)
   }
 
+  test("distributed bootstrap agrees with driver-side bootstrap within CI tolerance") {
+    val rng = new scala.util.Random(7)
+    val values = Array.fill(300)(50.0 + rng.nextGaussian() * 10.0)
+    val driver = Bootstrap.percentileCI(values, a => a.sum / a.length)
+    val df = values.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val dist = Bootstrap.distributedMeanCI(df, "v", "id")
+    // different resampling schemes (multinomial vs poissonized) → same
+    // sampling distribution asymptotically; assert same location and width
+    // to within a couple of standard errors
+    val mean = values.sum / values.length
+    assert(dist.lower < mean && mean < dist.upper)
+    assert(math.abs(dist.lower - driver.lower) < 3 * driver.se)
+    assert(math.abs(dist.upper - driver.upper) < 3 * driver.se)
+    assert(dist.se / driver.se > 0.5 && dist.se / driver.se < 2.0)
+    // the RESAMPLING is hash-keyed so the drawn weights are identical under
+    // any partitioning; the weighted double-sum itself is order-sensitive at
+    // the last ulp, so equality holds to fp-summation tolerance
+    val again = Bootstrap.distributedMeanCI(df.repartition(7), "v", "id")
+    assert(math.abs(again.lower - dist.lower) < 1e-9)
+    assert(math.abs(again.upper - dist.upper) < 1e-9)
+  }
+
   test("bootstrap: deterministic under seed; CI brackets the mean; degenerate ±5") {
     val xs = Array(4.0, 7.0, 6.0, 5.0, 9.0, 3.0, 8.0, 6.0, 5.0, 7.0)
     def mean(a: Array[Double]) = a.sum / a.length

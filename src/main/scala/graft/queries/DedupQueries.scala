@@ -118,6 +118,54 @@ object DedupQueries extends QueryModule {
     }
   }
 
+  /** (doc_id, lang, simhash): the 16-bit SimHash per document. */
+  private def simhashFrame(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = Tables.documents(s, dir)
+    val tok = d.select(col("doc_id"), col("lang"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", sha2(col("tok"), 256))
+    val votes = tok.groupBy("doc_id", "lang")
+      .agg(simhashSparkCols.head, simhashSparkCols.tail: _*)
+    val simhashCol = (0 until 16).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    votes.select(col("doc_id"), col("lang"), simhashCol.as("simhash"))
+  }
+
+  /** Banded candidate generation + exact verify: (lang, id_a, id_b, hamming)
+    * for every pair within hamming 3 — lossless by pigeonhole over the 4
+    * 4-bit chunks. */
+  private def bandedNearPairs(sims: org.apache.spark.sql.DataFrame) = {
+    val bands = sims.select(col("doc_id"), col("lang"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("chunk", expr("(simhash >> (band * 4)) & 15"))
+    bands.as("a").join(bands.as("b"),
+        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+          col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.lang").as("lang"), col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct() // a pair may agree on several chunks
+      .filter(col("hamming") <= 3)
+  }
+
+  /** DuckDB CTEs shared by the simhash-family oracles: sims(doc_id, lang,
+    * simhash) built the brute-force way. */
+  private def simhashOracleCtes: String = {
+    val votes = (0 until 16).map { i =>
+      s"sum(CASE WHEN substr(h, ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(",\n                  ")
+    val simhashExpr = (0 until 16).map(i =>
+      s"(CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""tok AS (SELECT doc_id, lang,
+                     unnest(list_distinct(string_split(text, ' '))) AS tok
+                   FROM documents),
+        h AS (SELECT doc_id, lang, sha256(tok) AS h FROM tok),
+        votes AS (SELECT doc_id, lang,
+                  $votes
+                  FROM h GROUP BY doc_id, lang),
+        sims AS (SELECT doc_id, lang, $simhashExpr AS simhash FROM votes)"""
+  }
+
   /** Near-dup pairs at hamming ≤ 3 over the 16-bit SimHash.
     *
     * Spark side is BANDED: the simhash splits into 4 × 4-bit chunks and
@@ -130,26 +178,8 @@ object DedupQueries extends QueryModule {
   private val simhash = QueryDef(
     "q_simhash_hamming",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
-      val tok = d.select(col("doc_id"), col("lang"),
-          explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .withColumn("h", sha2(col("tok"), 256))
-      val votes = tok.groupBy("doc_id", "lang").agg(simhashSparkCols.head, simhashSparkCols.tail: _*)
-      val simhashCol = (0 until 16).map(i =>
-        when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-      val sims = votes.select(col("doc_id"), col("lang"), simhashCol.as("simhash"))
-        .persist()
-      val bands = sims.select(col("doc_id"), col("lang"), col("simhash"),
-          explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("chunk", expr("(simhash >> (band * 4)) & 15"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
-            col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.lang").as("lang"), col("a.doc_id").as("id_a"),
-          col("b.doc_id").as("id_b"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-        .distinct() // a pair may agree on several chunks
-      val near = cand.filter(col("hamming") <= 3)
+      val sims = simhashFrame(s, dir).persist()
+      val near = bandedNearPairs(sims)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_within_3"),
           dround(avg("hamming"), 4).as("avg_hamming_near"),
@@ -162,20 +192,8 @@ object DedupQueries extends QueryModule {
         .orderBy("lang")
     },
     Some {
-      val votes = (0 until 16).map { i =>
-        s"sum(CASE WHEN substr(h, ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$i"
-      }.mkString(",\n                  ")
-      val simhashExpr = (0 until 16).map(i =>
-        s"(CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
       s"""
-      WITH tok AS (SELECT doc_id, lang,
-                     unnest(list_distinct(string_split(text, ' '))) AS tok
-                   FROM documents),
-        h AS (SELECT doc_id, lang, sha256(tok) AS h FROM tok),
-        votes AS (SELECT doc_id, lang,
-                  $votes
-                  FROM h GROUP BY doc_id, lang),
-        sims AS (SELECT doc_id, lang, $simhashExpr AS simhash FROM votes),
+      WITH $simhashOracleCtes,
         docs AS (SELECT lang, count(*) AS n_docs FROM sims GROUP BY lang),
         pairs AS (SELECT a.lang AS lang,
                     bit_count(xor(a.simhash, b.simhash)) AS hamming
@@ -191,6 +209,59 @@ object DedupQueries extends QueryModule {
              n.min_hamming_near AS min_hamming_near
       FROM docs d LEFT JOIN near n ON d.lang = n.lang ORDER BY d.lang"""
     })
+
+  /** Dedup CLUSTERS: near-dup pairs → duplicate groups → per-lang group
+    * stats. The missing last step of a real training-data dedup: pairs
+    * alone don't tell you which docs to drop; components do (keep the min
+    * doc_id per group as canonical).
+    *
+    * Spark: banded near pairs (lossless, see q_simhash_hamming) as edges →
+    * ConnectedComponents min-label propagation (O(diameter) shuffle
+    * rounds, no driver-side graph). DuckDB oracle: brute-force pairs +
+    * WITH RECURSIVE transitive closure — an independent algorithm on an
+    * independently-generated edge set certifying the whole chain. */
+  private val neardupClusters = QueryDef(
+    "q_neardup_clusters",
+    (s, dir) => {
+      val sims = simhashFrame(s, dir).persist()
+      val comp = graft.operators.ConnectedComponents.run(
+        sims.select(col("doc_id").as("id")),
+        bandedNearPairs(sims).select(col("id_a").as("src"), col("id_b").as("dst")))
+      val sized = comp.groupBy("comp").agg(count(lit(1)).as("sz"))
+      sims.join(comp, sims("doc_id") === comp("id"))
+        .join(sized, "comp")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("comp").as("n_clusters"),
+          sum(when(col("sz") >= 2, 1).otherwise(0)).as("n_dup_docs"),
+          max("sz").as("max_cluster_size"))
+        .orderBy("lang")
+    },
+    Some {
+      s"""
+      WITH RECURSIVE $simhashOracleCtes,
+        edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                  FROM sims a JOIN sims b
+                    ON a.lang = b.lang AND a.doc_id < b.doc_id
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        edges2 AS (SELECT src, dst FROM edges
+                   UNION ALL SELECT dst, src FROM edges),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM sims
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges2 e ON r.dst = e.src),
+        comp AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src),
+        cs AS (SELECT comp, count(*) AS sz FROM comp GROUP BY comp),
+        per AS (SELECT s.lang, c.comp, cs.sz
+                FROM sims s JOIN comp c ON s.doc_id = c.doc_id
+                            JOIN cs ON c.comp = cs.comp)
+      SELECT lang, count(*) AS n_docs,
+             count(DISTINCT comp) AS n_clusters,
+             CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+             max(sz) AS max_cluster_size
+      FROM per GROUP BY lang ORDER BY lang"""
+    },
+    bench = false) // iterative fixpoint — correctness query, not a timed one
 
   // -- n-gram Jaccard blocked by (lang, token-count bucket): exact trigram
   //    Jaccard inside cheap blocks (the classic blocking alternative to LSH)
@@ -281,5 +352,6 @@ object DedupQueries extends QueryModule {
       FROM pairs GROUP BY label ORDER BY label"""))
 
   override def queries: Seq[QueryDef] = Seq(
-    exactDedup, minhashLsh, simhash, ngramJaccard, embeddingNearDup)
+    exactDedup, minhashLsh, simhash, neardupClusters, ngramJaccard,
+    embeddingNearDup)
 }

@@ -196,6 +196,10 @@ object RelationalQueries extends QueryModule {
       ORDER BY user_id, rnk"""))
 
   // -- O2: pagination via row_number (LIMIT/OFFSET semantics)
+  // OFFSET pagination is inherently global (row_number over a total order
+  // funnels everything through one task) — served here for parity with the
+  // reference's page-N API, correct at any SF but not the pattern to scale.
+  // The scale answer is q_orders_keyset_page below.
   private val ordersPage = QueryDef(
     "q_orders_pagination",
     (s, dir) => {
@@ -215,6 +219,36 @@ object RelationalQueries extends QueryModule {
                       o_orderkey ASC) AS rn FROM orders)
       WHERE rn BETWEEN 101 AND 150
       ORDER BY rn"""))
+
+  // -- O3 at scale: KEYSET pagination — "the 50 rows after cursor (date,
+  //    key)". The predicate prunes at the scan (pushed filters), TakeOrdered
+  //    replaces the global window: no row numbering, no single-task funnel,
+  //    cost independent of how deep the page is.
+  private val ordersKeysetPage = QueryDef(
+    "q_orders_keyset_page",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      // cursor = last row of the previous page (fixed here so the oracle
+      // can mirror it; a service would thread it through)
+      val curDate = "1997-06-30"
+      val curKey = 1500L
+      o.filter(col("o_orderdate") < lit(curDate).cast("timestamp") ||
+          (col("o_orderdate") === lit(curDate).cast("timestamp") &&
+            col("o_orderkey") > curKey))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+        .limit(50)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+    },
+    Some("""
+      SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-06-30'
+         OR (o_orderdate = TIMESTAMP '1997-06-30' AND o_orderkey > 1500)
+      ORDER BY o_orderdate DESC, o_orderkey ASC
+      LIMIT 50"""))
 
   // -- O5: exact median / quantiles (percentile ≡ quantile_cont)
   private val quantiles = QueryDef(
@@ -656,7 +690,7 @@ object RelationalQueries extends QueryModule {
   override def queries: Seq[QueryDef] = Seq(
     pricingSummary, filteredRevenue, customerGeo, topRevenueOrders,
     partTypeRevenue, latestEventPerUser, latestPerUserType, topEventTypes,
-    ordersPage, quantiles, customersNoOrders, urgentCustomers, twoLevelAgg,
+    ordersPage, ordersKeysetPage, quantiles, customersNoOrders, urgentCustomers, twoLevelAgg,
     pivotEventCounts, jsonMetaAvg, tumblingWindow, runningTotal, orderGaps,
     unionEvidence, setOps, acctbalBands, rollupSuppliers,
     shippingPriority, regionVolume, asofJoin, rangeJoin)

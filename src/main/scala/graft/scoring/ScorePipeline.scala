@@ -91,12 +91,15 @@ object ScorePipeline {
       .join(withBonus, "entity_id")
       .crossJoin(broadcast(sectorAvg))
       .withColumn("_bkt", floor(col("vr_score")).cast("long"))
-    val offsets = joined0.groupBy("_bkt").agg(count(lit(1)).as("_bn"))
+      .persist() // consumed twice: bucket counts + final scoring
+    val counts = joined0.groupBy("_bkt").agg(count(lit(1)).as("_bn"))
+    val offsets = counts
       .withColumn("_off", coalesce(
         sum("_bn").over(Window.orderBy("_bkt")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("_bkt", "_off")
-    val total = joined0.agg(count(lit(1)).as("_n"))
+    // total over the tiny counts frame — NOT a third scan of joined0
+    val total = counts.agg(sum("_bn").as("_n"))
     val wIn = Window.partitionBy("_bkt")
       .orderBy(col("vr_score").asc, col("entity_id").asc)
     val scored = joined0

@@ -49,7 +49,10 @@ object ScorePipeline {
       .agg(avg("value").as("avg_value"), count(lit(1)).as("n"))
       .select(col("entity_id"), col("dimension"),
         least(lit(100.0), greatest(lit(0.0), col("avg_value"))).as("score"),
-        least(lit(0.95), lit(0.3) + col("n").cast("double") / lit(50.0)).as("confidence"))
+        least(lit(0.95), lit(0.3) + col("n").cast("double") / lit(50.0)).as("confidence"),
+        // carried so HHI / talent-concentration / jobs-count all derive
+        // from THIS frame — the whole scoring DAG reads events exactly once
+        col("n").as("n_events"))
       .withColumn("weight", weightCol)
   }
 
@@ -64,9 +67,11 @@ object ScorePipeline {
     val vr = VrModel.score(dims)
     val cv = VrModel.cvPenalty(dims)
 
-    val events = Tables.events(spark, dir)
-      .select(col("user_id").as("entity_id"), col("event_type").as("category"))
-    val hhi = TalentPenalty.hhi(events)
+    // HHI from the dims frame's per-(entity, dimension) counts — no second
+    // events scan
+    val hhi = TalentPenalty.hhiFromCounts(
+        dims.select(col("entity_id"), col("dimension").as("category"),
+          col("n_events").as("n_cat")))
       .withColumn("penalty_factor", TalentPenalty.penaltyFactor(col("hhi"), col("n_total")))
 
     val wide = dims.groupBy("entity_id")
@@ -139,14 +144,15 @@ object ScorePipeline {
     // reliability pivot (otherwise the events scan + agg runs 3×)
     val dimsShared = dimensionInputs(spark, dir).persist()
     val base = compositeFrom(spark, dir, dimsShared)
-    val ev = Tables.events(spark, dir)
 
-    // M9: talent concentration from the event population
-    val tc = ev.groupBy(col("user_id").as("entity_id"))
-      .agg(count(lit(1)).as("n_people"),
-        countDistinct("event_type").as("n_skills"),
-        (sum(when(col("event_type") === "purchase", 1).otherwise(0))
-          .cast("double") / count(lit(1))).as("leadership_ratio"))
+    // M9: talent concentration — from the dims frame's per-dimension
+    // counts (sum n_events = event count, row count = distinct types), so
+    // the lifecycle needs NO events scan beyond the one inside dimsShared
+    val tc = dimsShared.groupBy("entity_id")
+      .agg(sum("n_events").as("n_people"),
+        count(lit(1)).as("n_skills"),
+        (sum(when(col("dimension") === "purchase", col("n_events")).otherwise(0L))
+          .cast("double") / sum("n_events")).as("leadership_ratio"))
       .withColumn("tc", TalentConcentration.tcScore(
         col("leadership_ratio"), col("n_people"), col("n_skills"), lit(0.5)))
       .withColumn("risk_adjustment", TalentConcentration.riskAdjustment(col("tc")))
@@ -154,8 +160,8 @@ object ScorePipeline {
 
     // M12: evidence-weighted prior blend on VR (calibration entities =
     // entity_id % 10 == 0, prior target 60 — config-as-data stand-in)
-    val jobs = ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id").as("entity_id")).agg(count(lit(1)).as("jobs_count"))
+    val jobs = dimsShared.filter(col("dimension") === "click")
+      .select(col("entity_id"), col("n_events").as("jobs_count"))
 
     // M13: per-entity sigma over dimension scores + corpus reliability
     val dims = dimsShared

@@ -21,8 +21,14 @@ object TalentPenalty {
 
   /** df: one row per observation with (entity_id, category). */
   def hhi(df: DataFrame): DataFrame =
-    df.groupBy("entity_id", "category").agg(count(lit(1)).as("n_cat"))
-      .groupBy("entity_id")
+    hhiFromCounts(
+      df.groupBy("entity_id", "category").agg(count(lit(1)).as("n_cat")))
+
+  /** Same, starting from pre-aggregated per-(entity, category) counts —
+    * lets the scoring pipeline reuse its dims frame instead of re-scanning
+    * events. */
+  def hhiFromCounts(counts: DataFrame): DataFrame =
+    counts.groupBy("entity_id")
       .agg(sum("n_cat").cast("long").as("n_total"),
            sum(col("n_cat") * col("n_cat")).as("sq"))
       .select(col("entity_id"), col("n_total"),

@@ -234,6 +234,53 @@ object TextQueries extends QueryModule {
              ${oround("avg(CAST(subword_est AS DOUBLE) / ws_tokens)", 4)} AS avg_subwords_per_token
       FROM d GROUP BY lang ORDER BY lang"""))
 
+  // -- TF-IDF keyword extraction: top-5 terms per language by corpus
+  //    tf-idf. Because idf is constant per (lang, term), Σ_docs tf·idf =
+  //    idf·Σtf — so the whole score is ONE multiplication over exact
+  //    integer aggregates (no float summation → partition-order
+  //    independent). Stopwords self-filter: df = N ⇒ ln(N/df) = 0.
+  //    Shape at 100 TB: two token-level groupBys (map-side combined) + a
+  //    broadcast of per-lang doc counts + a per-lang ranked window
+  //    (WindowGroupLimit, partition-parallel).
+  private val tfidfTop = QueryDef(
+    "q_tfidf_top_terms",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val perLang = d.groupBy("lang").agg(count(lit(1)).as("n_docs_lang"))
+      val tf = d.select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("tf"))
+      val stats = tf.groupBy("lang", "tok")
+        .agg(sum("tf").cast("long").as("total_tf"), count(lit(1)).as("df"))
+        .join(broadcast(perLang), "lang")
+        .withColumn("score",
+          col("total_tf") * log(col("n_docs_lang").cast("double") / col("df")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("score").desc, col("tok").asc)
+      stats.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .select(col("lang"), col("rnk"), col("tok"), col("total_tf"), col("df"),
+          dround(col("score"), 4).as("tfidf"))
+        .orderBy("lang", "rnk")
+    },
+    Some(s"""
+      WITH tf AS (SELECT doc_id, lang, tok, count(*) AS tf
+                  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                        FROM documents)
+                  GROUP BY 1, 2, 3),
+        pl AS (SELECT lang, count(*) AS n_docs_lang FROM documents GROUP BY lang),
+        st AS (SELECT lang, tok, CAST(sum(tf) AS BIGINT) AS total_tf,
+                      count(*) AS df
+               FROM tf GROUP BY 1, 2),
+        sc AS (SELECT st.lang, tok, total_tf, df,
+                 total_tf * ln(CAST(n_docs_lang AS DOUBLE) / df) AS score
+               FROM st JOIN pl ON st.lang = pl.lang),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY lang
+                 ORDER BY score DESC, tok ASC) AS rnk
+               FROM sc)
+      SELECT lang, rnk, tok, total_tf, df, ${oround("score", 4)} AS tfidf
+      FROM rk WHERE rnk <= 5 ORDER BY lang, rnk"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(tokenStats, docQuality, langId, fingerprint, keywordHits, tokenCountsBpe)
+    Seq(tokenStats, docQuality, langId, fingerprint, keywordHits, tokenCountsBpe,
+      tfidfTop)
 }

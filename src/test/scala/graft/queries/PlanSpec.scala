@@ -65,6 +65,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_orders_keyset_page: cursor predicate pushes into the scan; no window") {
+    val plan = physicalPlan("q_orders_keyset_page")
+    assert(plan.contains("PushedFilters: [Or(LessThan(o_orderdate")
+      || plan.contains("PushedFilters: [Or(LessThan"), plan.take(2000))
+    assert(!plan.contains("Window"), "keyset page regressed to a window")
+    assert(plan.contains("TakeOrderedAndProject"), "expected top-k sort, not global sort")
+  }
+
   test("q_simhash_hamming: candidates come from the banded equi-join") {
     val plan = physicalPlan("q_simhash_hamming")
     assert(plan.contains("chunk"),

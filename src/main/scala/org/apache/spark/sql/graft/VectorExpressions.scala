@@ -72,6 +72,29 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** SQL registration for the native expressions — the SparkSessionExtensions
+  * path from the build brief (§custom operators (c)): with
+  * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`,
+  * `SELECT vec_dot(a, b)` parses/optimizes/codegens like a built-in. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.vecDotRegistration)
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  val vecDotRegistration: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "vec_dot takes exactly 2 arguments")
+      DotProduct(children.head, children(1))
+    })
+}
+
 /** Column-API entry points for the native vector expressions. */
 object VectorFunctions {
   def vecDot(a: Column, b: Column): Column =

@@ -43,6 +43,19 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("vec_dot registers as a SQL function via the extensions entry point") {
+    // production wiring is spark.sql.extensions=...GraftExtensions; the
+    // shared test session predates that config, so apply the same
+    // registration tuple to its function registry directly
+    val (ident, info, builder) =
+      org.apache.spark.sql.graft.GraftExtensions.vecDotRegistration
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(r === 32.0)
+  }
+
   test("codegen path produces same result as interpreted eval") {
     val df = randVecs(50, 16, 9L).toDF("a", "b")
     val withCodegen = df.select(VectorFunctions.vecDot(col("a"), col("b")))

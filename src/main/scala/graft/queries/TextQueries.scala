@@ -43,21 +43,35 @@ object TextQueries extends QueryModule {
              max(n_tokens) AS max_tokens
       FROM t GROUP BY lang ORDER BY lang"""))
 
+  /** documents + a `quality` column (lexical-diversity / stopword / length
+    * blend) — shared by q_doc_quality and the weighted sampler. */
+  private def qualityFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isInCollection(StopWords))))
+      .withColumn("quality",
+        least(lit(1.0), greatest(lit(0.0),
+          lit(0.4) * (col("n_distinct").cast("double") / col("n_tokens"))
+            + lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
+            + lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / lit(50.0)))))
+
+  /** Oracle twin of `qualityFrame`: (doc_id, lang, quality). */
+  private val qualityCte: String = s"""
+    qd AS (SELECT doc_id, lang,
+             least(1.0, greatest(0.0,
+               0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+               + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE) / len(toks))
+               + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0))) AS quality
+           FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents))"""
+
   // -- quality scoring: lexical-diversity / stopword / length blend
   private val docQuality = QueryDef(
     "q_doc_quality",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("n_tokens", size(col("toks")))
-        .withColumn("n_distinct", size(array_distinct(col("toks"))))
-        .withColumn("n_stop",
-          size(filter(col("toks"), t => t.isInCollection(StopWords))))
-        .withColumn("quality",
-          least(lit(1.0), greatest(lit(0.0),
-            lit(0.4) * (col("n_distinct").cast("double") / col("n_tokens"))
-              + lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
-              + lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / lit(50.0)))))
+      val d = qualityFrame(s, dir)
       d.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           dround(avg("quality"), 4).as("avg_quality"),
@@ -67,13 +81,8 @@ object TextQueries extends QueryModule {
         .orderBy("lang")
     },
     Some(s"""
-      WITH d AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
-        q AS (SELECT lang,
-             least(1.0, greatest(0.0,
-               0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
-               + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE) / len(toks))
-               + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0))) AS quality
-           FROM d)
+      WITH $qualityCte,
+        q AS (SELECT lang, quality FROM qd)
       SELECT lang, count(*) AS n_docs,
              ${oround("avg(quality)", 4)} AS avg_quality,
              ${oround("min(quality)", 4)} AS min_quality,
@@ -280,7 +289,44 @@ object TextQueries extends QueryModule {
       SELECT lang, rnk, tok, total_tf, df, ${oround("score", 4)} AS tfidf
       FROM rk WHERE rnk <= 5 ORDER BY lang, rnk"""))
 
+  // -- deterministic quality-weighted corpus sampling (training-mix
+  //    construction): Efraimidis–Spirakis A-Res — each doc draws key
+  //    ln(u)/w (u uniform, w = quality); top-k keys per stratum IS a
+  //    weighted sample without replacement. u comes from a Knuth
+  //    multiplicative hash of doc_id: pure integer arithmetic, so BOTH
+  //    engines (and every partitioning) draw identical samples — no rand(),
+  //    no seed-plumbing, reproducible forever. One scan + a per-lang top-k
+  //    window (WindowGroupLimit); at 100 TB this is how you cut a 1%
+  //    quality-weighted training mix without a global sort.
+  private val weightedSample = QueryDef(
+    "q_weighted_sample",
+    (s, dir) => {
+      val q = qualityFrame(s, dir).select(col("doc_id"), col("lang"), col("quality"))
+        .withColumn("w", greatest(lit(0.05), col("quality")))
+        .withColumn("u",
+          (((col("doc_id") * lit(2654435761L)) % lit(4294967296L)).cast("double")
+            + lit(0.5)) / lit(4294967296.0))
+        .withColumn("skey", log(col("u")) / col("w"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("skey").desc, col("doc_id").asc)
+      q.withColumn("rnk", row_number().over(win)).filter(col("rnk") <= 3)
+        .select(col("lang"), col("rnk"), col("doc_id"),
+          dround(col("quality"), 4).as("quality"))
+        .orderBy("lang", "rnk")
+    },
+    Some(s"""
+      WITH $qualityCte,
+        keyed AS (SELECT doc_id, lang, quality,
+                    ln(((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296)
+                      / greatest(0.05, quality) AS skey
+                  FROM qd),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY lang
+                 ORDER BY skey DESC, doc_id ASC) AS rnk
+               FROM keyed)
+      SELECT lang, rnk, doc_id, ${oround("quality", 4)} AS quality
+      FROM rk WHERE rnk <= 3 ORDER BY lang, rnk"""))
+
   override def queries: Seq[QueryDef] =
     Seq(tokenStats, docQuality, langId, fingerprint, keywordHits, tokenCountsBpe,
-      tfidfTop)
+      tfidfTop, weightedSample)
 }

@@ -84,4 +84,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
       "flagship plan contains a UDF node")
   }
+
+  test("EVERY registered query plans without CartesianProduct or UDF nodes") {
+    // registry-wide net: an unblocked pair join or a sneaked-in UDF fails
+    // the build no matter which query it lands in. (Broadcast 1-row
+    // crossJoins plan as BroadcastNestedLoopJoin — allowed; a
+    // CartesianProduct means both sides were data-sized.)
+    val offenders = Registry.all
+      .filter(q => q.name != "q_neardup_clusters") // iterative: plan built per round
+      .flatMap { q =>
+        val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
+        val bad = Seq("CartesianProduct", "BatchEvalPython", "ScalaUDF")
+          .filter(plan.contains)
+        if (bad.isEmpty) None else Some(s"${q.name}: ${bad.mkString(",")}")
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }

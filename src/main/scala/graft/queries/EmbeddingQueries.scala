@@ -217,5 +217,84 @@ object EmbeddingQueries extends QueryModule {
              ${oround("cosine", 4)} AS cosine
       FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""))
 
-  override def queries: Seq[QueryDef] = Seq(bruteForceTopK, lshTopK, ivfTopK, normStats)
+  // -- one Lloyd iteration refining the IVF coarse quantizer: assign to the
+  //    seed centroids, recompute each cell's centroid as the element-wise
+  //    mean (posexplode → per-(cell, dim) avg → deterministic array
+  //    reassembly), reassign, report cell populations + mean intra-cell
+  //    similarity. Further iterations repeat the same two shuffles with
+  //    lineage truncation (see ConnectedComponents) — one iteration keeps
+  //    the oracle SQL-expressible, certifying assign + recompute +
+  //    reassign end to end.
+  private val kmeansRefine = QueryDef(
+    "q_kmeans_refine",
+    (s, dir) => {
+      import graft.functions.VectorFunctions.{cosine, vecNorm}
+      val e = Tables.embeddings(s, dir)
+        .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("nrm", vecNorm(col("vecd")))
+        .select(col("vec_id"), col("vecd"), col("nrm"))
+        .persist()
+      def nearest(vs: org.apache.spark.sql.DataFrame,
+          cents: org.apache.spark.sql.DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)
+        vs.crossJoin(broadcast(cents))
+          .withColumn("sim", cosine(col("vecd"), col("cv"), col("nrm"), col("cn")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("cent_id").as("cell"), col("sim"),
+            col("vecd"), col("nrm"))
+      }
+      val cents0 = e.filter(col("vec_id") < NCells)
+        .select(col("vec_id").as("cent_id"), col("vecd").as("cv"), col("nrm").as("cn"))
+      val cells0 = nearest(e, cents0)
+      val cents1 = cells0
+        .select(col("cell"), posexplode(col("vecd")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("cv"))
+        .select(col("cell").as("cent_id"), col("cv"), vecNorm(col("cv")).as("cn"))
+      nearest(e, cents1)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"), dround(avg("sim"), 4).as("mean_sim"))
+        .orderBy("cell")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd,
+                   sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                 FROM embeddings),
+        c0 AS (SELECT vec_id AS cent_id, vecd AS cv, nrm AS cn FROM e
+               WHERE vec_id < $NCells),
+        a0 AS (SELECT vec_id, cent_id AS cell, vecd
+               FROM (SELECT e.vec_id, c0.cent_id, e.vecd,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_sum(list_transform(list_zip(e.vecd, c0.cv),
+                           x -> x[1] * x[2])) / (e.nrm * c0.cn) DESC,
+                         c0.cent_id ASC) AS rn
+                     FROM e CROSS JOIN c0)
+               WHERE rn = 1),
+        dims AS (SELECT cell, i.i AS pos, avg(vecd[i.i + 1]) AS m
+                 FROM a0, (SELECT unnest(generate_series(0, 63)) AS i) i
+                 GROUP BY cell, i.i),
+        c1 AS (SELECT cell AS cent_id, list(m ORDER BY pos) AS cv,
+                 sqrt(list_sum(list_transform(list(m ORDER BY pos), x -> x * x))) AS cn
+               FROM dims GROUP BY cell),
+        a1 AS (SELECT vec_id, cent_id AS cell, sim
+               FROM (SELECT e.vec_id, c1.cent_id,
+                       list_sum(list_transform(list_zip(e.vecd, c1.cv),
+                         x -> x[1] * x[2])) / (e.nrm * c1.cn) AS sim,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_sum(list_transform(list_zip(e.vecd, c1.cv),
+                           x -> x[1] * x[2])) / (e.nrm * c1.cn) DESC,
+                         c1.cent_id ASC) AS rn
+                     FROM e CROSS JOIN c1)
+               WHERE rn = 1)
+      SELECT cell, count(*) AS n_vectors, ${oround("avg(sim)", 4)} AS mean_sim
+      FROM a1 GROUP BY cell ORDER BY cell"""),
+    bench = false) // two broadcast-assign passes — correctness query
+
+  override def queries: Seq[QueryDef] =
+    Seq(bruteForceTopK, lshTopK, ivfTopK, normStats, kmeansRefine)
 }

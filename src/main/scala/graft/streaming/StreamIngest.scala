@@ -51,6 +51,15 @@ object StreamIngest {
         ()
       }
 
+  /** Stream-static enrichment: join each micro-batch against a broadcast
+    * dimension frame (the reference hydrates company metadata per collected
+    * signal — company_service.py joins on ticker). The static side is
+    * re-resolved per micro-batch by Structured Streaming, so a refreshed
+    * dim table is picked up without restarting the query; broadcast keeps
+    * the stream side shuffle-free. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Engine-managed variant: watermarked stream dedup on the content hash. */
   def watermarkedDedup(stream: DataFrame, watermark: String = "30 days"): DataFrame =
     stream.withWatermark("collected_at", watermark)

@@ -55,6 +55,21 @@ class StreamIngestSpec extends SparkSpec {
     assert(out(1).getAs[Long]("signal_count") === 1)
   }
 
+  test("stream-static enrichment broadcasts the dim side per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val dim = Seq(("AAA", "Tech"), ("BBB", "Health")).toDF("ticker", "sector")
+    val q = StreamIngest.enrich(mem.toDF().toDF("ticker", "score"), dim, "ticker")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      mem.addData(("AAA", 71.0), ("ZZZ", 12.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").orderBy("ticker").collect()
+      assert(rows.map(r => (r.getString(0), r.getAs[String]("sector"))).toSeq ==
+        Seq(("AAA", "Tech"), ("ZZZ", null))) // left join keeps unmatched
+    } finally q.stop()
+  }
+
   test("streaming watermarked dedup emits each hash once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, java.sql.Timestamp)]

@@ -250,6 +250,78 @@ object RelationalQueries extends QueryModule {
       ORDER BY o_orderdate DESC, o_orderkey ASC
       LIMIT 50"""))
 
+  // -- batch twin of streaming/Sessionize: gap-based sessions via the
+  //    lag → new-session flag → running-sum pattern (all integer µs
+  //    arithmetic — partition-order independent by construction). The
+  //    oracle certifies the same session semantics the stateful streaming
+  //    operator implements incrementally.
+  private val eventSessions = QueryDef(
+    "q_event_sessions",
+    (s, dir) => {
+      val gapUs = 3600L * 1000000L // 1-hour inactivity gap
+      val wOrd = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val flagged = Tables.events(s, dir)
+        .withColumn("prev_us", lag("ts_us", 1).over(wOrd))
+        .withColumn("is_new",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq",
+          sum("is_new").over(wOrd.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      flagged.groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max("n_events").as("max_session_events"),
+          sum(col("end_us") - col("start_us")).as("total_session_us"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      seqd AS (
+        SELECT user_id, ts_us,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged),
+      sessions AS (
+        SELECT user_id, session_seq, count(*) AS n_events,
+               min(ts_us) AS start_us, max(ts_us) AS end_us
+        FROM seqd GROUP BY 1, 2)
+      SELECT user_id, count(*) AS n_sessions,
+             max(n_events) AS max_session_events,
+             CAST(sum(end_us - start_us) AS BIGINT) AS total_session_us
+      FROM sessions GROUP BY user_id ORDER BY user_id"""))
+
+  // -- CUBE grouping sets with grouping_id (beyond-parity, pairs with the
+  //    rollup query)
+  private val cubeVolumes = QueryDef(
+    "q_cube_volumes",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             GROUPING(l_returnflag, l_linestatus) AS gid,
+             count(*) AS n,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
   // -- O5: exact median / quantiles (percentile ≡ quantile_cont)
   private val quantiles = QueryDef(
     "q_quantity_quantiles",
@@ -690,7 +762,8 @@ object RelationalQueries extends QueryModule {
   override def queries: Seq[QueryDef] = Seq(
     pricingSummary, filteredRevenue, customerGeo, topRevenueOrders,
     partTypeRevenue, latestEventPerUser, latestPerUserType, topEventTypes,
-    ordersPage, ordersKeysetPage, quantiles, customersNoOrders, urgentCustomers, twoLevelAgg,
+    ordersPage, ordersKeysetPage, eventSessions, cubeVolumes, quantiles,
+    customersNoOrders, urgentCustomers, twoLevelAgg,
     pivotEventCounts, jsonMetaAvg, tumblingWindow, runningTotal, orderGaps,
     unionEvidence, setOps, acctbalBands, rollupSuppliers,
     shippingPriority, regionVolume, asofJoin, rangeJoin)

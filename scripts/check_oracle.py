@@ -36,7 +36,10 @@ def table_rows(rel, names):
     # Route through pandas like the driver does — this is what converts
     # HUGEINT→float64, TIMESTAMP→Timestamp, etc.  NaT/NaN → None first.
     df = rel.df()
-    recs = df.where(df.notna(), None).to_dict("records") if len(df) else []
+    # astype(object) first: float64/datetime64 columns silently cast None
+    # back to NaN/NaT, which would leave canon's NULL branch unreachable
+    recs = (df.astype(object).where(df.notna(), None).to_dict("records")
+            if len(df) else [])
     idx = sorted(range(len(names)), key=lambda i: names[i])
     rows = [tuple(canon(r[names[i]]) for i in idx) for r in recs]
     return sorted(rows), [names[i] for i in idx]

@@ -37,7 +37,9 @@ object IngestPipeline {
     * filters over one scan, no shuffle. */
   def parseFilings(raw: DataFrame): DataFrame = {
     import raw.sparkSession.implicits._
-    val isPdf = lower(col("file_hint")).endsWith(".pdf")
+    // null hint → HTML branch (the reference routes every non-PDF through
+    // HTML); without the coalesce a null hint fails BOTH filters silently
+    val isPdf = coalesce(lower(col("file_hint")).endsWith(".pdf"), lit(false))
     val htmls = raw.filter(!isPdf)
       .select(col("entity_id"), col("filing_type"),
         HtmlText.htmlToText(decode(col("content"), "UTF-8")).as("text"))

@@ -280,7 +280,7 @@ object RelationalQueries extends QueryModule {
     },
     Some("""
       WITH flagged AS (
-        SELECT user_id, epoch_us(ts) AS ts_us,
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
                     THEN 1 ELSE 0 END AS is_new
@@ -288,7 +288,7 @@ object RelationalQueries extends QueryModule {
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
       seqd AS (
         SELECT user_id, ts_us,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                  ROWS UNBOUNDED PRECEDING) AS session_seq
         FROM flagged),
       sessions AS (

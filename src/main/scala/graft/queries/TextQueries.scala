@@ -303,9 +303,12 @@ object TextQueries extends QueryModule {
     (s, dir) => {
       val q = qualityFrame(s, dir).select(col("doc_id"), col("lang"), col("quality"))
         .withColumn("w", greatest(lit(0.05), col("quality")))
+        // 32-bit LCG on a pre-masked id: the product tops out at ~2^48, so
+        // no Long overflow under ANSI mode for ANY doc_id (a raw Knuth
+        // multiply would throw past doc_id ≈ 3.5e9 — exactly the 100 TB ids)
         .withColumn("u",
-          (((col("doc_id") * lit(2654435761L)) % lit(4294967296L)).cast("double")
-            + lit(0.5)) / lit(4294967296.0))
+          (((((col("doc_id") % lit(4294967296L)) * lit(69069L) + lit(1L))
+            % lit(4294967296L)).cast("double") + lit(0.5)) / lit(4294967296.0)))
         .withColumn("skey", log(col("u")) / col("w"))
       val win = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(col("skey").desc, col("doc_id").asc)
@@ -317,7 +320,8 @@ object TextQueries extends QueryModule {
     Some(s"""
       WITH $qualityCte,
         keyed AS (SELECT doc_id, lang, quality,
-                    ln(((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296)
+                    ln((((doc_id % 4294967296) * 69069 + 1) % 4294967296 + 0.5)
+                       / 4294967296)
                       / greatest(0.05, quality) AS skey
                   FROM qd),
         rk AS (SELECT *, row_number() OVER (PARTITION BY lang

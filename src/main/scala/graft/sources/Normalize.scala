@@ -63,9 +63,13 @@ object Normalize {
     var frontier = df.withColumn("_node", col(jsonCol).cast("string"))
     var levels = Vector.empty[DataFrame]
     for (_ <- 0 until maxDepth) {
+      // persist each probed level: level d's lineage embeds levels 0..d-1,
+      // so without caching the final union re-parses level 0's JSON
+      // maxDepth times (O(depth²) parses instead of O(depth))
       val probed = frontier
         .withColumn("_obj", from_json(col("_node"), MapType(StringType, StringType)))
         .withColumn("_arr", from_json(col("_node"), ArrayType(StringType)))
+        .persist()
       levels :+= probed.filter(col("_obj").isNotNull)
         .select(keep :+ col("_obj"): _*)
       frontier = probed

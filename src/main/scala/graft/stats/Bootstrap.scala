@@ -68,6 +68,7 @@ object Bootstrap {
       case ((cdf, k), rest) => when(u < cdf, k).otherwise(rest)
     }
     val reps = df.select(col(valueCol).cast("double").as("v"), col(keyCol))
+      .filter(col("v").isNotNull) // a null v would add weight to ws but not wv
       .withColumn("r", explode(expr(s"sequence(0, ${resamples - 1})")))
       .withColumn("w", w.cast("double"))
       .groupBy("r")

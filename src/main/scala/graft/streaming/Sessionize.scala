@@ -48,7 +48,9 @@ object Sessionize {
             for (t <- times) {
               if (cur == null) cur = OpenSession(t, t, 1)
               else if (t - cur.end <= gapMs)
-                cur = OpenSession(cur.start, math.max(cur.end, t), cur.n + 1)
+                // min() too: a late-but-within-watermark event can precede
+                // the open session's start and must extend it backwards
+                cur = OpenSession(math.min(cur.start, t), math.max(cur.end, t), cur.n + 1)
               else {
                 closed ::= SessionOut(user, new Timestamp(cur.start),
                   new Timestamp(cur.end), cur.n, "gap")

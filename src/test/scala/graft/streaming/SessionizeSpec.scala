@@ -16,6 +16,28 @@ class SessionizeSpec extends SparkSpec {
   private def ev(user: Long, sec: Long) =
     SessionEvent(user, new Timestamp((Base + sec) * 1000))
 
+  test("late in-watermark event extends the open session backwards") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = Sessionize.sessions(input.toDS(), gapMs = 60_000)
+      .writeStream.format("memory").queryName("sess2").outputMode("append").start()
+    try {
+      input.addData(ev(1, 100))
+      q.processAllAvailable() // watermark now Base+90
+      input.addData(ev(1, 95)) // late but inside the watermark → must merge
+      q.processAllAvailable()
+      input.addData(ev(1, 5000)) // closes the session by gap
+      q.processAllAvailable()
+      val closed = spark.table("sess2").as[SessionOut].collect()
+        .filter(_.closed_by == "gap")
+      assert(closed.length === 1)
+      assert(closed.head.n_events === 2)
+      // start moved BACK to the late event — matches the batch twin
+      assert(closed.head.session_start.getTime === (Base + 95) * 1000)
+      assert(closed.head.session_end.getTime === (Base + 100) * 1000)
+    } finally q.stop()
+  }
+
   test("sessions close on gap and on event-time timeout; state stays bounded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]

@@ -322,6 +322,32 @@ object RelationalQueries extends QueryModule {
       GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
 
+  // -- skew-salted two-stage aggregation certified against the plain-SQL
+  //    answer: event_type is a 5-value hot-key column (worst-case skew for
+  //    a groupBy), so the salted path spreads each hot key over 16
+  //    reducers before the tiny re-agg. The oracle computes the PLAIN
+  //    group-by — equality proves salting is semantics-preserving.
+  private val saltedTypeCounts = QueryDef(
+    "q_salted_type_counts",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      // value snaps to its centi-grid as an exact long BEFORE summing —
+      // floor(x+0.5) explicitly, because a bare double→long cast truncates
+      // in Spark but rounds in DuckDB
+      graft.plans.Scale.saltedCount(ev, Seq("event_type"))
+        .join(graft.plans.Scale.saltedSum(
+          ev.withColumn("v100", floor(col("value") * 100 + 0.5).cast("long")),
+          Seq("event_type"), "v100"), "event_type")
+        .select(col("event_type"), col("count").as("n"),
+          (col("sum_v100").cast("double") / 100).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+               AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   // -- O5: exact median / quantiles (percentile ≡ quantile_cont)
   private val quantiles = QueryDef(
     "q_quantity_quantiles",
@@ -762,7 +788,8 @@ object RelationalQueries extends QueryModule {
   override def queries: Seq[QueryDef] = Seq(
     pricingSummary, filteredRevenue, customerGeo, topRevenueOrders,
     partTypeRevenue, latestEventPerUser, latestPerUserType, topEventTypes,
-    ordersPage, ordersKeysetPage, eventSessions, cubeVolumes, quantiles,
+    ordersPage, ordersKeysetPage, eventSessions, cubeVolumes, saltedTypeCounts,
+    quantiles,
     customersNoOrders, urgentCustomers, twoLevelAgg,
     pivotEventCounts, jsonMetaAvg, tumblingWindow, runningTotal, orderGaps,
     unionEvidence, setOps, acctbalBands, rollupSuppliers,

@@ -348,6 +348,64 @@ object RelationalQueries extends QueryModule {
                AS sum_value
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // -- SCD2 version history (warehouse CDC shape): each (user, type)
+  //    change stream becomes validity intervals via lead() — valid_to null
+  //    marks the current version. One shuffle on the SCD key; integer-µs
+  //    arithmetic end to end.
+  private val scd2History = QueryDef(
+    "q_scd2_history",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      Tables.events(s, dir).filter(col("user_id") < 10)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          round(col("value"), 2).as("value"), col("ts_us"))
+        .withColumn("valid_from_us", col("ts_us"))
+        .withColumn("valid_to_us", lead("ts_us", 1).over(w))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .select("user_id", "event_type", "event_id", "value",
+          "valid_from_us", "valid_to_us", "is_current")
+        .orderBy("user_id", "event_type", "valid_from_us", "event_id")
+    },
+    Some("""
+      SELECT user_id, event_type, event_id, round(value, 2) AS value,
+             epoch_us(ts) AS valid_from_us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id) AS valid_to_us,
+             (lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id)) IS NULL AS is_current
+      FROM events WHERE user_id < 10
+      ORDER BY user_id, event_type, valid_from_us, event_id"""))
+
+  // -- J-coverage: explicit FULL OUTER join with unmatched rows on both
+  //    sides (spend-per-customer ⟗ high-balance customers)
+  private val fullOuterSpend = QueryDef(
+    "q_full_outer_spend",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val spend = o.groupBy(col("o_custkey").as("custkey"))
+        .agg(round(sum("o_totalprice"), 2).as("spend"))
+      val rich = c.filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+      spend.join(rich, Seq("custkey"), "full_outer")
+        .select(col("custkey"), col("spend"), col("acctbal"),
+          col("spend").isNotNull.as("has_orders"),
+          col("acctbal").isNotNull.as("is_rich"))
+        .orderBy("custkey")
+    },
+    Some("""
+      WITH spend AS (SELECT o_custkey AS custkey,
+                       round(sum(o_totalprice), 2) AS spend
+                     FROM orders GROUP BY 1),
+        rich AS (SELECT c_custkey AS custkey, round(c_acctbal, 2) AS acctbal
+                 FROM customer WHERE c_acctbal > 9000)
+      SELECT coalesce(s.custkey, r.custkey) AS custkey, s.spend, r.acctbal,
+             s.spend IS NOT NULL AS has_orders,
+             r.acctbal IS NOT NULL AS is_rich
+      FROM spend s FULL OUTER JOIN rich r ON s.custkey = r.custkey
+      ORDER BY custkey"""))
+
   // -- O5: exact median / quantiles (percentile ≡ quantile_cont)
   private val quantiles = QueryDef(
     "q_quantity_quantiles",
@@ -789,7 +847,7 @@ object RelationalQueries extends QueryModule {
     pricingSummary, filteredRevenue, customerGeo, topRevenueOrders,
     partTypeRevenue, latestEventPerUser, latestPerUserType, topEventTypes,
     ordersPage, ordersKeysetPage, eventSessions, cubeVolumes, saltedTypeCounts,
-    quantiles,
+    scd2History, fullOuterSpend, quantiles,
     customersNoOrders, urgentCustomers, twoLevelAgg,
     pivotEventCounts, jsonMetaAvg, tumblingWindow, runningTotal, orderGaps,
     unionEvidence, setOps, acctbalBands, rollupSuppliers,

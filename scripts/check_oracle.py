@@ -35,6 +35,15 @@ def canon(v):
 def table_rows(rel, names):
     # Route through pandas like the driver does — this is what converts
     # HUGEINT→float64, TIMESTAMP→Timestamp, etc.  NaT/NaN → None first.
+    # KNOWN CONFLATION (deliberate): the notna() mask below maps a genuine
+    # float NaN to None/"NULL" too, so canon's "NaN" branch is unreachable
+    # on the oracle side.  This mimics the driver's own rel.df() routing
+    # (pandas merges NULL and NaN in float64 columns — an int64 column with
+    # NULLs arrives as float64+NaN, and "fixing" NaN here would turn those
+    # genuine NULLs into false mismatches).  The engine-side contract is
+    # therefore: queries must never EMIT NaN (all divisions are guarded
+    # with when()/nullif()); a NaN-producing query would be ambiguous under
+    # this gate and is a bug in the query, not the gate.
     df = rel.df()
     # astype(object) first: float64/datetime64 columns silently cast None
     # back to NaN/NaT, which would leave canon's NULL branch unreachable

@@ -12,6 +12,18 @@ import org.apache.spark.sql.SparkSession
   * measures steady-state engine throughput and is robust to transient
   * host contention (round 1's single-run numbers showed 4-5× outliers on
   * a loaded machine that don't reproduce).
+  *
+  * Round 3 additions:
+  *   - the full JSON is ALSO written to a file (SPARK_GRAFT_BENCH_OUT,
+  *     default `bench_results.json` in the CWD) so the driver's stdout
+  *     tail capture can't truncate the head of the per-query map;
+  *   - if a second, larger scale factor is present (SPARK_GRAFT_SF1_DIR,
+  *     default `/root/repo/testdata/sf1` — a deterministic 10× key-shifted
+  *     scale-up of sf0.1, see graft.GenScale), every bench query is ALSO
+  *     timed once there under a wall-clock budget (SPARK_GRAFT_SF1_BUDGET
+  *     seconds, default 900); queries not reached are listed in
+  *     `sf1.skipped` — no silent caps. This is the 10×-scaling evidence
+  *     the 100 TB design claims rest on.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,19 +40,52 @@ object Bench {
     // Warmup: exercise scan + shuffle + codegen paths once, untimed.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
-    def timeOnce(q: graft.queries.QueryDef): Double = {
+    def timeOnce(q: graft.queries.QueryDef, dir: String): Double = {
       val t0 = System.nanoTime()
-      try { q.build(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { q.build(spark, dir).count() } catch { case _: Throwable => () }
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       sec
     }
-    val results = graft.queries.Registry.all.filter(_.bench).sortBy(_.name)
-      .map(q => q.name -> math.min(timeOnce(q), timeOnce(q)))
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val benched = graft.queries.Registry.all.filter(_.bench).sortBy(_.name)
+    val results = benched.map(q =>
+      q.name -> r3(math.min(timeOnce(q, sfDir), timeOnce(q, sfDir))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = r3(results.map(_._2).sum)
+
+    // Secondary scale factor: single-run sweep under a wall-clock budget.
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/testdata/sf1")
+    val sf1Budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "900").toDouble
+    val sf1Json =
+      if (!new java.io.File(sf1Dir, "lineitem.parquet").exists()) ""
+      else {
+        var spent = 0.0
+        val done = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+        val skipped = scala.collection.mutable.ListBuffer.empty[String]
+        benched.foreach { q =>
+          if (spent < sf1Budget) {
+            val s = timeOnce(q, sf1Dir)
+            spent += s
+            done += (q.name -> r3(s))
+          } else skipped += q.name
+        }
+        val dq = done.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""","sf1":{"dir":"$sf1Dir","total":${r3(done.map(_._2).sum)},"queries":$dq,"skipped":$sk}"""
+      }
+
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$sf1Json}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    try {
+      val w = new java.io.PrintWriter(outPath)
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
+    // last line of stdout — the driver parses this
+    println(line)
   }
 }

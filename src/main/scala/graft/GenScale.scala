@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up generator: writes an sf1-equivalent dataset
+  * (10× sf0.1) as the union of `copies` key-shifted replicas of the source
+  * tables. Dimension tables (region, nation) are invariant; every synthetic
+  * key column is shifted by `copy * 1e9` so referential integrity (orders→
+  * customer, lineitem→{orders,part,supplier}, events→users) is preserved
+  * copy-by-copy and distributions (selectivities, group sizes, `id % k`
+  * bucketing) are IDENTICAL to the source — a pure cardinality scale-up,
+  * which is exactly what a 10× scaling measurement needs. Text/embedding
+  * payloads are left byte-identical, so the dedup family sees realistic
+  * duplicate mass (each doc gains 9 exact replicas).
+  *
+  * Usage: runMain graft.GenScale [srcDir dstDir copies]
+  * Defaults: /root/testdata/sf0.1 → /root/repo/testdata/sf1 × 10.
+  */
+object GenScale {
+  private val Off = 1_000_000_000L
+
+  private val shiftCols: Map[String, Seq[String]] = Map(
+    "region" -> Nil,
+    "nation" -> Nil,
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private def scaled(df: DataFrame, keys: Seq[String], copies: Int): DataFrame =
+    if (keys.isEmpty) df
+    else (0 until copies).map { i =>
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * Off)))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/root/repo/testdata/sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    shiftCols.foreach { case (t, keys) =>
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      scaled(df, keys, copies)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"  wrote $dst/$t.parquet")
+    }
+    spark.stop()
+  }
+}

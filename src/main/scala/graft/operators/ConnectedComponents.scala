@@ -28,6 +28,18 @@ object ConnectedComponents {
     * before any data moves). On a cluster with a checkpoint dir,
     * `checkpoint()` gives the fault-tolerant variant. */
   def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val (comp, converged) = runWithStatus(vertices, edges, maxIter)
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ConnectedComponents: iteration cap $maxIter hit before fixpoint — " +
+          "labels may span unmerged components; raise maxIter")
+    comp
+  }
+
+  /** Like `run`, but also reports whether the fixpoint was actually reached
+    * (false = the `maxIter` cap fired first and labels may be unmerged). */
+  def runWithStatus(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): (DataFrame, Boolean) = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
@@ -49,6 +61,6 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist()
-    comp
+    (comp, done)
   }
 }

@@ -457,8 +457,8 @@ object ScoringQueries extends QueryModule {
              ${oround("vr_blended", 4)} AS vr_blended,
              ${oround("final_score", 4)} AS final_score,
              ${oround("sem", 4)} AS sem,
-             ${oround("final_score - 1.96 * sem", 4)} AS ci_lower,
-             ${oround("final_score + 1.96 * sem", 4)} AS ci_upper,
+             ${oround("least(100.0, greatest(0.0, final_score - 1.96 * sem))", 4)} AS ci_lower,
+             ${oround("least(100.0, greatest(0.0, final_score + 1.96 * sem))", 4)} AS ci_upper,
              CASE WHEN final_score <= 20.0 THEN 'Nascent'
                   WHEN final_score <= 40.0 THEN 'Developing'
                   WHEN final_score <= 60.0 THEN 'Progressing'

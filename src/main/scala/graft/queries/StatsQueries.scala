@@ -83,8 +83,8 @@ object StatsQueries extends QueryModule {
              ${oround("mean_score", 4)} AS mean_score,
              ${oround("sigma", 4)} AS sigma,
              ${oround("sem", 4)} AS sem,
-             ${oround("mean_score - 1.96 * sem", 4)} AS ci_lower,
-             ${oround("mean_score + 1.96 * sem", 4)} AS ci_upper
+             ${oround("least(100.0, greatest(0.0, mean_score - 1.96 * sem))", 4)} AS ci_lower,
+             ${oround("least(100.0, greatest(0.0, mean_score + 1.96 * sem))", 4)} AS ci_upper
       FROM sb ORDER BY entity_id"""
     })
 

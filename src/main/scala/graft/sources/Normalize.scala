@@ -62,6 +62,7 @@ object Normalize {
     val keep = df.columns.filterNot(_ == jsonCol).map(col).toSeq
     var frontier = df.withColumn("_node", col(jsonCol).cast("string"))
     var levels = Vector.empty[DataFrame]
+    var probedLevels = Vector.empty[DataFrame]
     for (_ <- 0 until maxDepth) {
       // persist each probed level: level d's lineage embeds levels 0..d-1,
       // so without caching the final union re-parses level 0's JSON
@@ -70,6 +71,7 @@ object Normalize {
         .withColumn("_obj", from_json(col("_node"), MapType(StringType, StringType)))
         .withColumn("_arr", from_json(col("_node"), ArrayType(StringType)))
         .persist()
+      probedLevels :+= probed
       levels :+= probed.filter(col("_obj").isNotNull)
         .select(keep :+ col("_obj"): _*)
       frontier = probed
@@ -79,7 +81,13 @@ object Normalize {
         .filter(trim(col("_node")).startsWith("{") ||
           trim(col("_node")).startsWith("["))
     }
-    levels.reduce(_ unionByName _)
+    // Materialize the union eagerly (localCheckpoint — on a cluster with a
+    // checkpoint dir, checkpoint() is the fault-tolerant variant), then
+    // release the per-level caches: without this, repeated pipeline use
+    // accumulates up to maxDepth cached frames in executor storage.
+    val out = levels.reduce(_ unionByName _).localCheckpoint()
+    probedLevels.foreach(_.unpersist(false))
+    out
   }
 
   /** Discover + filter + normalize: keep objects with a parseable rating

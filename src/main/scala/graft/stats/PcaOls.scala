@@ -91,14 +91,17 @@ object PcaOls {
     Fit(intercept, slope, sigma, r2, n.toLong, xbar, sxxC, loadings.toArray)
   }
 
-  /** Per-row prediction + CI columns from a Fit (sem_confidence.py:104-120). */
+  /** Per-row prediction + CI columns from a Fit (sem_confidence.py:104-120);
+    * CI bounds clamped to [0, 100] like the reference (:156-157). */
   def predictWithCI(df: DataFrame, fit: Fit, etaCol: String,
       z: Double = 1.96): DataFrame = {
     val se = lit(fit.sigma) * sqrt(lit(1.0 / fit.n) +
       pow(col(etaCol) - lit(fit.etaMean), 2) / lit(math.max(fit.sxx, 1e-12)))
     df.withColumn("y_hat", lit(fit.intercept) + lit(fit.slope) * col(etaCol))
       .withColumn("pred_se", se)
-      .withColumn("ci_lower", col("y_hat") - lit(z) * se)
-      .withColumn("ci_upper", col("y_hat") + lit(z) * se)
+      .withColumn("ci_lower",
+        least(lit(100.0), greatest(lit(0.0), col("y_hat") - lit(z) * se)))
+      .withColumn("ci_upper",
+        least(lit(100.0), greatest(lit(0.0), col("y_hat") + lit(z) * se)))
   }
 }

@@ -65,14 +65,19 @@ object SemConfidence {
   }
 
   /** Adds sem/ci columns given per-entity `sigma` and scalar `rho` columns
-    * (attach `reliability` output via a broadcast crossJoin). */
+    * (attach `reliability` output via a broadcast crossJoin). CI bounds are
+    * clamped to [0, 100] like the reference (sem_confidence.py:367-368 —
+    * the reference also rounds to 2 decimals there; rounding is left to the
+    * presentation layer here, the queries round at 4). */
   def semBounds(df: DataFrame, scoreCol: String, sigmaCol: String,
       rhoCol: String, z: Double = 1.96): DataFrame = {
     val sem = greatest(lit(0.5),
       greatest(lit(1.0), col(sigmaCol))
         * sqrt(greatest(lit(0.0), lit(1.0) - col(rhoCol))))
     df.withColumn("sem", sem)
-      .withColumn("ci_lower", col(scoreCol) - lit(z) * col("sem"))
-      .withColumn("ci_upper", col(scoreCol) + lit(z) * col("sem"))
+      .withColumn("ci_lower",
+        least(lit(100.0), greatest(lit(0.0), col(scoreCol) - lit(z) * col("sem"))))
+      .withColumn("ci_upper",
+        least(lit(100.0), greatest(lit(0.0), col(scoreCol) + lit(z) * col("sem"))))
   }
 }

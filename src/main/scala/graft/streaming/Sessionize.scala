@@ -25,6 +25,14 @@ final case class SessionOut(user_id: Long, session_start: Timestamp,
   * the session end (emitted immediately) or when the event-time watermark
   * passes end+gap (event-time timeout — no unbounded state, the 100 TB
   * requirement). State per key is O(1); emission is append-mode.
+  *
+  * Out-of-order events (late but inside the watermark): within gap of the
+  * open session they merge (extending it backwards if needed); more than
+  * gap BEFORE its start they form their own earlier session, closed
+  * immediately — matching the batch twin (q_event_sessions) rather than
+  * bridging an arbitrary gap. (An event that would land between an
+  * already-emitted early session and a later one is inherent append-mode
+  * lateness — keep watermark-delay ≤ gap to avoid it entirely.)
   */
 object Sessionize {
 
@@ -42,26 +50,32 @@ object Sessionize {
             Iterator(SessionOut(user, new Timestamp(s.start),
               new Timestamp(s.end), s.n, "timeout"))
           } else {
+            // Sessionize the batch alone, then ORDER-MERGE with the open
+            // state session. A late-but-within-watermark event more than
+            // gapMs BEFORE the open session's start is its own earlier
+            // session (matching the batch twin q_event_sessions) — merging
+            // it forward would silently bridge an arbitrary gap.
             val times = it.map(_.ts.getTime).toArray.sorted
-            var closed = List.empty[SessionOut]
-            var cur = state.getOption.orNull
-            for (t <- times) {
-              if (cur == null) cur = OpenSession(t, t, 1)
-              else if (t - cur.end <= gapMs)
-                // min() too: a late-but-within-watermark event can precede
-                // the open session's start and must extend it backwards
-                cur = OpenSession(math.min(cur.start, t), math.max(cur.end, t), cur.n + 1)
-              else {
-                closed ::= SessionOut(user, new Timestamp(cur.start),
-                  new Timestamp(cur.end), cur.n, "gap")
-                cur = OpenSession(t, t, 1)
-              }
+            var batch = List.empty[OpenSession]
+            for (t <- times) batch match {
+              case h :: tl if t - h.end <= gapMs =>
+                batch = OpenSession(h.start, math.max(h.end, t), h.n + 1) :: tl
+              case _ => batch = OpenSession(t, t, 1) :: batch
             }
-            if (cur != null) {
+            val all = (state.getOption.toList ++ batch.reverse).sortBy(_.start)
+            val merged = all.foldLeft(List.empty[OpenSession]) {
+              case (h :: tl, s) if s.start - h.end <= gapMs =>
+                OpenSession(h.start, math.max(h.end, s.end), h.n + s.n) :: tl
+              case (acc, s) => s :: acc
+            }.reverse
+            val closed = merged.dropRight(1).map(s =>
+              SessionOut(user, new Timestamp(s.start), new Timestamp(s.end),
+                s.n, "gap"))
+            merged.lastOption.foreach { cur =>
               state.update(cur)
               state.setTimeoutTimestamp(cur.end + gapMs)
             }
-            closed.reverse.iterator
+            closed.iterator
           }
         })
   }

@@ -38,6 +38,35 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late event more than gap BEFORE the open session closes as its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    // long watermark so the early event is late-but-in-watermark
+    val q = Sessionize.sessions(input.toDS(), gapMs = 60_000, watermark = "2 hours")
+      .writeStream.format("memory").queryName("sess3").outputMode("append").start()
+    try {
+      input.addData(ev(1, 5000))
+      q.processAllAvailable()
+      // 4900s before the open session's start (≫ 60s gap): the batch twin
+      // would put this in a separate earlier session — so must we
+      input.addData(ev(1, 100))
+      q.processAllAvailable()
+      val closed = spark.table("sess3").as[SessionOut].collect()
+      assert(closed.length === 1)
+      assert(closed.head.closed_by === "gap")
+      assert(closed.head.n_events === 1)
+      assert(closed.head.session_start.getTime === (Base + 100) * 1000)
+      assert(closed.head.session_end.getTime === (Base + 100) * 1000)
+      // the open session at 5000s is untouched: close it by gap and check
+      input.addData(ev(1, 20000))
+      q.processAllAvailable()
+      val later = spark.table("sess3").as[SessionOut].collect()
+        .filter(_.session_start.getTime == (Base + 5000) * 1000)
+      assert(later.length === 1)
+      assert(later.head.n_events === 1)
+    } finally q.stop()
+  }
+
   test("sessions close on gap and on event-time timeout; state stays bounded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]

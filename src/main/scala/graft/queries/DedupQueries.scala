@@ -107,6 +107,78 @@ object DedupQueries extends QueryModule {
              ${oround("max(jaccard)", 4)} AS max_jaccard
       FROM jac"""))
 
+  // -- MinHash banding GENERALIZED to r>1 rows per band: 4 bands × 2 rows,
+  //    band key = concat of the band's TWO row minhashes (8 hex chars each,
+  //    all 8 disjoint substrings of the one sha2 digest — still one hash
+  //    per shingle). A pair is a candidate only when BOTH rows agree in
+  //    some band: P(candidate) = 1 − (1 − s^r)^b, the steeper S-curve that
+  //    suppresses low-similarity collisions (threshold ≈ (1/b)^(1/r) ≈ 0.5
+  //    here vs ≈ 0.25 for 4×1). Same one-row-per-doc shuffle shape as
+  //    q_minhash_lsh_neardup; r and b tune recall/precision without any
+  //    plan change. MinhashBandingSpec charts the S-curve separation.
+  private val minhashBandedR2 = QueryDef(
+    "q_minhash_banded_r2",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("shingles", array_distinct(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))")))
+        .select(col("doc_id"), col("shingles"))
+        .persist()
+      val sh = d.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .withColumn("h", sha2(col("shingle"), 256))
+      // 8 row-minhashes = 8 disjoint 8-char substrings of one digest
+      val rowCols = (0 until 8).map(k =>
+        min(substring(col("h"), 1 + 8 * k, 8)).as(s"mh$k"))
+      val sigs = sh.groupBy("doc_id").agg(rowCols.head, rowCols.tail: _*)
+      val bands = sigs.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b =>
+          concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
+          .as(Seq("band", "bk")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val sets = d.select(col("doc_id"), col("shingles"))
+      val jac = cand
+        .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sa"), "id_a")
+        .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sb"), "id_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sa"), col("sb"))).cast("double")
+            / size(array_union(col("sa"), col("sb"))))
+      jac.agg(count(lit(1)).as("n_candidate_pairs"),
+          coalesce(sum(when(col("jaccard") >= 0.2, 1L).otherwise(0L)), lit(0L))
+            .as("n_near_dups"),
+          coalesce(dround(avg("jaccard"), 4), lit(0.0)).as("avg_jaccard"),
+          coalesce(dround(max("jaccard"), 4), lit(0.0)).as("max_jaccard"))
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id,
+                   list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                     i -> array_to_string(toks[i:i+1], ' '))) AS shingles
+                 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        sh AS (SELECT doc_id, sha256(unnest(shingles)) AS h FROM d),
+        bands AS (SELECT doc_id, band,
+                    min(substr(h, 1 + 16 * band, 8))
+                      || min(substr(h, 9 + 16 * band, 8)) AS bk
+                  FROM (SELECT doc_id, h, unnest([0, 1, 2, 3]) AS band FROM sh)
+                  GROUP BY doc_id, band),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        jac AS (SELECT id_a, id_b,
+                  CAST(len(list_filter(da.shingles, x -> list_contains(db.shingles, x))) AS DOUBLE)
+                    / (len(da.shingles) + len(db.shingles)
+                       - len(list_filter(da.shingles, x -> list_contains(db.shingles, x)))) AS jaccard
+                FROM cand JOIN d da ON cand.id_a = da.doc_id
+                          JOIN d db ON cand.id_b = db.doc_id)
+      SELECT count(*) AS n_candidate_pairs,
+             CAST(coalesce(sum(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_near_dups,
+             coalesce(${oround("avg(jaccard)", 4)}, 0.0) AS avg_jaccard,
+             coalesce(${oround("max(jaccard)", 4)}, 0.0) AS max_jaccard
+      FROM jac"""))
+
   /** 16-bit SimHash from distinct tokens: bit i of sha256(token) taken from
     * hex digit i (set iff digit ≥ '8'); simhash bit i set iff the ±1 vote
     * sum over tokens is positive. */
@@ -352,6 +424,6 @@ object DedupQueries extends QueryModule {
       FROM pairs GROUP BY label ORDER BY label"""))
 
   override def queries: Seq[QueryDef] = Seq(
-    exactDedup, minhashLsh, simhash, neardupClusters, ngramJaccard,
-    embeddingNearDup)
+    exactDedup, minhashLsh, minhashBandedR2, simhash, neardupClusters,
+    ngramJaccard, embeddingNearDup)
 }

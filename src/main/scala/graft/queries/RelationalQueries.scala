@@ -195,18 +195,33 @@ object RelationalQueries extends QueryModule {
       WHERE rnk <= 3
       ORDER BY user_id, rnk"""))
 
-  // -- O2: pagination via row_number (LIMIT/OFFSET semantics)
-  // OFFSET pagination is inherently global (row_number over a total order
-  // funnels everything through one task) — served here for parity with the
-  // reference's page-N API, correct at any SF but not the pattern to scale.
-  // The scale answer is q_orders_keyset_page below.
+  // -- O2: pagination (LIMIT/OFFSET semantics) via BUCKETED TWO-PASS rank —
+  // the same trick ScorePipeline uses for percentile. A bare
+  // `row_number() OVER (ORDER BY …)` funnels every row through one task;
+  // instead: bucket by order date (the leading sort key), aggregate
+  // per-bucket counts, cumulative-sum them into global offsets (the only
+  // unpartitioned window runs over BUCKET rows, not orders), keep only the
+  // buckets intersecting [101,150], then rank within those buckets in
+  // parallel — global rn = bucket offset + within-bucket row_number, exact
+  // because (o_orderdate DESC, o_orderkey ASC) is a total order. Rows
+  // outside the page's buckets never reach a window at all.
   private val ordersPage = QueryDef(
     "q_orders_pagination",
     (s, dir) => {
+      val (lo, hi) = (101, 150)
       val o = Tables.orders(s, dir)
-      val w = Window.orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
-      o.withColumn("rn", row_number().over(w))
-        .filter(col("rn").between(101, 150))
+      val counts = o.groupBy(col("o_orderdate").as("_d"))
+        .agg(count(lit(1)).as("_c"))
+      val offsets = counts
+        .withColumn("_off", coalesce(
+          sum("_c").over(Window.orderBy(col("_d").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .filter(col("_off") < hi && col("_off") + col("_c") >= lo)
+        .select(col("_d"), col("_off"))
+      val wIn = Window.partitionBy("_d").orderBy(col("o_orderkey").asc)
+      o.join(broadcast(offsets), o("o_orderdate") === offsets("_d"))
+        .withColumn("rn", (col("_off") + row_number().over(wIn)).cast("int"))
+        .filter(col("rn").between(lo, hi))
         .select(col("rn"), col("o_orderkey"),
                 round(col("o_totalprice"), 2).as("o_totalprice"),
                 date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))

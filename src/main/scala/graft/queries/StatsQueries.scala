@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.scoring.ScorePipeline
 import graft.sources.Upsert
-import graft.stats.SemConfidence
+import graft.stats.{Bootstrap, PcaOls, SemConfidence}
 import Det.{dround, oround}
 
 /** Statistical confidence (M13/M17) and sink-semantics (S9/S12) operators
@@ -147,6 +147,214 @@ object StatsQueries extends QueryModule {
       WHERE content_hash NOT IN (SELECT content_hash FROM seen)
       GROUP BY event_type ORDER BY event_type"""))
 
+  // -- M14: SEM via PCA+OLS (sem_confidence.py:35-183) as an ORACLE-CHECKED
+  //    query. The whole chain — correlation matrix, dominant eigenvector,
+  //    |PC1| loadings, composite factor η over RAW scores, closed-form OLS,
+  //    per-entity prediction SE and clamped CI — is mirrored operation-for-
+  //    operation in DuckDB SQL: the 200-step power iteration runs as a
+  //    RECURSIVE CTE with the SAME left-associated arithmetic as
+  //    PcaOls.principalEigenvector, so both engines converge to the same
+  //    eigenvector to machine precision and every output survives the
+  //    4-decimal grid. Only the k×k eigen step is driver-side (k=5, tiny);
+  //    all data passes are single-scan aggregates — the 100 TB shape.
+  private val pcaOlsCi = QueryDef(
+    "q_pca_ols_ci",
+    (s, dir) => {
+      val wide = ScorePipeline.dimensionInputs(s, dir)
+        .groupBy("entity_id").pivot("dimension", dims).agg(first("score"))
+        .na.fill(0.0, dims)
+      // target: the plain mean of the item scores ("predict overall
+      // readiness from the PC1 factor" — the reference's regression shape)
+      val y = dims.map(col).reduce(_ + _) / lit(dims.size.toDouble)
+      val df = wide.withColumn("y", y)
+      val fit = PcaOls.fit(df, dims, "y")
+      val eta = dims.zipWithIndex
+        .map { case (c, i) => col(c) * lit(fit.loadings(i)) }.reduce(_ + _)
+      PcaOls.predictWithCI(df.withColumn("eta", eta), fit, "eta")
+        .select(col("entity_id"),
+          dround(col("eta"), 4).as("eta"),
+          dround(col("y"), 4).as("y"),
+          dround(col("y_hat"), 4).as("y_hat"),
+          dround(col("pred_se"), 4).as("pred_se"),
+          dround(col("ci_lower"), 4).as("ci_lower"),
+          dround(col("ci_upper"), 4).as("ci_upper"))
+        .orderBy("entity_id")
+    },
+    Some {
+      // dims order is ScorePipeline.Dimensions: click, view, purchase,
+      // signup, error → v1..v5 / l1..l5 in that order everywhere.
+      s"""
+      WITH RECURSIVE
+        dimscores AS (
+          SELECT user_id AS entity_id, event_type AS dimension,
+                 least(100.0, greatest(0.0, avg(value))) AS score
+          FROM events GROUP BY 1, 2),
+        w AS (SELECT entity_id,
+                coalesce(max(CASE WHEN dimension = 'click' THEN score END), 0.0) AS s1,
+                coalesce(max(CASE WHEN dimension = 'view' THEN score END), 0.0) AS s2,
+                coalesce(max(CASE WHEN dimension = 'purchase' THEN score END), 0.0) AS s3,
+                coalesce(max(CASE WHEN dimension = 'signup' THEN score END), 0.0) AS s4,
+                coalesce(max(CASE WHEN dimension = 'error' THEN score END), 0.0) AS s5
+              FROM dimscores GROUP BY entity_id),
+        wy AS (SELECT *, (((((s1 + s2) + s3) + s4) + s5) / 5.0) AS y FROM w),
+        cm AS (SELECT corr(s1, s2) AS m12, corr(s1, s3) AS m13,
+                      corr(s1, s4) AS m14, corr(s1, s5) AS m15,
+                      corr(s2, s3) AS m23, corr(s2, s4) AS m24,
+                      corr(s2, s5) AS m25, corr(s3, s4) AS m34,
+                      corr(s3, s5) AS m35, corr(s4, s5) AS m45
+               FROM wy),
+        pi AS (
+          SELECT 0 AS i, 1.0/sqrt(5.0) AS v1, 1.0/sqrt(5.0) AS v2,
+                 1.0/sqrt(5.0) AS v3, 1.0/sqrt(5.0) AS v4, 1.0/sqrt(5.0) AS v5
+          UNION ALL
+          SELECT i + 1,
+                 CASE WHEN nrm = 0 THEN v1 ELSE nx1/nrm END,
+                 CASE WHEN nrm = 0 THEN v2 ELSE nx2/nrm END,
+                 CASE WHEN nrm = 0 THEN v3 ELSE nx3/nrm END,
+                 CASE WHEN nrm = 0 THEN v4 ELSE nx4/nrm END,
+                 CASE WHEN nrm = 0 THEN v5 ELSE nx5/nrm END
+          FROM (SELECT b.*,
+                  sqrt(((((nx1*nx1 + nx2*nx2) + nx3*nx3) + nx4*nx4) + nx5*nx5)) AS nrm
+                FROM (SELECT pi.i, pi.v1, pi.v2, pi.v3, pi.v4, pi.v5,
+                        ((((1.0*v1 + m12*v2) + m13*v3) + m14*v4) + m15*v5) AS nx1,
+                        ((((m12*v1 + 1.0*v2) + m23*v3) + m24*v4) + m25*v5) AS nx2,
+                        ((((m13*v1 + m23*v2) + 1.0*v3) + m34*v4) + m35*v5) AS nx3,
+                        ((((m14*v1 + m24*v2) + m34*v3) + 1.0*v4) + m45*v5) AS nx4,
+                        ((((m15*v1 + m25*v2) + m35*v3) + m45*v4) + 1.0*v5) AS nx5
+                      FROM pi, cm WHERE i < 200) b) c),
+        ld AS (SELECT
+                 CASE WHEN lsum = 0 THEN CAST(0.2 AS DOUBLE) ELSE a1/lsum END AS l1,
+                 CASE WHEN lsum = 0 THEN CAST(0.2 AS DOUBLE) ELSE a2/lsum END AS l2,
+                 CASE WHEN lsum = 0 THEN CAST(0.2 AS DOUBLE) ELSE a3/lsum END AS l3,
+                 CASE WHEN lsum = 0 THEN CAST(0.2 AS DOUBLE) ELSE a4/lsum END AS l4,
+                 CASE WHEN lsum = 0 THEN CAST(0.2 AS DOUBLE) ELSE a5/lsum END AS l5
+               FROM (SELECT abs(v1) AS a1, abs(v2) AS a2, abs(v3) AS a3,
+                       abs(v4) AS a4, abs(v5) AS a5,
+                       ((((abs(v1) + abs(v2)) + abs(v3)) + abs(v4)) + abs(v5)) AS lsum
+                     FROM pi WHERE i = 200)),
+        we AS (SELECT wy.*,
+                 ((((s1*l1 + s2*l2) + s3*l3) + s4*l4) + s5*l5) AS eta
+               FROM wy, ld),
+        ols AS (SELECT CAST(count(*) AS DOUBLE) AS nd, sum(eta) AS sx,
+                       sum(y) AS sy, sum(eta*y) AS sxy,
+                       sum(eta*eta) AS sxx, sum(y*y) AS syy
+                FROM we),
+        fit1 AS (SELECT nd, sx/nd AS xbar, sy/nd AS ybar, sxy, sxx, syy FROM ols),
+        fit2 AS (SELECT nd, xbar, ybar,
+                   sxx - nd*xbar*xbar AS sxxc,
+                   sxy - nd*xbar*ybar AS sxyc,
+                   syy - nd*ybar*ybar AS syyc
+                 FROM fit1),
+        fit3 AS (SELECT nd, xbar, ybar,
+                   CASE WHEN sxxc = 0 THEN CAST(0.0 AS DOUBLE) ELSE sxyc/sxxc END AS slope,
+                   sxxc, sxyc, syyc
+                 FROM fit2),
+        fit AS (SELECT nd, xbar, slope, sxxc,
+                  ybar - slope*xbar AS intercept,
+                  sqrt(greatest(0.0, syyc - slope*sxyc) / greatest(1.0, nd - 2)) AS sigma
+                FROM fit3),
+        pred AS (SELECT entity_id, eta, y,
+                   intercept + slope*eta AS y_hat,
+                   sigma * sqrt(1.0/nd + ((eta - xbar)*(eta - xbar)) / greatest(sxxc, 1e-12)) AS pred_se
+                 FROM we, fit)
+      SELECT entity_id,
+             ${oround("eta", 4)} AS eta,
+             ${oround("y", 4)} AS y,
+             ${oround("y_hat", 4)} AS y_hat,
+             ${oround("pred_se", 4)} AS pred_se,
+             ${oround("least(100.0, greatest(0.0, y_hat - 1.96 * pred_se))", 4)} AS ci_lower,
+             ${oround("least(100.0, greatest(0.0, y_hat + 1.96 * pred_se))", 4)} AS ci_upper
+      FROM pred ORDER BY entity_id"""
+    })
+
+  // -- M15: distributed bootstrap CI of the mean (sem_confidence.py:185-261)
+  //    as an ORACLE-CHECKED query. The poissonized one-scan resampling is
+  //    fully deterministic: each (entity, replicate) draws its weight from
+  //    an integer-LCG uniform (pure int64 arithmetic — bit-identical in any
+  //    engine), so DuckDB replays the exact 400 replicate statistics and
+  //    the same interpolated percentile bounds. CI clamped to [0,100] like
+  //    the reference (:247-248); ±5 degenerate fallback lives in the
+  //    operator (needs <2 rows — not reachable on this data, spec-covered).
+  private val bootstrapCi = QueryDef(
+    "q_bootstrap_ci",
+    (s, dir) => {
+      import s.implicits._
+      val wide = ScorePipeline.dimensionInputs(s, dir)
+        .groupBy("entity_id").pivot("dimension", dims).agg(first("score"))
+        .na.fill(0.0, dims)
+      val y = dims.map(col).reduce(_ + _) / lit(dims.size.toDouble)
+      val ci = Bootstrap.distributedMeanCI(
+        wide.select(col("entity_id"), y.as("y")), "y", "entity_id")
+      Seq((ci.lower, ci.upper, ci.se)).toDF("l", "u", "s")
+        .select(
+          dround(least(lit(100.0), greatest(lit(0.0), col("l"))), 4).as("ci_lower"),
+          dround(least(lit(100.0), greatest(lit(0.0), col("u"))), 4).as("ci_upper"),
+          dround(col("s"), 4).as("se"))
+    },
+    Some {
+      s"""
+      WITH
+        dimscores AS (
+          SELECT user_id AS entity_id, event_type AS dimension,
+                 least(100.0, greatest(0.0, avg(value))) AS score
+          FROM events GROUP BY 1, 2),
+        w AS (SELECT entity_id,
+                coalesce(max(CASE WHEN dimension = 'click' THEN score END), 0.0) AS s1,
+                coalesce(max(CASE WHEN dimension = 'view' THEN score END), 0.0) AS s2,
+                coalesce(max(CASE WHEN dimension = 'purchase' THEN score END), 0.0) AS s3,
+                coalesce(max(CASE WHEN dimension = 'signup' THEN score END), 0.0) AS s4,
+                coalesce(max(CASE WHEN dimension = 'error' THEN score END), 0.0) AS s5
+              FROM dimscores GROUP BY entity_id),
+        wy AS (SELECT entity_id, (((((s1 + s2) + s3) + s4) + s5) / 5.0) AS y FROM w),
+        ex AS (SELECT entity_id, y, unnest(generate_series(0, 399)) AS r FROM wy),
+        uu AS (SELECT r, y,
+                 (((((((entity_id % 4294967296) * 69069 + 42) % 4294967296)
+                     * 69069 + r * 2654435761 + 1) % 4294967296)
+                     * 69069 + 1) % 4294967296) AS x3
+               FROM ex),
+        pu AS (SELECT r, y,
+                 CAST(CASE WHEN u < 0.36787944117144233 THEN 0
+                           WHEN u < 0.7357588823428847 THEN 1
+                           WHEN u < 0.9196986029286058 THEN 2
+                           WHEN u < 0.9810118431238462 THEN 3
+                           WHEN u < 0.9963401531726563 THEN 4
+                           WHEN u < 0.9994058151824183 THEN 5
+                           WHEN u < 0.9999167588507119 THEN 6
+                           WHEN u < 0.9999897508033253 THEN 7
+                           ELSE 8 END AS DOUBLE) AS wt
+               FROM (SELECT r, y, (x3 + 0.5) / 4294967296.0 AS u FROM uu)),
+        reps AS (SELECT r, sum(wt * y) AS wv, sum(wt) AS ws
+                 FROM pu GROUP BY r HAVING sum(wt) > 0),
+        st AS (SELECT wv/ws AS stat,
+                 row_number() OVER (ORDER BY wv/ws) AS rn,
+                 count(*) OVER () AS rr
+               FROM reps),
+        par AS (SELECT (0.05/2) * (rr - 1) AS ilo,
+                       (1.0 - 0.05/2) * (rr - 1) AS ihi
+                FROM st LIMIT 1),
+        pick AS (SELECT
+            max(CASE WHEN rn = CAST(floor(ilo) AS BIGINT) + 1 THEN stat END) AS slo1,
+            max(CASE WHEN rn = CAST(ceil(ilo) AS BIGINT) + 1 THEN stat END) AS slo2,
+            max(CASE WHEN rn = CAST(floor(ihi) AS BIGINT) + 1 THEN stat END) AS shi1,
+            max(CASE WHEN rn = CAST(ceil(ihi) AS BIGINT) + 1 THEN stat END) AS shi2,
+            max(ilo) AS ilo, max(ihi) AS ihi
+          FROM st, par),
+        mn AS (SELECT sum(stat) / max(rr) AS mean_stat FROM st),
+        sev AS (SELECT sqrt(sum((stat - mean_stat)*(stat - mean_stat))
+                            / greatest(1, max(rr) - 1)) AS se
+                FROM st, mn),
+        fin AS (SELECT
+            slo1 * (1.0 - (ilo - floor(ilo))) + slo2 * (ilo - floor(ilo)) AS lo_raw,
+            shi1 * (1.0 - (ihi - floor(ihi))) + shi2 * (ihi - floor(ihi)) AS hi_raw,
+            se
+          FROM pick, sev)
+      SELECT ${oround("least(100.0, greatest(0.0, lo_raw))", 4)} AS ci_lower,
+             ${oround("least(100.0, greatest(0.0, hi_raw))", 4)} AS ci_upper,
+             ${oround("se", 4)} AS se
+      FROM fin"""
+    })
+
   override def queries: Seq[QueryDef] = Seq(
-    semReliability, semBounds, upsertLastWins, dedupGate)
+    semReliability, semBounds, upsertLastWins, dedupGate, pcaOlsCi,
+    bootstrapCi)
 }

@@ -49,21 +49,47 @@ object Bootstrap {
     0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
     0.9999167588507119, 0.9999897508033253)
 
+  /** Cross-engine uniform in (0,1) for (key, replicate): three 32-bit LCG
+    * rounds over pre-masked integers — pure integer arithmetic with all
+    * products < 2^49 (no Long overflow under ANSI for ANY key), so DuckDB
+    * evaluates the identical expression to the identical double and an
+    * oracle can replay the exact resample weights (q_bootstrap_ci).
+    * Requires a non-negative key (mask it upstream if ids can be < 0). */
+  private[stats] def lcgUniform(key: org.apache.spark.sql.Column,
+      r: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column = {
+    val m = 4294967296L
+    val x1 = ((key % m) * 69069L + lit(seed % m)) % m
+    val x2 = (x1 * 69069L + r * 2654435761L + 1L) % m
+    val x3 = (x2 * 69069L + 1L) % m
+    (x3.cast("double") + lit(0.5)) / 4294967296.0
+  }
+
   /** M15, distributed variant: bootstrap CI of the MEAN over a DataFrame
     * column, all `resamples` replicates in ONE scan.
     *
     * Multinomial resampling is a driver-side loop (R passes); for large n
     * the per-row replicate weight converges to Poisson(1), so each row
-    * draws a deterministic Poisson weight per replicate — keyed by
-    * `xxhash64(key, replicate, seed)`, partition-order independent — and
-    * each replicate's statistic is a weighted agg. The explode is CPU-only
-    * fan-out; map-side partial aggregation means the shuffle carries R
-    * partial sums per partition, not R copies of the data. Only the R
-    * replicate statistics (tiny) reach the driver. */
+    * draws a deterministic Poisson weight per replicate — an integer-LCG
+    * hash of (key, replicate, seed), partition-order independent AND
+    * reproducible in plain SQL — and each replicate's statistic is a
+    * weighted agg. The explode is CPU-only fan-out; map-side partial
+    * aggregation means the shuffle carries R partial sums per partition,
+    * not R copies of the data. Only the R replicate statistics (tiny)
+    * reach the driver.
+    *
+    * Fewer than 2 input rows → the reference's degenerate ±5 band around
+    * the observed value (sem_confidence.py:224-228,332-341). */
   def distributedMeanCI(df: DataFrame, valueCol: String, keyCol: String,
       resamples: Int = 400, seed: Long = 42L, alpha: Double = 0.05): CI = {
-    val u = (abs(xxhash64(col(keyCol), col("r"), lit(seed))) % 1000000000L)
-      .cast("double") / 1e9
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val n2 = vals.limit(2).count()
+    require(n2 > 0, "bootstrap needs at least one value")
+    if (n2 < 2) {
+      val v = vals.agg(avg("v")).collect().head.getDouble(0)
+      return CI(v - 5.0, v + 5.0, 0.0)
+    }
+    val u = lcgUniform(col(keyCol), col("r"), seed)
     val w = poissonCdf.zipWithIndex.foldRight(lit(poissonCdf.length): org.apache.spark.sql.Column) {
       case ((cdf, k), rest) => when(u < cdf, k).otherwise(rest)
     }

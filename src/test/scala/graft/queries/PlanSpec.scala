@@ -65,6 +65,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_orders_pagination: row ranking is bucket-partitioned, not global") {
+    val plan = physicalPlan("q_orders_pagination")
+    // the row-level row_number window must partition by the date bucket
+    // (_d); a bare ORDER BY window over the orders rows would funnel the
+    // fact table through one task at 100 TB
+    val rnLine = plan.linesIterator.find(_.contains("row_number"))
+      .getOrElse(fail("no row_number window in plan"))
+    assert(rnLine.contains("windowspecdefinition(_d"),
+      s"row_number window is not bucket-partitioned: $rnLine")
+  }
+
   test("q_orders_keyset_page: cursor predicate pushes into the scan; no window") {
     val plan = physicalPlan("q_orders_keyset_page")
     assert(plan.contains("PushedFilters: [Or(LessThan(o_orderdate")

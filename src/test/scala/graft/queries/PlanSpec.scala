@@ -65,6 +65,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_full_scores: scoring DAG posture — cached single events scan, " +
+      "partitioned entity windows, broadcast attachment joins") {
+    val exec = SparkEntry.queries("q_full_scores")(spark, sfDir)
+      .queryExecution.executedPlan
+    // 1. events is read through the ONE persisted dims frame: the top-level
+    // plan must contain no direct file scan of events (only
+    // InMemoryTableScans over the shared cache, which materializes from a
+    // single scan). Removing the persist puts FileSourceScanExec nodes
+    // right back into this tree.
+    val directScans = exec.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.toString.contains("events") => f
+    }
+    assert(directScans.isEmpty,
+      s"events scanned directly ${directScans.size}x — dims cache sharing broken")
+    assert(exec.toString.contains("InMemoryTableScan"), "dims frame not cached")
+    // 2. every row_number window over entities is partitioned (bucketed
+    // two-pass rank); an unpartitioned windowspec starts with a sort spec
+    // as its first argument
+    val winLines = exec.toString.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    val unpartitioned = winLines.filter(
+      _.matches(""".*windowspecdefinition\([^,]*\s(ASC|DESC)[^,]*,.*"""))
+    // the only allowed unpartitioned window runs over the ≤101 BUCKET
+    // count rows (cumulative offsets), never over entity rows
+    assert(unpartitioned.forall(l => l.contains("_bkt") && l.contains("sum(_bn")),
+      s"unpartitioned window over non-bucket rows:\n${unpartitioned.mkString("\n")}")
+    assert(winLines.exists(_.contains("row_number() windowspecdefinition(_bkt")),
+      "bucketed rank window missing")
+    // 3. the scalar/offset attachments broadcast
+    assert(exec.toString.contains("BroadcastHashJoin"))
+  }
+
   test("q_orders_pagination: row ranking is bucket-partitioned, not global") {
     val plan = physicalPlan("q_orders_pagination")
     // the row-level row_number window must partition by the date bucket

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Time a named subset of registered queries on a given SF dir (dev tool:
+  * `runMain graft.BenchOne <sfDir> <query...>`). Same methodology as Bench
+  * (untimed warmup, cache cleared between runs). */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args.drop(1).toSet
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    graft.queries.Registry.all.filter(q => names(q.name)).foreach { q =>
+      val t0 = System.nanoTime()
+      q.build(spark, sfDir).count()
+      println(f"[benchone] ${q.name} ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -49,6 +49,10 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // events.parquet is TIMESTAMP(NANOS) — read the nanos as int64 (same
+    // trick as Tables.events); the sf1 copy then stores ts as BIGINT nanos,
+    // which Tables.events' `ts div 1000L` derivation handles identically
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     shiftCols.foreach { case (t, keys) =>
       val df = spark.read.parquet(s"$src/$t.parquet")
       scaled(df, keys, copies)

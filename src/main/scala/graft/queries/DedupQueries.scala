@@ -42,6 +42,14 @@ object DedupQueries extends QueryModule {
 
   // -- MinHash + LSH: 4 bands × 1 row over 2-token shingles; candidate pairs
   //    share a band minhash; exact Jaccard on shingle sets over candidates.
+  //
+  //    EXACT-DEDUP-FIRST (round 3): identical documents share every band
+  //    signature, so raw-corpus LSH candidate mass grows as Σ n_b² over
+  //    duplicate groups — measured 191× runtime at 10× data on the sf1
+  //    scale-up (each doc there has 9 exact replicas). Collapsing exact
+  //    duplicates to one representative (cheap hash groupBy, the ingest
+  //    gate's key) BEFORE signatures is the standard production shape:
+  //    near-dup search only ever runs over distinct contents.
   private val minhashLsh = QueryDef(
     "q_minhash_lsh_neardup",
     (s, dir) => {
@@ -50,6 +58,8 @@ object DedupQueries extends QueryModule {
       // split/transform scan 3× (5k rows/MBs at sf0.1; at 100 TB this is a
       // checkpoint to storage instead)
       val d = Tables.documents(s, dir)
+        .groupBy(sha2(col("text"), 256).as("ckey"))
+        .agg(min("doc_id").as("doc_id"), min("text").as("text"))
         .withColumn("toks", split(col("text"), " "))
         .withColumn("shingles", array_distinct(expr(
           "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))")))
@@ -83,10 +93,12 @@ object DedupQueries extends QueryModule {
           dround(max("jaccard"), 4).as("max_jaccard"))
     },
     Some(s"""
-      WITH d AS (SELECT doc_id,
+      WITH d0 AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+                  FROM documents GROUP BY sha256(text)),
+        d AS (SELECT doc_id,
                    list_distinct(list_transform(generate_series(1, len(toks) - 1),
                      i -> array_to_string(toks[i:i+1], ' '))) AS shingles
-                 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+                 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d0)),
         sh AS (SELECT doc_id, sha256(unnest(shingles)) AS h FROM d),
         bands AS (SELECT doc_id, band,
                     min(substr(h, 1 + 16 * band, 16)) AS mh
@@ -120,6 +132,8 @@ object DedupQueries extends QueryModule {
     "q_minhash_banded_r2",
     (s, dir) => {
       val d = Tables.documents(s, dir)
+        .groupBy(sha2(col("text"), 256).as("ckey")) // exact-dedup-first (see above)
+        .agg(min("doc_id").as("doc_id"), min("text").as("text"))
         .withColumn("toks", split(col("text"), " "))
         .withColumn("shingles", array_distinct(expr(
           "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))")))
@@ -154,10 +168,12 @@ object DedupQueries extends QueryModule {
           coalesce(dround(max("jaccard"), 4), lit(0.0)).as("max_jaccard"))
     },
     Some(s"""
-      WITH d AS (SELECT doc_id,
+      WITH d0 AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+                  FROM documents GROUP BY sha256(text)),
+        d AS (SELECT doc_id,
                    list_distinct(list_transform(generate_series(1, len(toks) - 1),
                      i -> array_to_string(toks[i:i+1], ' '))) AS shingles
-                 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+                 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d0)),
         sh AS (SELECT doc_id, sha256(unnest(shingles)) AS h FROM d),
         bands AS (SELECT doc_id, band,
                     min(substr(h, 1 + 16 * band, 8))

@@ -439,7 +439,96 @@ object DedupQueries extends QueryModule {
              ${oround("max(cosine)", 4)} AS max_cosine
       FROM pairs GROUP BY label ORDER BY label"""))
 
+  // -- benchmark-contamination detection: flag training docs that overlap
+  //    an evaluation set (docs 0-24 stand in for the benchmark) by ≥5
+  //    shared 2-token shingles. The benchmark shingle set is tiny by
+  //    nature → broadcast; the corpus side is one scan + explode with
+  //    map-side-combined per-doc match counts — the shape that lets a
+  //    100 TB corpus be swept against any eval suite without a shuffle of
+  //    the big side.
+  private val contamination = QueryDef(
+    "q_contamination",
+    (s, dir) => {
+      def shingled(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("shingles", array_distinct(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))")))
+      val d = shingled(Tables.documents(s, dir))
+      val bench = d.filter(col("doc_id") < 25)
+        .select(explode(col("shingles")).as("sh")).distinct()
+      val corpus = d.filter(col("doc_id") >= 25)
+        .select(col("doc_id"), col("lang"), explode(col("shingles")).as("sh"))
+      val overlap = corpus.join(broadcast(bench), "sh")
+        .groupBy("doc_id", "lang").agg(count(lit(1)).as("n_overlap"))
+      val perDoc = d.filter(col("doc_id") >= 25).select("doc_id", "lang")
+        .join(overlap, Seq("doc_id", "lang"), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs_checked"),
+          sum(when(col("n_overlap") >= 5, 1L).otherwise(0L)).as("n_contaminated"),
+          max("n_overlap").as("max_overlap"),
+          dround(avg("n_overlap"), 4).as("avg_overlap"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, lang,
+                   list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                     i -> array_to_string(toks[i:i+1], ' '))) AS shingles
+                 FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                       FROM documents)),
+        bench AS (SELECT DISTINCT unnest(shingles) AS sh FROM d WHERE doc_id < 25),
+        corpus AS (SELECT doc_id, lang, unnest(shingles) AS sh FROM d
+                   WHERE doc_id >= 25),
+        overlap AS (SELECT corpus.doc_id, corpus.lang, count(*) AS n_overlap
+                    FROM corpus JOIN bench ON corpus.sh = bench.sh
+                    GROUP BY corpus.doc_id, corpus.lang),
+        per AS (SELECT d.doc_id, d.lang, coalesce(o.n_overlap, 0) AS n_overlap
+                FROM d LEFT JOIN overlap o ON d.doc_id = o.doc_id
+                WHERE d.doc_id >= 25)
+      SELECT lang, count(*) AS n_docs_checked,
+             CAST(sum(CASE WHEN n_overlap >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+             CAST(max(n_overlap) AS BIGINT) AS max_overlap,
+             ${oround("avg(n_overlap)", 4)} AS avg_overlap
+      FROM per GROUP BY lang ORDER BY lang"""))
+
+  // -- cross-document passage dedup (repeated-boilerplate detection):
+  //    8-token windows at stride 4 per doc, grouped globally — a passage
+  //    seen in ≥2 distinct docs is shared boilerplate/duplicated content.
+  //    Linear in corpus size (explode + one map-side-combined groupBy; no
+  //    pairwise step at all), which is why passage-level dedup scales
+  //    where pairwise diffing cannot. At 100 TB the group key is the
+  //    passage HASH (the string here keeps the oracle twin 1:1).
+  private val passageDedup = QueryDef(
+    "q_passage_dedup",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("passages", expr(
+          """CASE WHEN size(toks) >= 8
+                  THEN transform(sequence(0, (size(toks) - 8) div 4),
+                                 i -> concat_ws(' ', slice(toks, 4 * i + 1, 8)))
+                  ELSE array() END"""))
+      val w = d.select(col("doc_id"), explode(col("passages")).as("p"))
+      w.groupBy("p")
+        .agg(countDistinct("doc_id").as("nd"), count(lit(1)).as("n"))
+        .agg(sum("n").as("n_windows"),
+          count(lit(1)).as("n_distinct_passages"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_cross_doc_passages"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks) - 7, 4),
+                     i -> array_to_string(toks[i:i+7], ' '))) AS p
+                 FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents)),
+        byp AS (SELECT p, count(DISTINCT doc_id) AS nd, count(*) AS n
+                FROM w GROUP BY p)
+      SELECT CAST(sum(n) AS BIGINT) AS n_windows,
+             count(*) AS n_distinct_passages,
+             CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_doc_passages
+      FROM byp"""))
+
   override def queries: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, minhashBandedR2, simhash, neardupClusters,
-    ngramJaccard, embeddingNearDup)
+    ngramJaccard, embeddingNearDup, contamination, passageDedup)
 }

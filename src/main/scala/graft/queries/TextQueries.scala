@@ -330,7 +330,53 @@ object TextQueries extends QueryModule {
       SELECT lang, rnk, doc_id, ${oround("quality", 4)} AS quality
       FROM rk WHERE rnk <= 3 ORDER BY lang, rnk"""))
 
+  // -- within-document repetition scoring (the Gopher-style "fraction of
+  //    duplicate n-grams" quality gate): rep_ratio = 1 − distinct/total
+  //    over 3-grams. Highly repetitive docs are the classic low-quality
+  //    class a training-data pipeline filters before tokenization. One
+  //    scan, all array expressions inside codegen — no shuffle until the
+  //    per-lang rollup.
+  private val docRepetition = QueryDef(
+    "q_doc_repetition",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("grams", expr(
+          """CASE WHEN size(toks) >= 3
+                  THEN transform(sequence(0, size(toks) - 3),
+                                 i -> concat_ws(' ', slice(toks, i + 1, 3)))
+                  ELSE array() END"""))
+        .withColumn("n_grams", size(col("grams")))
+        .withColumn("rep_ratio",
+          when(col("n_grams") > 0,
+            lit(1.0) - size(array_distinct(col("grams"))).cast("double")
+              / col("n_grams"))
+            .otherwise(lit(0.0)))
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          dround(avg("rep_ratio"), 4).as("avg_rep_ratio"),
+          dround(max("rep_ratio"), 4).as("max_rep_ratio"),
+          sum(when(col("rep_ratio") > 0.2, 1L).otherwise(0L)).as("n_repetitive"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH g AS (SELECT doc_id, lang,
+                   list_transform(generate_series(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+2], ' ')) AS grams
+                 FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                       FROM documents)),
+        r AS (SELECT lang,
+                CASE WHEN len(grams) > 0
+                     THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                     ELSE CAST(0.0 AS DOUBLE) END AS rep_ratio
+              FROM g)
+      SELECT lang, count(*) AS n_docs,
+             ${oround("avg(rep_ratio)", 4)} AS avg_rep_ratio,
+             ${oround("max(rep_ratio)", 4)} AS max_rep_ratio,
+             CAST(sum(CASE WHEN rep_ratio > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+      FROM r GROUP BY lang ORDER BY lang"""))
+
   override def queries: Seq[QueryDef] =
     Seq(tokenStats, docQuality, langId, fingerprint, keywordHits, tokenCountsBpe,
-      tfidfTop, weightedSample)
+      tfidfTop, weightedSample, docRepetition)
 }

@@ -376,7 +376,50 @@ object TextQueries extends QueryModule {
              CAST(sum(CASE WHEN rep_ratio > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
       FROM r GROUP BY lang ORDER BY lang"""))
 
+  // -- corpus mixture planner (training-mix construction, pairs with the
+  //    weighted sampler): per-language token counts → actual corpus share →
+  //    per-stratum sampling rate to hit a target mix (uniform here; any
+  //    literal map works). rate = min(1, target/actual) is the standard
+  //    downsample-only mix: over-represented strata get cut, under-
+  //    represented ones pass whole. One scan + a broadcast of the 1-row
+  //    total — the query a 100 TB pretraining run executes before cutting
+  //    its mix.
+  private val mixtureRates = QueryDef(
+    "q_mixture_rates",
+    (s, dir) => {
+      val target = 0.2 // uniform over the 5 langs
+      val perLang = Tables.documents(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
+      val total = perLang.agg(sum("lang_tokens").as("total_tokens"))
+      perLang.crossJoin(broadcast(total))
+        .withColumn("actual_share",
+          col("lang_tokens").cast("double") / col("total_tokens"))
+        .withColumn("sampling_rate",
+          least(lit(1.0), lit(target) / col("actual_share")))
+        .select(col("lang"), col("lang_tokens"),
+          dround(col("actual_share"), 4).as("actual_share"),
+          dround(col("sampling_rate"), 4).as("sampling_rate"),
+          dround(col("lang_tokens") * col("sampling_rate"), 4)
+            .as("expected_tokens"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH pl AS (SELECT lang,
+                    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+                  FROM documents GROUP BY lang),
+        t AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens FROM pl),
+        m AS (SELECT lang, lang_tokens,
+                CAST(lang_tokens AS DOUBLE) / total_tokens AS actual_share,
+                least(1.0, 0.2 / (CAST(lang_tokens AS DOUBLE) / total_tokens)) AS sampling_rate
+              FROM pl, t)
+      SELECT lang, lang_tokens,
+             ${oround("actual_share", 4)} AS actual_share,
+             ${oround("sampling_rate", 4)} AS sampling_rate,
+             ${oround("lang_tokens * sampling_rate", 4)} AS expected_tokens
+      FROM m ORDER BY lang"""))
+
   override def queries: Seq[QueryDef] =
     Seq(tokenStats, docQuality, langId, fingerprint, keywordHits, tokenCountsBpe,
-      tfidfTop, weightedSample, docRepetition)
+      tfidfTop, weightedSample, docRepetition, mixtureRates)
 }

@@ -40,20 +40,33 @@ object Bench {
     // Warmup: exercise scan + shuffle + codegen paths once, untimed.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
-    def timeOnce(q: graft.queries.QueryDef, dir: String): Double = {
+    // A query that THROWS must never look like a fast success — it would
+    // silently corrupt the scaling evidence (a time-to-crash is not a
+    // runtime). Failures are reported in their own `failed` list.
+    def timeOnce(q: graft.queries.QueryDef, dir: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try { q.build(spark, dir).count() } catch { case _: Throwable => () }
+      val ok = try { q.build(spark, dir).count(); true }
+        catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      sec
+      if (ok) Some(sec) else None
     }
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val benched = graft.queries.Registry.all.filter(_.bench).sortBy(_.name)
-    val results = benched.map(q =>
-      q.name -> r3(math.min(timeOnce(q, sfDir), timeOnce(q, sfDir))))
+    val timed = benched.map { q =>
+      q.name -> ((timeOnce(q, sfDir), timeOnce(q, sfDir)) match {
+        case (Some(a), Some(b)) => Some(r3(math.min(a, b)))
+        case _ => None
+      })
+    }
+    val results = timed.collect { case (n, Some(t)) => n -> t }
+    val failed = timed.collect { case (n, None) => n }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
 
     // Secondary scale factor: single-run sweep under a wall-clock budget.
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/testdata/sf1")
@@ -64,21 +77,27 @@ object Bench {
         var spent = 0.0
         val done = scala.collection.mutable.ListBuffer.empty[(String, Double)]
         val skipped = scala.collection.mutable.ListBuffer.empty[String]
+        val sfailed = scala.collection.mutable.ListBuffer.empty[String]
         benched.foreach { q =>
           if (spent < sf1Budget) {
-            val s = timeOnce(q, sf1Dir)
-            spent += s
-            done += (q.name -> r3(s))
+            val t0 = System.nanoTime()
+            timeOnce(q, sf1Dir) match {
+              case Some(s) => spent += s; done += (q.name -> r3(s))
+              case None =>
+                spent += (System.nanoTime() - t0) / 1e9 // crashes cost budget too
+                sfailed += q.name
+            }
           } else skipped += q.name
         }
         val dq = done.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
         val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-        s""","sf1":{"dir":"$sf1Dir","total":${r3(done.map(_._2).sum)},"queries":$dq,"skipped":$sk}"""
+        val fl = sfailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""","sf1":{"dir":"$sf1Dir","total":${r3(done.map(_._2).sum)},"queries":$dq,"skipped":$sk,"failed":$fl}"""
       }
 
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$sf1Json}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedJson$sf1Json}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
     try {
       val w = new java.io.PrintWriter(outPath)

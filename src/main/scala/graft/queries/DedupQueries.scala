@@ -17,6 +17,21 @@ import Det.{dround, oround}
   */
 object DedupQueries extends QueryModule {
 
+  /** Adds a distinct 2-token `shingles` array from `text` (the near-dup
+    * unit shared by MinHash, contamination, and the banding spec). */
+  private def shingled(df: org.apache.spark.sql.DataFrame) = df
+    .withColumn("toks", split(col("text"), " "))
+    .withColumn("shingles", array_distinct(expr(
+      "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))")))
+
+  /** Exact-dedup-first: one representative (min doc_id / text) per distinct
+    * content — identical docs share every LSH signature, so candidate mass
+    * otherwise grows as Σ n_b² over duplicate groups (measured 191× at 10×
+    * data before this collapse). */
+  private def collapseExactDups(df: org.apache.spark.sql.DataFrame) = df
+    .groupBy(sha2(col("text"), 256).as("ckey"))
+    .agg(min("doc_id").as("doc_id"), min("text").as("text"))
+
   // -- exact dedup over a normalized content key (first 8 tokens) — the
   //    content-hash ingest gate (S12) as a batch profile
   private val exactDedup = QueryDef(
@@ -57,12 +72,7 @@ object DedupQueries extends QueryModule {
       // both sides of the candidate-pair join) — cache beats recomputing the
       // split/transform scan 3× (5k rows/MBs at sf0.1; at 100 TB this is a
       // checkpoint to storage instead)
-      val d = Tables.documents(s, dir)
-        .groupBy(sha2(col("text"), 256).as("ckey"))
-        .agg(min("doc_id").as("doc_id"), min("text").as("text"))
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("shingles", array_distinct(expr(
-          "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))")))
+      val d = shingled(collapseExactDups(Tables.documents(s, dir)))
         .select(col("doc_id"), col("shingles"))
         .persist()
       // One codegen'd sha2 per shingle; the 4 band hashes are disjoint
@@ -131,12 +141,7 @@ object DedupQueries extends QueryModule {
   private val minhashBandedR2 = QueryDef(
     "q_minhash_banded_r2",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
-        .groupBy(sha2(col("text"), 256).as("ckey")) // exact-dedup-first (see above)
-        .agg(min("doc_id").as("doc_id"), min("text").as("text"))
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("shingles", array_distinct(expr(
-          "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))")))
+      val d = shingled(collapseExactDups(Tables.documents(s, dir)))
         .select(col("doc_id"), col("shingles"))
         .persist()
       val sh = d.select(col("doc_id"), explode(col("shingles")).as("shingle"))
@@ -449,10 +454,6 @@ object DedupQueries extends QueryModule {
   private val contamination = QueryDef(
     "q_contamination",
     (s, dir) => {
-      def shingled(df: org.apache.spark.sql.DataFrame) = df
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("shingles", array_distinct(expr(
-          "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))")))
       val d = shingled(Tables.documents(s, dir))
       val bench = d.filter(col("doc_id") < 25)
         .select(explode(col("shingles")).as("sh")).distinct()

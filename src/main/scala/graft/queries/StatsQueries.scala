@@ -157,16 +157,38 @@ object StatsQueries extends QueryModule {
   //    eigenvector to machine precision and every output survives the
   //    4-decimal grid. Only the k×k eigen step is driver-side (k=5, tiny);
   //    all data passes are single-scan aggregates — the 100 TB shape.
+  /** Shared input frame for the two stat-CI queries: entity × dimension
+    * pivot (0-filled) plus `y` = the plain mean of the item scores
+    * ("predict overall readiness from the factor" — the reference's
+    * regression shape). */
+  private def wideWithY(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val wide = ScorePipeline.dimensionInputs(s, dir)
+      .groupBy("entity_id").pivot("dimension", dims).agg(first("score"))
+      .na.fill(0.0, dims)
+    wide.withColumn("y", dims.map(col).reduce(_ + _) / lit(dims.size.toDouble))
+  }
+
+  /** Oracle twin of `wideWithY` (CTEs `dimscores` → `w` → `wy`), shared
+    * verbatim by both stat-CI oracles so the twins cannot drift apart. */
+  private val wideYCtes: String = s"""
+        dimscores AS (
+          SELECT user_id AS entity_id, event_type AS dimension,
+                 least(100.0, greatest(0.0, avg(value))) AS score
+          FROM events GROUP BY 1, 2),
+        w AS (SELECT entity_id,
+                coalesce(max(CASE WHEN dimension = 'click' THEN score END), 0.0) AS s1,
+                coalesce(max(CASE WHEN dimension = 'view' THEN score END), 0.0) AS s2,
+                coalesce(max(CASE WHEN dimension = 'purchase' THEN score END), 0.0) AS s3,
+                coalesce(max(CASE WHEN dimension = 'signup' THEN score END), 0.0) AS s4,
+                coalesce(max(CASE WHEN dimension = 'error' THEN score END), 0.0) AS s5
+              FROM dimscores GROUP BY entity_id),
+        wy AS (SELECT *, (((((s1 + s2) + s3) + s4) + s5) / 5.0) AS y FROM w)"""
+
   private val pcaOlsCi = QueryDef(
     "q_pca_ols_ci",
     (s, dir) => {
-      val wide = ScorePipeline.dimensionInputs(s, dir)
-        .groupBy("entity_id").pivot("dimension", dims).agg(first("score"))
-        .na.fill(0.0, dims)
-      // target: the plain mean of the item scores ("predict overall
-      // readiness from the PC1 factor" — the reference's regression shape)
-      val y = dims.map(col).reduce(_ + _) / lit(dims.size.toDouble)
-      val df = wide.withColumn("y", y)
+      val df = wideWithY(s, dir)
       val fit = PcaOls.fit(df, dims, "y")
       val eta = dims.zipWithIndex
         .map { case (c, i) => col(c) * lit(fit.loadings(i)) }.reduce(_ + _)
@@ -184,19 +206,7 @@ object StatsQueries extends QueryModule {
       // dims order is ScorePipeline.Dimensions: click, view, purchase,
       // signup, error → v1..v5 / l1..l5 in that order everywhere.
       s"""
-      WITH RECURSIVE
-        dimscores AS (
-          SELECT user_id AS entity_id, event_type AS dimension,
-                 least(100.0, greatest(0.0, avg(value))) AS score
-          FROM events GROUP BY 1, 2),
-        w AS (SELECT entity_id,
-                coalesce(max(CASE WHEN dimension = 'click' THEN score END), 0.0) AS s1,
-                coalesce(max(CASE WHEN dimension = 'view' THEN score END), 0.0) AS s2,
-                coalesce(max(CASE WHEN dimension = 'purchase' THEN score END), 0.0) AS s3,
-                coalesce(max(CASE WHEN dimension = 'signup' THEN score END), 0.0) AS s4,
-                coalesce(max(CASE WHEN dimension = 'error' THEN score END), 0.0) AS s5
-              FROM dimscores GROUP BY entity_id),
-        wy AS (SELECT *, (((((s1 + s2) + s3) + s4) + s5) / 5.0) AS y FROM w),
+      WITH RECURSIVE $wideYCtes,
         cm AS (SELECT corr(s1, s2) AS m12, corr(s1, s3) AS m13,
                       corr(s1, s4) AS m14, corr(s1, s5) AS m15,
                       corr(s2, s3) AS m23, corr(s2, s4) AS m24,
@@ -279,12 +289,8 @@ object StatsQueries extends QueryModule {
     "q_bootstrap_ci",
     (s, dir) => {
       import s.implicits._
-      val wide = ScorePipeline.dimensionInputs(s, dir)
-        .groupBy("entity_id").pivot("dimension", dims).agg(first("score"))
-        .na.fill(0.0, dims)
-      val y = dims.map(col).reduce(_ + _) / lit(dims.size.toDouble)
       val ci = Bootstrap.distributedMeanCI(
-        wide.select(col("entity_id"), y.as("y")), "y", "entity_id")
+        wideWithY(s, dir).select("entity_id", "y"), "y", "entity_id")
       Seq((ci.lower, ci.upper, ci.se)).toDF("l", "u", "s")
         .select(
           dround(least(lit(100.0), greatest(lit(0.0), col("l"))), 4).as("ci_lower"),
@@ -293,19 +299,7 @@ object StatsQueries extends QueryModule {
     },
     Some {
       s"""
-      WITH
-        dimscores AS (
-          SELECT user_id AS entity_id, event_type AS dimension,
-                 least(100.0, greatest(0.0, avg(value))) AS score
-          FROM events GROUP BY 1, 2),
-        w AS (SELECT entity_id,
-                coalesce(max(CASE WHEN dimension = 'click' THEN score END), 0.0) AS s1,
-                coalesce(max(CASE WHEN dimension = 'view' THEN score END), 0.0) AS s2,
-                coalesce(max(CASE WHEN dimension = 'purchase' THEN score END), 0.0) AS s3,
-                coalesce(max(CASE WHEN dimension = 'signup' THEN score END), 0.0) AS s4,
-                coalesce(max(CASE WHEN dimension = 'error' THEN score END), 0.0) AS s5
-              FROM dimscores GROUP BY entity_id),
-        wy AS (SELECT entity_id, (((((s1 + s2) + s3) + s4) + s5) / 5.0) AS y FROM w),
+      WITH $wideYCtes,
         ex AS (SELECT entity_id, y, unnest(generate_series(0, 399)) AS r FROM wy),
         uu AS (SELECT r, y,
                  (((((((entity_id % 4294967296) * 69069 + 42) % 4294967296)

@@ -54,11 +54,17 @@ object Bootstrap {
     * products < 2^49 (no Long overflow under ANSI for ANY key), so DuckDB
     * evaluates the identical expression to the identical double and an
     * oracle can replay the exact resample weights (q_bootstrap_ci).
-    * Requires a non-negative key (mask it upstream if ids can be < 0). */
+    *
+    * The key must be NUMERIC (cast upstream; a non-castable key yields a
+    * null uniform and an exception below, not a silent bias). Negative
+    * keys are folded into [0, m) here — `((k % m) + m) % m` — which is the
+    * identity for the non-negative ids the oracle twins use, so the SQL
+    * side stays the plain `% m`. */
   private[stats] def lcgUniform(key: org.apache.spark.sql.Column,
       r: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column = {
     val m = 4294967296L
-    val x1 = ((key % m) * 69069L + lit(seed % m)) % m
+    val k = ((key.cast("long") % m) + m) % m
+    val x1 = (k * 69069L + lit(seed % m)) % m
     val x2 = (x1 * 69069L + r * 2654435761L + 1L) % m
     val x3 = (x2 * 69069L + 1L) % m
     (x3.cast("double") + lit(0.5)) / 4294967296.0
@@ -81,6 +87,16 @@ object Bootstrap {
     * the observed value (sem_confidence.py:224-228,332-341). */
   def distributedMeanCI(df: DataFrame, valueCol: String, keyCol: String,
       resamples: Int = 400, seed: Long = 42L, alpha: Double = 0.05): CI = {
+    // fail fast on contract violations that would otherwise BIAS the CI
+    // silently: a non-numeric or null key makes the LCG uniform null, and
+    // a null uniform would fall into the max-weight branch of the Poisson
+    // inverse-CDF (every replicate identical — zero-width interval)
+    require(df.schema(keyCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"keyCol '$keyCol' must be numeric for deterministic resampling " +
+        s"(got ${df.schema(keyCol).dataType.simpleString})")
+    require(df.filter(col(keyCol).isNull && col(valueCol).isNotNull).isEmpty,
+      s"null $keyCol with non-null $valueCol — cannot assign resample weights")
     val vals = df.select(col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
     val n2 = vals.limit(2).count()

@@ -41,50 +41,76 @@ object PdfText {
 
   // ------------------------------------------------------------------
   // minimal PDF object model: latin-1 gives a 1:1 byte↔char view, so
-  // regex indices address raw bytes exactly
-  private val ObjRe = "(?s)(\\d+)\\s+\\d+\\s+obj\\b(.*?)endobj".r
+  // regex/string indices address raw bytes exactly
+  private val ObjStartRe = "(\\d+)\\s+\\d+\\s+obj\\b".r
   private val PageRe = "/Type\\s*/Page\\b".r
   private val ContentsRe = "/Contents\\s*\\[?((?:\\s*\\d+\\s+\\d+\\s+R)+)".r
   private val RefRe = "(\\d+)\\s+\\d+\\s+R".r
+  private val LengthRe = "/Length\\s+(\\d+)(?!\\s+\\d+\\s+R)".r
 
   private final case class PdfObj(dict: String, stream: Option[Array[Byte]])
 
+  /** Object scan honoring `/Length`: binary stream data may contain the
+    * ASCII substrings "endobj"/"endstream", so when the dict carries a
+    * direct /Length the data extent is taken from it and the delimiters
+    * are only searched AFTER the data. A non-literal /Length (indirect
+    * `N 0 R`) falls back to the endstream scan with a single-EOL trim —
+    * documented best-effort. */
   private def parseObjects(payload: Array[Byte]): Seq[(Int, PdfObj)] = {
     val s = new String(payload, StandardCharsets.ISO_8859_1)
-    ObjRe.findAllMatchIn(s).map { m =>
+    val starts = ObjStartRe.findAllMatchIn(s).toSeq
+    starts.flatMap { m =>
       val num = m.group(1).toInt
-      val body = m.group(2)
-      val si = body.indexOf("stream")
-      if (si < 0) num -> PdfObj(body, None)
-      else {
-        val dict = body.substring(0, si)
-        var ds = si + "stream".length
-        if (ds < body.length && body.charAt(ds) == '\r') ds += 1
-        if (ds < body.length && body.charAt(ds) == '\n') ds += 1
-        val de0 = body.indexOf("endstream", ds)
-        val de = if (de0 < 0) body.length else de0
-        // EOL before endstream is not part of the data
-        var end = de
-        if (end > ds && body.charAt(end - 1) == '\n') end -= 1
-        if (end > ds && body.charAt(end - 1) == '\r') end -= 1
-        num -> PdfObj(dict,
-          Some(body.substring(ds, end).getBytes(StandardCharsets.ISO_8859_1)))
+      val bodyStart = m.end
+      val endobjNaive = s.indexOf("endobj", bodyStart)
+      val streamIdx = s.indexOf("stream", bodyStart)
+      val hasStream = streamIdx >= 0 &&
+        (endobjNaive < 0 || streamIdx < endobjNaive)
+      if (!hasStream) {
+        val end = if (endobjNaive < 0) s.length else endobjNaive
+        Some(num -> PdfObj(s.substring(bodyStart, end), None))
+      } else {
+        val dict = s.substring(bodyStart, streamIdx)
+        var ds = streamIdx + "stream".length
+        if (ds < s.length && s.charAt(ds) == '\r') ds += 1
+        if (ds < s.length && s.charAt(ds) == '\n') ds += 1
+        val end = LengthRe.findFirstMatchIn(dict).map(_.group(1).toInt) match {
+          case Some(len) if ds + len <= s.length => ds + len // exact extent
+          case _ =>
+            val de0 = s.indexOf("endstream", ds)
+            val de = if (de0 < 0) s.length else de0
+            // trim ONE EOL (\r\n, \n, or \r) before endstream — it is a
+            // delimiter, not data (only safe in this no-/Length fallback)
+            if (de > ds && s.charAt(de - 1) == '\n')
+              de - (if (de - 1 > ds && s.charAt(de - 2) == '\r') 2 else 1)
+            else if (de > ds && s.charAt(de - 1) == '\r') de - 1
+            else de
+        }
+        Some(num -> PdfObj(dict,
+          Some(s.substring(ds, end).getBytes(StandardCharsets.ISO_8859_1))))
       }
-    }.toSeq
+    }
   }
 
+  /** Tolerant inflate: malformed deflate data (corrupt file, unsupported
+    * predictor, mis-delimited stream) yields the bytes decoded so far —
+    * never an exception, matching the class contract that undecodable
+    * payloads degrade instead of failing the ingest job. */
   private def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
-    inf.setInput(data)
     val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    var stuck = false
-    while (!inf.finished() && !stuck) {
-      val n = inf.inflate(buf)
-      if (n > 0) out.write(buf, 0, n)
-      else if (inf.needsInput() || inf.needsDictionary()) stuck = true // truncated
-    }
-    inf.end()
+    try {
+      inf.setInput(data)
+      val buf = new Array[Byte](8192)
+      var stuck = false
+      while (!inf.finished() && !stuck) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (inf.needsInput() || inf.needsDictionary()) stuck = true // truncated
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => () // malformed: keep prefix
+    } finally inf.end()
     out.toByteArray
   }
 
@@ -144,7 +170,10 @@ object PdfText {
                   v = v * 8 + (cs.charAt(k) - '0'); k += 1
                 }
                 pending.append(v.toChar); j = k
-              case '\n' => j += 2 // line continuation
+              case '\n' => j += 2 // line continuation (LF)
+              case '\r' => // line continuation (CR or CRLF) — emits nothing
+                j += 2
+                if (j < cs.length && cs.charAt(j) == '\n') j += 1
               case other => pending.append(other); j += 2
             }
           case '(' => depth += 1; pending.append('('); j += 1

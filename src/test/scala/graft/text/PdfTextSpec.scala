@@ -63,6 +63,33 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extractPages(pdf) === Seq("shown\nalso shown"))
   }
 
+  test("/Length extent protects stream data containing delimiter keywords") {
+    // the embedded "endstream endobj" is DATA (covered by /Length); a
+    // naive delimiter scan would truncate the stream before (after)
+    val cs = "BT (before) Tj  endstream endobj  (after) Tj ET"
+    val pdf = ("%PDF-1.4\n3 0 obj << /Type /Page /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${cs.length} >> stream\n$cs\nendstream endobj\n")
+      .getBytes(ISO_8859_1)
+    assert(PdfText.extractPages(pdf) === Seq("before\nafter"))
+  }
+
+  test("backslash-CRLF in a literal string is a line continuation") {
+    val cs = "BT (li\\\r\nne) Tj (cr\\\ronly) Tj ET"
+    val pdf = ("%PDF-1.4\n3 0 obj << /Type /Page /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${cs.length} >> stream\n$cs\nendstream endobj\n")
+      .getBytes(ISO_8859_1)
+    assert(PdfText.extractPages(pdf) === Seq("line\ncronly"))
+  }
+
+  test("corrupt FlateDecode data degrades to decoded prefix, no exception") {
+    val good = deflate("BT (x) Tj ET".getBytes(ISO_8859_1))
+    val corrupt = good.take(good.length - 3) ++ Array[Byte](0x7F, 0x00, 0x01)
+    val pdf = ("%PDF-1.4\n3 0 obj << /Type /Page /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${corrupt.length} /Filter /FlateDecode >> stream\n")
+      .getBytes(ISO_8859_1) ++ corrupt ++ "\nendstream endobj\n".getBytes(ISO_8859_1)
+    PdfText.pdfToText(pdf) // must not throw; content is best-effort
+  }
+
   test("non-PDF payloads keep the deterministic stub contract") {
     val payload = "page one\ftwo\f\ffour".getBytes("UTF-8")
     assert(PdfText.extractPages(payload) === Seq("page one", "two", "", "four"))

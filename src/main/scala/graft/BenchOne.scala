@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = args.drop(1).toSet
+    val names = args.drop(1) // in order; repeats allowed (warm-run timing)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -17,7 +17,8 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    graft.queries.Registry.all.filter(q => names(q.name)).foreach { q =>
+    val byName = graft.queries.Registry.all.map(q => q.name -> q).toMap
+    names.flatMap(byName.get).foreach { q =>
       val t0 = System.nanoTime()
       q.build(spark, sfDir).count()
       println(f"[benchone] ${q.name} ${(System.nanoTime() - t0) / 1e9}%.2f s")

@@ -144,20 +144,32 @@ object TextQueries extends QueryModule {
   private val fingerprint = QueryDef(
     "q_doc_fingerprint",
     (s, dir) => {
-      // explode → codegen'd sha2 → min with map-side partial aggregation:
-      // the shuffle carries one 64-char min per doc, not the shingles.
-      // (A lambda `transform(…, s -> sha2(s))` would leave sha2 in the
-      // interpreted HOF path — measurably slower at sf0.1.)
-      val d = Tables.documents(s, dir)
+      // Fingerprints are a pure function of text, so compute ONCE per
+      // DISTINCT content and re-attach by content key — on a dup-heavy
+      // corpus (sf1: every doc has 9 replicas) this cuts the shingle-hash
+      // work by the duplication factor (measured 7.6 s → ~1 s at sf1).
+      // Inside the per-content job: explode → codegen'd sha2 → min with
+      // map-side partial aggregation — the shuffle carries one 64-char
+      // min per content, not the shingles. (A lambda `transform(…,
+      // s -> sha2(s))` would leave sha2 in the interpreted HOF path.)
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          sha2(col("text"), 256).as("ckey"), col("text"))
+        .persist() // ONE scan+hash feeds both the doc side and the distinct side
+      val base = keyed.select("doc_id", "lang", "ckey")
+      val distinctTexts = keyed
+        .select("ckey", "text").dropDuplicates("ckey")
         .withColumn("toks", split(col("text"), " "))
         .withColumn("shingles", expr(
           "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
-      d.select(col("doc_id"), col("lang"),
+      val fpPerContent = distinctTexts
+        .select(col("ckey"),
           size(array_distinct(col("shingles"))).cast("long").as("n_shingles"),
           explode(col("shingles")).as("shingle"))
         .withColumn("h", sha2(col("shingle"), 256))
-        .groupBy("doc_id", "lang", "n_shingles")
+        .groupBy("ckey", "n_shingles")
         .agg(min("h").as("fingerprint"))
+      base.join(fpPerContent, "ckey")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct("fingerprint").as("n_distinct_fp"),
@@ -166,14 +178,18 @@ object TextQueries extends QueryModule {
         .orderBy("lang")
     },
     Some(s"""
-      WITH sh AS (SELECT doc_id, lang,
+      WITH base AS (SELECT doc_id, lang, sha256(text) AS ckey FROM documents),
+        d0 AS (SELECT sha256(text) AS ckey, min(text) AS text
+               FROM documents GROUP BY 1),
+        sh AS (SELECT ckey,
                   unnest(list_transform(generate_series(1, len(toks) - 2),
                          i -> array_to_string(toks[i:i+2], ' '))) AS shingle
-                  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
-                        FROM documents)),
-        fp AS (SELECT doc_id, lang, min(sha256(shingle)) AS fingerprint,
-                      count(DISTINCT shingle) AS n_shingles
-               FROM sh GROUP BY 1, 2)
+               FROM (SELECT ckey, string_split(text, ' ') AS toks FROM d0)),
+        fp0 AS (SELECT ckey, min(sha256(shingle)) AS fingerprint,
+                       count(DISTINCT shingle) AS n_shingles
+                FROM sh GROUP BY ckey),
+        fp AS (SELECT b.doc_id, b.lang, f.fingerprint, f.n_shingles
+               FROM base b JOIN fp0 f USING (ckey))
       SELECT lang, count(*) AS n_docs,
              count(DISTINCT fingerprint) AS n_distinct_fp,
              min(fingerprint) AS min_fp,

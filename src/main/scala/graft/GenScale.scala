@@ -54,7 +54,14 @@ object GenScale {
     // which Tables.events' `ts div 1000L` derivation handles identically
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     shiftCols.foreach { case (t, keys) =>
-      val df = spark.read.parquet(s"$src/$t.parquet")
+      val raw = spark.read.parquet(s"$src/$t.parquet")
+      // events' NANOS ts (read as int64) is rewritten as a plain µs
+      // TIMESTAMP so both Spark (Tables.events' timestamp branch) and the
+      // DuckDB oracle read the scaled copy directly
+      val df =
+        if (t == "events")
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+        else raw
       scaled(df, keys, copies)
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"  wrote $dst/$t.parquet")

@@ -31,11 +31,19 @@ object Tables {
     *     because ns-since-epoch (~1.7e18) exceeds double's 53-bit mantissa;
     *   - ts:    a proper TimestampType column (µs precision, matching what
     *     DuckDB sees after its own ns→µs truncation).
-    */
+    *
+    * Generated scale-ups (GenScale's sf1) store ts as a plain µs TIMESTAMP
+    * so DuckDB can run the oracle there directly — that branch only
+    * derives ts_us. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000L"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_us", expr("ts div 1000L"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case _ =>
+        raw.withColumn("ts_us", unix_micros(col("ts")))
+    }
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import Det.{dround, oround}
 
 /** Relational parity set — scans, filters, joins, aggregates, windows,
   * sorts, set ops (SURVEY.md §2.1–§2.7) expressed over the TPC-H-ish
@@ -17,32 +18,46 @@ import graft.Tables
   */
 object RelationalQueries extends QueryModule {
 
-  // -- A1/A18/F6: grouped aggregation over the big fact table (TPC-H Q1 shape)
+  // -- A1/A18/F6: grouped aggregation over the big fact table (TPC-H Q1
+  //    shape). Money sums run on the EXACT INTEGER GRID (price/discount
+  //    carry 2 decimals → ×100 fits in long): a double accumulation over
+  //    millions of rows drifts by more than the 1e-4 rounding grid at a
+  //    ~5e10 magnitude (the sf1 sweep caught a last-digit mismatch), and
+  //    integer sums are bit-exact under ANY partitioning — the 100 TB
+  //    answer (a real warehouse declares DECIMAL; at ~1e12 rows the ×1e4
+  //    products need int128/decimal, noted here).
   private val pricingSummary = QueryDef(
     "q_pricing_summary",
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
+        .withColumn("p100", round(col("l_extendedprice") * 100).cast("long"))
+        .withColumn("d100", round(col("l_discount") * 100).cast("long"))
       li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 6).as("avg_disc"),
+          round(sum("l_quantity"), 2).as("sum_qty"), // integer-valued: exact
+          round(sum("p100").cast("double") / 100.0, 2).as("sum_base_price"),
+          round(sum(col("p100") * (lit(100L) - col("d100"))).cast("double")
+            / 10000.0, 4).as("sum_disc_price"),
+          dround(avg("l_quantity"), 4).as("avg_qty"),
+          dround(sum("p100").cast("double") / 100.0 / count(lit(1)), 4).as("avg_price"),
+          dround(sum("d100").cast("double") / 100.0 / count(lit(1)), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
-    Some("""
+    Some(s"""
+      WITH g AS (SELECT l_returnflag, l_linestatus, l_quantity,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS p100,
+                   CAST(round(l_discount * 100) AS BIGINT) AS d100
+                 FROM lineitem)
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2)       AS sum_qty,
-             round(sum(l_extendedprice), 2)  AS sum_base_price,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-             round(avg(l_quantity), 4)       AS avg_qty,
-             round(avg(l_extendedprice), 4)  AS avg_price,
-             round(avg(l_discount), 6)       AS avg_disc,
+             round(CAST(sum(p100) AS DOUBLE) / 100.0, 2) AS sum_base_price,
+             round(CAST(sum(p100 * (100 - d100)) AS DOUBLE) / 10000.0, 4) AS sum_disc_price,
+             ${oround("avg(l_quantity)", 4)} AS avg_qty,
+             ${oround("CAST(sum(p100) AS DOUBLE) / 100.0 / count(*)", 4)} AS avg_price,
+             ${oround("CAST(sum(d100) AS DOUBLE) / 100.0 / count(*)", 6)} AS avg_disc,
              count(*)                        AS count_order
-      FROM lineitem
+      FROM g
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 

@@ -318,7 +318,11 @@ object ScoringQueries extends QueryModule {
              least(15.0, greatest(-15.0, $synergyCase)) AS synergy_bonus
            FROM wide),
         ranked AS (SELECT v.*,
-             percent_rank() OVER (ORDER BY vr_score ASC, entity_id ASC) AS pctl,
+             -- rank on the 1e-4-QUANTIZED score with percent_rank tie
+             -- semantics (no entity tie-break): matches the engine's
+             -- bucketed rank() over Det.dround(vr_score, 4); raw-double
+             -- ordering diverges across engines on ulp-level near-ties
+             percent_rank() OVER (ORDER BY ${oround("vr_score", 4)} ASC) AS pctl,
              avg(vr_score) OVER () AS sector_avg
            FROM vr v),
         calc AS (SELECT r.entity_id, r.vr_score, r.cv_factor, h.hhi,

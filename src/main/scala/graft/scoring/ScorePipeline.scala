@@ -84,18 +84,29 @@ object ScorePipeline {
     val sectorAvg = vr.agg(avg("vr_score").as("sector_avg"))
     // Distributed percent_rank: a bare `Window.orderBy(vr_score)` funnels
     // every entity through ONE task — the 100 TB killer. Instead: bucket by
-    // floor(vr_score) (total order preserved: equal scores share a bucket),
+    // the score (total order preserved: equal scores share a bucket),
     // aggregate per-bucket counts into cumulative offsets (the only global
     // window left runs over ≤101 BUCKET rows, not entities), then rank
     // within buckets in parallel. global_rank = offset + within-bucket
-    // row_number reproduces percent_rank = (rank-1)/(n-1) exactly because
-    // (vr_score, entity_id) is a total order.
+    // rank() reproduces percent_rank = (rank-1)/(n-1) with percent_rank's
+    // tie semantics: tied scores share a bucket AND the within-bucket
+    // rank, so they get the SAME percentile.
+    //
+    // The ranking key is the score QUANTIZED to the 1e-4 output grid
+    // (Det.dround): vr_score is a float aggregate, so two entities with
+    // identical inputs can differ by ±1 ulp depending on summation order —
+    // ranking raw doubles makes the rank assignment partition-order- and
+    // engine-dependent for near-ties. Quantizing collapses ulp noise into
+    // true ties (and keeps floor-bucketing off knife-edge boundaries).
+    // The sf1 duplicate-heavy sweep caught exactly this divergence.
+    val qvr = graft.queries.Det.dround(col("vr_score"), 4)
     val joined0 = vr
       .join(cv, "entity_id")
       .join(hhi.select("entity_id", "hhi", "penalty_factor"), "entity_id")
       .join(withBonus, "entity_id")
       .crossJoin(broadcast(sectorAvg))
-      .withColumn("_bkt", floor(col("vr_score")).cast("long"))
+      .withColumn("_qvr", qvr)
+      .withColumn("_bkt", floor(col("_qvr")).cast("long"))
       .persist() // consumed twice: bucket counts + final scoring
     val counts = joined0.groupBy("_bkt").agg(count(lit(1)).as("_bn"))
     val offsets = counts
@@ -105,12 +116,11 @@ object ScorePipeline {
       .select("_bkt", "_off")
     // total over the tiny counts frame — NOT a third scan of joined0
     val total = counts.agg(sum("_bn").as("_n"))
-    val wIn = Window.partitionBy("_bkt")
-      .orderBy(col("vr_score").asc, col("entity_id").asc)
+    val wIn = Window.partitionBy("_bkt").orderBy(col("_qvr").asc)
     val scored = joined0
       .join(broadcast(offsets), "_bkt")
       .crossJoin(broadcast(total))
-      .withColumn("_rn", row_number().over(wIn))
+      .withColumn("_rn", rank().over(wIn))
       .withColumn("pctl", when(col("_n") > 1,
         (col("_off") + col("_rn") - lit(1)).cast("double")
           / (col("_n") - lit(1)).cast("double")).otherwise(lit(0.0)))

@@ -81,9 +81,10 @@ class PlanSpec extends SparkSpec {
     assert(directScans.isEmpty,
       s"events scanned directly ${directScans.size}x — dims cache sharing broken")
     assert(exec.toString.contains("InMemoryTableScan"), "dims frame not cached")
-    // 2. every row_number window over entities is partitioned (bucketed
-    // two-pass rank); an unpartitioned windowspec starts with a sort spec
-    // as its first argument
+    // 2. every ranking window over entities is partitioned (bucketed
+    // two-pass rank — rank() over the quantized score, percent_rank tie
+    // semantics); an unpartitioned windowspec starts with a sort spec as
+    // its first argument
     val winLines = exec.toString.linesIterator
       .filter(_.contains("windowspecdefinition(")).toSeq
     val unpartitioned = winLines.filter(
@@ -92,7 +93,8 @@ class PlanSpec extends SparkSpec {
     // count rows (cumulative offsets), never over entity rows
     assert(unpartitioned.forall(l => l.contains("_bkt") && l.contains("sum(_bn")),
       s"unpartitioned window over non-bucket rows:\n${unpartitioned.mkString("\n")}")
-    assert(winLines.exists(_.contains("row_number() windowspecdefinition(_bkt")),
+    assert(winLines.exists(_.contains("rank(") ) &&
+      winLines.exists(_.contains("windowspecdefinition(_bkt")),
       "bucketed rank window missing")
     // 3. the scalar/offset attachments broadcast
     assert(exec.toString.contains("BroadcastHashJoin"))

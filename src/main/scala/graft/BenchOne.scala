@@ -18,6 +18,8 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val byName = graft.queries.Registry.all.map(q => q.name -> q).toMap
+    val unknown = names.filterNot(byName.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     names.flatMap(byName.get).foreach { q =>
       val t0 = System.nanoTime()
       q.build(spark, sfDir).count()

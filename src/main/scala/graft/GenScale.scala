@@ -49,19 +49,21 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events.parquet is TIMESTAMP(NANOS) — read the nanos as int64 (same
-    // trick as Tables.events); the sf1 copy then stores ts as BIGINT nanos,
-    // which Tables.events' `ts div 1000L` derivation handles identically
+    // the driver's events.parquet is TIMESTAMP(NANOS) — read the nanos as
+    // int64 (same trick as Tables.events)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     shiftCols.foreach { case (t, keys) =>
       val raw = spark.read.parquet(s"$src/$t.parquet")
-      // events' NANOS ts (read as int64) is rewritten as a plain µs
-      // TIMESTAMP so both Spark (Tables.events' timestamp branch) and the
-      // DuckDB oracle read the scaled copy directly
-      val df =
-        if (t == "events")
+      // events' ts is rewritten as a plain µs TIMESTAMP so both Spark
+      // (Tables.events' timestamp branch) and the DuckDB oracle read the
+      // scaled copy directly. Branch on the actual column type (like
+      // Tables.events) so GenScale can also re-scale an already-generated
+      // directory whose ts is a timestamp already.
+      val df = raw.schema.find(_.name == "ts").map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.LongType) =>
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
-        else raw
+        case _ => raw
+      }
       scaled(df, keys, copies)
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"  wrote $dst/$t.parquet")

@@ -160,8 +160,14 @@ object TextQueries extends QueryModule {
       val distinctTexts = keyed
         .select("ckey", "text").dropDuplicates("ckey")
         .withColumn("toks", split(col("text"), " "))
+        // size guard: sequence(0, -1) would be a DESCENDING array and
+        // slice(toks, 0, …) throws; <3-token docs must yield no shingles
+        // (the oracle's generate_series is empty there)
         .withColumn("shingles", expr(
-          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+          """CASE WHEN size(toks) >= 3
+                  THEN transform(sequence(0, size(toks) - 3),
+                                 i -> concat_ws(' ', slice(toks, i + 1, 3)))
+                  ELSE array() END"""))
       val fpPerContent = distinctTexts
         .select(col("ckey"),
           size(array_distinct(col("shingles"))).cast("long").as("n_shingles"),

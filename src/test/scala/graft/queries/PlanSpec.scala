@@ -93,9 +93,12 @@ class PlanSpec extends SparkSpec {
     // count rows (cumulative offsets), never over entity rows
     assert(unpartitioned.forall(l => l.contains("_bkt") && l.contains("sum(_bn")),
       s"unpartitioned window over non-bucket rows:\n${unpartitioned.mkString("\n")}")
-    assert(winLines.exists(_.contains("rank(") ) &&
-      winLines.exists(_.contains("windowspecdefinition(_bkt")),
-      "bucketed rank window missing")
+    // ONE line must carry both: the rank function AND the _bkt partition
+    // (two separate lines would let the entity rank drift to another
+    // partitioning while the offsets window still mentions _bkt)
+    assert(winLines.exists(l =>
+      l.contains("rank(") && l.contains("windowspecdefinition(_bkt")),
+      "bucketed rank window missing or not partitioned by _bkt")
     // 3. the scalar/offset attachments broadcast
     assert(exec.toString.contains("BroadcastHashJoin"))
   }

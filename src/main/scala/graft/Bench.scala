@@ -13,19 +13,43 @@ import org.apache.spark.sql.SparkSession
   * host contention (round 1's single-run numbers showed 4-5× outliers on
   * a loaded machine that don't reproduce).
   *
-  * Round 3 additions:
-  *   - the full JSON is ALSO written to a file (SPARK_GRAFT_BENCH_OUT,
-  *     default `bench_results.json` in the CWD) so the driver's stdout
-  *     tail capture can't truncate the head of the per-query map;
-  *   - if a second, larger scale factor is present (SPARK_GRAFT_SF1_DIR,
-  *     default `/root/repo/testdata/sf1` — a deterministic 10× key-shifted
-  *     scale-up of sf0.1, see graft.GenScale), every bench query is ALSO
-  *     timed once there under a wall-clock budget (SPARK_GRAFT_SF1_BUDGET
-  *     seconds, default 900); queries not reached are listed in
-  *     `sf1.skipped` — no silent caps. This is the 10×-scaling evidence
-  *     the 100 TB design claims rest on.
+  * Round 3: if a second, larger scale factor is present
+  * (SPARK_GRAFT_SF1_DIR, default `/root/repo/testdata/sf1` — a
+  * deterministic 10× key-shifted scale-up of sf0.1, see graft.GenScale),
+  * every bench query is ALSO timed once there under a wall-clock budget
+  * (SPARK_GRAFT_SF1_BUDGET seconds, default 900); queries not reached are
+  * listed in `sf1.skipped` — no silent caps. This is the 10×-scaling
+  * evidence the 100 TB design claims rest on.
+  *
+  * Round 4 output contract: the driver captures only the LAST 2000 chars
+  * of stdout, and rounds 1-3 proved a full per-query map (~4.5 KB) gets
+  * its head truncated there — `parsed` stayed null every round. The
+  * stdout line is therefore SIZE-BUDGETED: totals + failures always, then
+  * per-query entries added slowest-first until the budget is reached,
+  * with the omitted remainder summarized ({"omitted":n,"omitted_sec":s})
+  * so the totals still reconcile. The COMPLETE maps (every query, both
+  * scale factors) go to SPARK_GRAFT_BENCH_OUT (default
+  * `bench_results.json`, committed with each freeze).
   */
 object Bench {
+
+  /** JSON string escaping for env-provided values (paths may contain
+    * quotes/backslashes; control chars are dropped). */
+  private def esc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "\\\""
+    case c if c < ' ' => ""
+    case c => c.toString
+  }
+
+  private def r3(x: Double): Double = math.rint(x * 1000) / 1000
+
+  private def qmap(m: Seq[(String, Double)]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  private def arr(xs: Seq[String]): String =
+    xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -39,6 +63,38 @@ object Bench {
 
     // Warmup: exercise scan + shuffle + codegen paths once, untimed.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // entry() only touches the relational path; round 3's first text query
+    // (alphabetically q_minhash_banded_r2) paid ~5 s of JIT for the split/
+    // transform/sha2/HOF/window machinery. JIT warmth is per CODE PATH,
+    // not per data size — touch each expression family on a few hundred
+    // rows, untimed.
+    try {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .limit(256).select(col("doc_id"), col("text"), col("lang"))
+      val sh = docs.withColumn("toks", split(col("text"), " "))
+        .withColumn("shingles", expr(
+          """CASE WHEN size(toks) >= 2
+                  THEN array_distinct(transform(sequence(0, size(toks) - 2),
+                                      i -> concat_ws(' ', slice(toks, i + 1, 2))))
+                  ELSE array() END"""))
+        .select(col("doc_id"), col("lang"), posexplode(col("shingles")).as(Seq("i", "s")))
+        .withColumn("h", sha2(col("s"), 256))
+      val rn = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("h"))
+      sh.groupBy("doc_id").agg(min("h").as("h"), collect_set("s").as("ss"))
+        .withColumn("ov", expr("size(array_intersect(ss, ss))"))
+        .join(sh.select("doc_id", "lang").distinct(), "doc_id")
+        .withColumn("rn", row_number().over(rn)).filter(col("rn") <= 3)
+        .count()
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(128)
+        .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      emb.as("a").crossJoin(broadcast(emb.limit(4).as("b")))
+        .withColumn("dot", graft.functions.VectorFunctions.vecDot(
+          col("a.vecd"), col("b.vecd")))
+        .agg(sum("dot")).collect()
+    } catch { case _: Throwable => () }
+    spark.catalog.clearCache()
 
     // A query that THROWS must never look like a fast success — it would
     // silently corrupt the scaling evidence (a time-to-crash is not a
@@ -51,7 +107,6 @@ object Bench {
       spark.catalog.clearCache()
       if (ok) Some(sec) else None
     }
-    def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val benched = graft.queries.Registry.all.filter(_.bench).sortBy(_.name)
     val timed = benched.map { q =>
       q.name -> ((timeOnce(q, sfDir), timeOnce(q, sfDir)) match {
@@ -61,18 +116,12 @@ object Bench {
     }
     val results = timed.collect { case (n, Some(t)) => n -> t }
     val failed = timed.collect { case (n, None) => n }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
-    val failedJson =
-      if (failed.isEmpty) ""
-      else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
 
     // Secondary scale factor: single-run sweep under a wall-clock budget.
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/testdata/sf1")
     val sf1Budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "900").toDouble
-    val sf1Json =
-      if (!new java.io.File(sf1Dir, "lineitem.parquet").exists()) ""
+    val sf1 = if (!new java.io.File(sf1Dir, "lineitem.parquet").exists()) None
       else {
         var spent = 0.0
         val done = scala.collection.mutable.ListBuffer.empty[(String, Double)]
@@ -89,22 +138,56 @@ object Bench {
             }
           } else skipped += q.name
         }
-        val dq = done.map { case (k, v) => "\"" + k + "\":" + v }
-          .mkString("{", ",", "}")
-        val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-        val fl = sfailed.map("\"" + _ + "\"").mkString("[", ",", "]")
-        s""","sf1":{"dir":"$sf1Dir","total":${r3(done.map(_._2).sum)},"queries":$dq,"skipped":$sk,"failed":$fl}"""
+        Some((done.toList, skipped.toList, sfailed.toList))
       }
 
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedJson$sf1Json}"""
+    // FULL artifact → file: every query at both scale factors.
+    val fullSf1 = sf1.map { case (done, skipped, sfailed) =>
+      s""","sf1":{"dir":"${esc(sf1Dir)}","total":${r3(done.map(_._2).sum)},""" +
+        s""""queries":${qmap(done)},"skipped":${arr(skipped)},"failed":${arr(sfailed)}}"""
+    }.getOrElse("")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"${esc(sfDir)}",""" +
+        s""""queries":${qmap(results)},"failed":${arr(failed)}$fullSf1}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
     try {
       val w = new java.io.PrintWriter(outPath)
-      try w.println(line) finally w.close()
+      try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
+
+    // COMPACT stdout line, budgeted to survive the 2000-char tail capture
+    // (leave ~250 chars of headroom for sbt's "[success] ..." trailer and
+    // anything else the build tool appends after us).
+    val budget = sys.env.getOrElse("SPARK_GRAFT_LINE_BUDGET", "1750").toInt
+    val bySlow = results.sortBy(-_._2)
+    val sf1Compact = sf1.map { case (done, skipped, sfailed) =>
+      val sf1Total = r3(done.map(_._2).sum)
+      val ratios = done.flatMap { case (n, t) =>
+        results.find(_._1 == n).collect { case (_, b) if b > 0 => (n, r3(t / b)) }
+      }
+      val maxRatio = if (ratios.isEmpty) "" else {
+        val (n, r) = ratios.maxBy(_._2)
+        s""","max_ratio":{"q":"$n","x":$r}"""
+      }
+      val slow = done.sortBy(-_._2).take(6)
+      s""","sf1":{"total":$sf1Total,"n":${done.size},"slowest":${qmap(slow)}""" +
+        s"""$maxRatio,"skipped":${skipped.size},"failed":${arr(sfailed)}}"""
+    }.getOrElse("")
+    def line(k: Int): String = {
+      val kept = bySlow.take(k)
+      val omitted = bySlow.drop(k)
+      val om = if (omitted.isEmpty) ""
+        else s""","omitted":${omitted.size},"omitted_sec":${r3(omitted.map(_._2).sum)}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"${esc(sfDir)}",""" +
+        s""""n":${results.size},"queries":${qmap(kept.sortBy(_._1))}$om""" +
+        s""","failed":${arr(failed)}$sf1Compact,"detail":"${esc(outPath)}"}"""
+    }
+    // largest k whose line fits the budget (k=0 always emits the totals)
+    val k = (results.size to 0 by -1).find(line(_).length <= budget).getOrElse(0)
+    val compact = line(k)
+
     spark.stop()
     // last line of stdout — the driver parses this
-    println(line)
+    println(compact)
   }
 }

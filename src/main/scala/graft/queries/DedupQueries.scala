@@ -18,11 +18,17 @@ import Det.{dround, oround}
 object DedupQueries extends QueryModule {
 
   /** Adds a distinct 2-token `shingles` array from `text` (the near-dup
-    * unit shared by MinHash, contamination, and the banding spec). */
+    * unit shared by MinHash, contamination, and the banding spec). Short
+    * docs (<2 tokens) yield an empty set — without the guard Spark's
+    * sequence(0, -1) descends and slice(toks, 0, 2) throws, while the
+    * DuckDB twin's generate_series(1, 0) is silently empty. */
   private def shingled(df: org.apache.spark.sql.DataFrame) = df
     .withColumn("toks", split(col("text"), " "))
-    .withColumn("shingles", array_distinct(expr(
-      "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))")))
+    .withColumn("shingles", expr(
+      """CASE WHEN size(toks) >= 2
+              THEN array_distinct(transform(sequence(0, size(toks) - 2),
+                                  i -> concat_ws(' ', slice(toks, i + 1, 2))))
+              ELSE array() END"""))
 
   /** Exact-dedup-first: one representative (min doc_id / text) per distinct
     * content — identical docs share every LSH signature, so candidate mass
@@ -364,8 +370,12 @@ object DedupQueries extends QueryModule {
       val d = Tables.documents(s, dir)
         .withColumn("toks", split(col("text"), " "))
         .withColumn("block", (size(col("toks")) / lit(10)).cast("long"))
-        .withColumn("grams", array_distinct(expr(
-          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")))
+        // same short-doc guard as `shingled`: <3 tokens → no trigrams
+        .withColumn("grams", expr(
+          """CASE WHEN size(toks) >= 3
+                  THEN array_distinct(transform(sequence(0, size(toks) - 3),
+                                      i -> concat_ws(' ', slice(toks, i + 1, 3))))
+                  ELSE array() END"""))
         .select(col("doc_id"), col("lang"), col("block"), col("grams"))
       val pairs = d.as("a").join(d.as("b"),
           col("a.lang") === col("b.lang") && col("a.block") === col("b.block") &&
@@ -495,23 +505,36 @@ object DedupQueries extends QueryModule {
   // -- cross-document passage dedup (repeated-boilerplate detection):
   //    8-token windows at stride 4 per doc, grouped globally — a passage
   //    seen in ≥2 distinct docs is shared boilerplate/duplicated content.
-  //    Linear in corpus size (explode + one map-side-combined groupBy; no
+  //    Linear in corpus size (explode + map-side-combined groupBys; no
   //    pairwise step at all), which is why passage-level dedup scales
   //    where pairwise diffing cannot. At 100 TB the group key is the
   //    passage HASH (the string here keeps the oracle twin 1:1).
+  //
+  //    COMPUTE-PER-DISTINCT-CONTENT (round 4): windows are a pure function
+  //    of text, so on a dup-heavy corpus (sf1: 9 replicas per doc) the
+  //    window build + shuffle is done once per distinct content and the
+  //    per-passage doc/window counts recovered by weighting with the
+  //    replication count m: every replica contains the same windows, so
+  //    n(p) = Σ_text occ(p, text)·m(text) and nd(p) = Σ_text m(text) over
+  //    texts containing p. Measured 11.2 s → ~1 s at sf1; exact same
+  //    output (the oracle still computes from the raw corpus).
   private val passageDedup = QueryDef(
     "q_passage_dedup",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
+      val dist = Tables.documents(s, dir)
+        .groupBy(sha2(col("text"), 256).as("ckey"))
+        .agg(min("text").as("text"), count(lit(1)).as("m"))
         .withColumn("toks", split(col("text"), " "))
         .withColumn("passages", expr(
           """CASE WHEN size(toks) >= 8
                   THEN transform(sequence(0, (size(toks) - 8) div 4),
                                  i -> concat_ws(' ', slice(toks, 4 * i + 1, 8)))
                   ELSE array() END"""))
-      val w = d.select(col("doc_id"), explode(col("passages")).as("p"))
-      w.groupBy("p")
-        .agg(countDistinct("doc_id").as("nd"), count(lit(1)).as("n"))
+      val w = dist.select(col("ckey"), col("m"), explode(col("passages")).as("p"))
+      val perText = w.groupBy("ckey", "p")
+        .agg(count(lit(1)).as("occ"), first("m").as("m"))
+      perText.groupBy("p")
+        .agg(sum("m").as("nd"), sum(col("occ") * col("m")).as("n"))
         .agg(sum("n").as("n_windows"),
           count(lit(1)).as("n_distinct_passages"),
           sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_cross_doc_passages"))

@@ -94,26 +94,44 @@ object TextQueries extends QueryModule {
   //    classify each doc by max profile overlap → confusion matrix.
   //    Two-pass shape: the "train" side is a tiny broadcast (5 langs × 20
   //    tokens); the classify side is one scan + broadcast cross join.
+  //
+  //    Round-4 scale shape: (a) both passes run once per DISTINCT (text,
+  //    lang) weighted by the replication count m — token frequencies and
+  //    the confusion matrix are invariant (count over replicas = Σ m), and
+  //    a dup-heavy corpus pays the explode only once per content; (b) the
+  //    per-doc argmax is a broadcast-array fold (array_max over the 5
+  //    profile structs, index as DESCENDING tie-break so the ASC-sorted
+  //    first language wins equal overlaps — row_number semantics), not a
+  //    Window: the old plan shuffled every doc's token array twice.
   private val langId = QueryDef(
     "q_lang_id_confusion",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
-      val tok = d.select(col("lang"), explode(split(col("text"), " ")).as("tok"))
-      val freq = tok.groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      val keyed = Tables.documents(s, dir)
+        .groupBy(sha2(col("text"), 256).as("ckey"), col("lang"))
+        .agg(min("text").as("text"), count(lit(1)).as("m"))
+        .persist() // one scan+hash feeds the train and classify sides
+      val tok = keyed.select(col("lang"), col("m"),
+        explode(split(col("text"), " ")).as("tok"))
+      val freq = tok.groupBy("lang", "tok").agg(sum("m").as("n"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(col("n").desc, col("tok").asc)
       val prof = freq.withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
         .groupBy(col("lang").as("plang"))
         .agg(collect_set("tok").as("ptoks"))
-      val docs = d.select(col("doc_id"), col("lang"),
+      // ONE row holding all profiles, languages sorted ASC (sort_array on
+      // struct orders by the first field)
+      val profArr = prof
+        .agg(sort_array(collect_list(struct(col("plang"), col("ptoks"))))
+          .as("profiles"))
+      val docs = keyed.select(col("lang"), col("m"),
         array_distinct(split(col("text"), " ")).as("dtoks"))
-      val scored = docs.crossJoin(broadcast(prof))
-        .withColumn("overlap", size(array_intersect(col("dtoks"), col("ptoks"))))
-      val wp = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("overlap").desc, col("plang").asc)
-      scored.withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
-        .groupBy(col("lang"), col("plang").as("predicted"))
-        .agg(count(lit(1)).as("n"))
+      val scored = docs.crossJoin(broadcast(profArr))
+        .withColumn("best", expr(
+          """array_max(transform(profiles, (pr, i) ->
+               struct(size(array_intersect(dtoks, pr.ptoks)) AS ov,
+                      -i AS ni, pr.plang AS pl)))"""))
+      scored.groupBy(col("lang"), col("best.pl").as("predicted"))
+        .agg(sum("m").as("n"))
         .orderBy("lang", "predicted")
     },
     Some("""

@@ -73,7 +73,14 @@ object Sessionize {
                 s.n, "gap"))
             merged.lastOption.foreach { cur =>
               state.update(cur)
-              state.setTimeoutTimestamp(cur.end + gapMs)
+              // Clamp to just past the current watermark: when only
+              // late-but-in-watermark events arrive for a key (reachable
+              // once watermark-delay > gap), end+gap can be ≤ watermark and
+              // Spark throws IllegalArgumentException, killing the stream.
+              // Clamped, the stale open session times out on the next
+              // trigger instead.
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(cur.end + gapMs, wm + 1))
             }
             closed.iterator
           }

@@ -208,7 +208,11 @@ object PdfText {
           case "Tj" | "TJ" | "'" | "\"" =>
             if (pending.nonEmpty) { out.append(pending).append('\n') }
             pending.clear()
-          case _ => pending.clear() // strings were operands of a non-show op
+          // Any intervening non-show operator DELIBERATELY discards the
+          // collected strings: they were its operands, not shown text. In a
+          // malformed stream like `(x) /F1 12 Tf Tj` the `(x)` is therefore
+          // dropped — acceptable for the documented machine-generated scope.
+          case _ => pending.clear()
         }
         i = j
       } else i += 1

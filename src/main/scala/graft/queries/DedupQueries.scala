@@ -337,19 +337,39 @@ object DedupQueries extends QueryModule {
         .orderBy("lang")
     },
     Some {
+      // Label propagation UNROLLED instead of WITH RECURSIVE transitive
+      // closure: the closure materializes O(n·|component|) reach rows and
+      // timed out at the 10× scale factor (round-3 residual). Each round
+      // k below is linear in |edges|: e_k = min label over self+neighbors,
+      // c_k = pointer jump (label := label's label — doubles the effective
+      // hop count, so 8 rounds cover diameter ≥ 2^8). The edge set stays
+      // the independent brute-force one; only the grouping algorithm
+      // changed.
+      // AS MATERIALIZED throughout: DuckDB inlines single-reference CTEs,
+      // and each round references the previous one twice — inlined, the
+      // chain expands 2^8 ways and every leaf re-opens the parquet file
+      // ("Too many open files").
+      val rounds = (1 to 8).map { k =>
+        s"""        e$k AS MATERIALIZED (SELECT c.doc_id,
+                    least(c.comp, coalesce(min(cm.comp), c.comp)) AS comp
+                  FROM c${k - 1} c
+                  LEFT JOIN edges2 e ON c.doc_id = e.src
+                  LEFT JOIN c${k - 1} cm ON e.dst = cm.doc_id
+                  GROUP BY c.doc_id, c.comp),
+        c$k AS MATERIALIZED (SELECT a.doc_id, b.comp
+                  FROM e$k a JOIN e$k b ON a.comp = b.doc_id)"""
+      }.mkString(",\n")
       s"""
-      WITH RECURSIVE $simhashOracleCtes,
+      WITH $simhashOracleCtes,
         edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
                   FROM sims a JOIN sims b
                     ON a.lang = b.lang AND a.doc_id < b.doc_id
                   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-        edges2 AS (SELECT src, dst FROM edges
+        edges2 AS MATERIALIZED (SELECT src, dst FROM edges
                    UNION ALL SELECT dst, src FROM edges),
-        reach(src, dst) AS (
-          SELECT doc_id, doc_id FROM sims
-          UNION
-          SELECT r.src, e.dst FROM reach r JOIN edges2 e ON r.dst = e.src),
-        comp AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src),
+        c0 AS MATERIALIZED (SELECT doc_id, doc_id AS comp FROM sims),
+$rounds,
+        comp AS (SELECT doc_id, comp FROM c8),
         cs AS (SELECT comp, count(*) AS sz FROM comp GROUP BY comp),
         per AS (SELECT s.lang, c.comp, cs.sz
                 FROM sims s JOIN comp c ON s.doc_id = c.doc_id

@@ -29,7 +29,9 @@ object ScoringQueries extends QueryModule {
   private val dimsCte: String = s"""
     dims AS (
       SELECT user_id AS entity_id, event_type AS dimension,
-             least(100.0, greatest(0.0, avg(value))) AS score,
+             least(100.0, greatest(0.0,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / count(*))) AS score,
              least(0.95, 0.3 + count(*) / 50.0)      AS confidence,
              $weightCase AS weight
       FROM events GROUP BY 1, 2)"""

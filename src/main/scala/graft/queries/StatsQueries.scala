@@ -21,7 +21,9 @@ object StatsQueries extends QueryModule {
     s"""
     dimscores AS (
       SELECT user_id AS entity_id, event_type AS dimension,
-             least(100.0, greatest(0.0, avg(value))) AS score
+             least(100.0, greatest(0.0,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / count(*))) AS score
       FROM events GROUP BY 1, 2),
     wide AS (SELECT entity_id,
                  $cols
@@ -174,7 +176,9 @@ object StatsQueries extends QueryModule {
   private val wideYCtes: String = s"""
         dimscores AS (
           SELECT user_id AS entity_id, event_type AS dimension,
-                 least(100.0, greatest(0.0, avg(value))) AS score
+                 least(100.0, greatest(0.0,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                     / 100.0 / count(*))) AS score
           FROM events GROUP BY 1, 2),
         w AS (SELECT entity_id,
                 coalesce(max(CASE WHEN dimension = 'click' THEN score END), 0.0) AS s1,

@@ -459,7 +459,150 @@ object TextQueries extends QueryModule {
              ${oround("lang_tokens * sampling_rate", 4)} AS expected_tokens
       FROM m ORDER BY lang"""))
 
+  // -- Gopher-style multi-rule quality gate (Rae et al. 2021 §A1.1 shape):
+  //    five independent structural rules per document, reported as per-lang
+  //    pass counts. All rules are single-division doubles or integer
+  //    comparisons — bit-identical in both engines, no rounding seams —
+  //    and the whole gate is one scan + one map-side-combined groupBy (the
+  //    100 TB shape: a corpus sweep with zero joins/shuffled payloads).
+  //    Rules: token-count range, mean-word-length range (derived exactly
+  //    from n_chars: total token chars = n_chars − (n_tokens − 1)),
+  //    ≥2 distinct stopwords, lexical-diversity floor, 1-char-token cap.
+  private val qualityFilterRules = QueryDef(
+    "q_quality_filter_rules",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("mtl",
+          (col("n_chars") - (col("n_tokens") - lit(1))).cast("double")
+            / col("n_tokens"))
+        .withColumn("dr",
+          size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+        .withColumn("n_stop",
+          size(array_intersect(col("toks"),
+            array(StopWords.map(lit): _*))))
+        .withColumn("ocf",
+          size(filter(col("toks"), t => length(t) === 1)).cast("double")
+            / col("n_tokens"))
+        .withColumn("p_len", col("n_tokens").between(20, 500))
+        .withColumn("p_wordlen", col("mtl") >= 3.0 && col("mtl") <= 7.0)
+        .withColumn("p_stop", col("n_stop") >= 2)
+        .withColumn("p_rep", col("dr") >= 0.3)
+        .withColumn("p_short", col("ocf") <= 0.1)
+      def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(s"n_$c")
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          cnt("p_len"), cnt("p_wordlen"), cnt("p_stop"), cnt("p_rep"),
+          cnt("p_short"),
+          sum(when(col("p_len") && col("p_wordlen") && col("p_stop")
+            && col("p_rep") && col("p_short"), 1L).otherwise(0L))
+            .as("n_pass_all"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH t AS (SELECT lang, len(toks) AS n_tokens,
+                   CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks) AS mtl,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dr,
+                   len(list_filter(list_distinct(toks),
+                       x -> x IN ($stopList))) AS n_stop,
+                   CAST(len(list_filter(toks, x -> len(x) = 1)) AS DOUBLE)
+                     / len(toks) AS ocf
+                 FROM (SELECT lang, n_chars, string_split(text, ' ') AS toks
+                       FROM documents)),
+        f AS (SELECT lang,
+                (n_tokens BETWEEN 20 AND 500) AS p_len,
+                (mtl >= 3.0 AND mtl <= 7.0) AS p_wordlen,
+                (n_stop >= 2) AS p_stop,
+                (dr >= 0.3) AS p_rep,
+                (ocf <= 0.1) AS p_short
+              FROM t)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN p_len THEN 1 ELSE 0 END) AS BIGINT) AS n_p_len,
+             CAST(sum(CASE WHEN p_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_p_wordlen,
+             CAST(sum(CASE WHEN p_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_p_stop,
+             CAST(sum(CASE WHEN p_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_p_rep,
+             CAST(sum(CASE WHEN p_short THEN 1 ELSE 0 END) AS BIGINT) AS n_p_short,
+             CAST(sum(CASE WHEN p_len AND p_wordlen AND p_stop AND p_rep
+                           AND p_short THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+      FROM f GROUP BY lang ORDER BY lang"""))
+
+  // -- CCNet-style unigram-LM cross-entropy (Wenzek et al. 2019 shape):
+  //    train a per-language unigram model on the corpus itself, score each
+  //    document by its mean token negative-log-likelihood, report per-lang
+  //    distribution stats. High-xent docs are the gibberish/outlier tail a
+  //    training pipeline drops.
+  //
+  //    Scale + determinism shape: the LM is a tiny (lang, token) table →
+  //    broadcast to the scoring scan; both training counts and scoring run
+  //    once per DISTINCT content weighted by replication m; and the NLL is
+  //    quantized to an integer 1e-6 grid BEFORE the per-doc sum, so the
+  //    doc score is an exact integer sum — order-independent under any
+  //    partitioning and bit-identical in the DuckDB twin (ln() itself
+  //    agrees to the last ulp far from the 5e-7 grid boundaries).
+  private val unigramLogprob = QueryDef(
+    "q_unigram_logprob",
+    (s, dir) => {
+      val keyed = Tables.documents(s, dir)
+        .groupBy(sha2(col("text"), 256).as("ckey"), col("lang"))
+        .agg(min("text").as("text"), count(lit(1)).as("m"))
+        .persist()
+      val tok = keyed.select(col("ckey"), col("lang"), col("m"),
+        explode(split(col("text"), " ")).as("tok"))
+      val freq = tok.groupBy("lang", "tok").agg(sum("m").as("n"))
+      val tot = freq.groupBy("lang").agg(sum("n").as("nl"))
+      val lm = freq.join(tot, "lang")
+        .withColumn("nll_i",
+          round(-log(col("n").cast("double") / col("nl")) * 1e6).cast("long"))
+        .select("lang", "tok", "nll_i")
+      val perDoc = tok.join(broadcast(lm), Seq("lang", "tok"))
+        .groupBy("ckey", "lang", "m")
+        .agg(sum("nll_i").as("nll_sum"), count(lit(1)).as("n_tokens"))
+        .withColumn("xent",
+          col("nll_sum").cast("double") / lit(1e6) / col("n_tokens").cast("double"))
+        // 1e-6-grid integer image of xent: the corpus mean is then an exact
+        // integer sum (order-independent), not a double accumulation
+        .withColumn("xent_i", round(col("xent") * 1e6).cast("long"))
+      perDoc.groupBy("lang")
+        .agg(sum("m").as("n_docs"),
+          dround(sum(col("xent_i") * col("m")).cast("double") / lit(1e6)
+            / sum(col("m")).cast("double"), 4).as("avg_xent"),
+          dround(min("xent"), 4).as("min_xent"),
+          dround(max("xent"), 4).as("max_xent"),
+          sum(when(col("xent") > 4.0, col("m")).otherwise(0L)).as("n_high_xent"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH keyed AS (SELECT sha256(text) AS ckey, lang, min(text) AS text,
+                            count(*) AS m
+                     FROM documents GROUP BY 1, 2),
+        tok AS (SELECT ckey, lang, m, unnest(string_split(text, ' ')) AS tok
+                FROM keyed),
+        freq AS (SELECT lang, tok, CAST(sum(m) AS BIGINT) AS n
+                 FROM tok GROUP BY 1, 2),
+        tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM freq GROUP BY 1),
+        lm AS (SELECT freq.lang, tok,
+                 CAST(round(-ln(CAST(n AS DOUBLE) / nl) * 1e6) AS BIGINT) AS nll_i
+               FROM freq JOIN tot ON freq.lang = tot.lang),
+        perdoc AS (SELECT ckey, t.lang, m,
+                     CAST(sum(nll_i) AS BIGINT) AS nll_sum,
+                     count(*) AS n_tokens
+                   FROM tok t JOIN lm ON t.lang = lm.lang AND t.tok = lm.tok
+                   GROUP BY 1, 2, 3),
+        px AS (SELECT lang, m,
+                 CAST(nll_sum AS DOUBLE) / 1e6 / n_tokens AS xent,
+                 CAST(round(CAST(nll_sum AS DOUBLE) / 1e6 / n_tokens * 1e6)
+                      AS BIGINT) AS xent_i
+               FROM perdoc)
+      SELECT lang, CAST(sum(m) AS BIGINT) AS n_docs,
+             ${oround("CAST(sum(xent_i * m) AS DOUBLE) / 1e6 / sum(m)", 4)} AS avg_xent,
+             ${oround("min(xent)", 4)} AS min_xent,
+             ${oround("max(xent)", 4)} AS max_xent,
+             CAST(sum(CASE WHEN xent > 4.0 THEN m ELSE 0 END) AS BIGINT) AS n_high_xent
+      FROM px GROUP BY lang ORDER BY lang"""))
+
   override def queries: Seq[QueryDef] =
     Seq(tokenStats, docQuality, langId, fingerprint, keywordHits, tokenCountsBpe,
-      tfidfTop, weightedSample, docRepetition, mixtureRates)
+      tfidfTop, weightedSample, docRepetition, mixtureRates, qualityFilterRules,
+      unigramLogprob)
 }

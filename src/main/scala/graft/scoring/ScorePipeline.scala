@@ -35,7 +35,16 @@ object ScorePipeline {
     SynergyRule("click", "error", "negative", 60.0, 3.0))
 
   /** events → one row per (entity_id, dimension) with score/weight/confidence.
-    * score = clamp(avg(value), 0, 100); confidence = min(0.95, 0.3 + n/50). */
+    * score = clamp(avg(value), 0, 100); confidence = min(0.95, 0.3 + n/50).
+    *
+    * The average runs on the EXACT integer-cent grid (`value` carries 2
+    * decimals): sum(round(value·100)::long) is order-independent, so the
+    * score is bit-identical under any partitioning and in the DuckDB twin.
+    * A double accumulation drifts ~n·ulp, which at the 10× scale factor
+    * (~700 events/group) put one downstream mean in 90k onto a 1e-4
+    * rounding boundary — the round-3 q_sem_bounds residual. This is the
+    * integer-grid money-sum convention (BASELINE.md round 3) applied to
+    * the scoring DAG's root aggregate. */
   def dimensionInputs(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val weightCol = Dimensions.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
@@ -46,7 +55,10 @@ object ScorePipeline {
         })
     }.get.otherwise(lit(0.0))
     ev.groupBy(col("user_id").as("entity_id"), col("event_type").as("dimension"))
-      .agg(avg("value").as("avg_value"), count(lit(1)).as("n"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n"))
+      .withColumn("avg_value",
+        col("cents").cast("double") / lit(100.0) / col("n").cast("double"))
       .select(col("entity_id"), col("dimension"),
         least(lit(100.0), greatest(lit(0.0), col("avg_value"))).as("score"),
         least(lit(0.95), lit(0.3) + col("n").cast("double") / lit(50.0)).as("confidence"),

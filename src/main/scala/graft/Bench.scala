@@ -118,7 +118,10 @@ object Bench {
     val failed = timed.collect { case (n, None) => n }
     val total = r3(results.map(_._2).sum)
 
-    // Secondary scale factor: single-run sweep under a wall-clock budget.
+    // Secondary scale factor: best-of-2 sweep under a wall-clock budget
+    // (single-run numbers proved noisy in the round-3 freeze: one GC-heavy
+    // neighbor inflated q_passage_dedup 0.5 s → 11.2 s, which reads as
+    // super-linear scaling when it is pure measurement noise).
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/testdata/sf1")
     val sf1Budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "900").toDouble
     val sf1 = if (!new java.io.File(sf1Dir, "lineitem.parquet").exists()) None
@@ -130,8 +133,13 @@ object Bench {
         benched.foreach { q =>
           if (spent < sf1Budget) {
             val t0 = System.nanoTime()
-            timeOnce(q, sf1Dir) match {
-              case Some(s) => spent += s; done += (q.name -> r3(s))
+            ((timeOnce(q, sf1Dir), timeOnce(q, sf1Dir)) match {
+              case (Some(a), Some(b)) => Some(math.min(a, b))
+              case _ => None
+            }) match {
+              case Some(s) =>
+                spent += (System.nanoTime() - t0) / 1e9 // both runs cost budget
+                done += (q.name -> r3(s))
               case None =>
                 spent += (System.nanoTime() - t0) / 1e9 // crashes cost budget too
                 sfailed += q.name

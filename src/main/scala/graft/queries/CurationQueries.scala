@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import Det.{dround, oround}
+
+/** Corpus-curation operators a large-scale training-data pipeline runs after
+  * filtering/dedup and before tokenization: per-source retention caps,
+  * stratified down-sampling to a target language mix, and token-budget shard
+  * packing. Companions to TextQueries' quality/mixture family (builder
+  * brief; the reference's own pipeline caps evidence per collector the same
+  * way, e.g. the per-query result caps in
+  * pe-org-air-platform/app/pipelines/external_signals.py).
+  *
+  * Scale design notes are per-operator below; the common theme is that every
+  * window is PARTITIONED (by source, lang, or (lang, bucket)) — the one
+  * inherently sequential step, the cross-document running token total, is
+  * computed with the same bucketed two-pass prefix sum ScorePipeline uses
+  * for percentiles, so no 100 TB column ever funnels through one task.
+  */
+object CurationQueries extends QueryModule {
+
+  /** Keep the top-`Cap` docs per source by token count (tie: doc_id). */
+  private val Cap = 15
+
+  // -- per-source retention caps: rank docs within each source by length,
+  //    report kept/dropped mass. The window is partitioned by source, so at
+  //    100 TB it is embarrassingly parallel across sources; the rank is
+  //    consumed as a conditional aggregate (kept vs dropped), not a filter,
+  //    because the DROPPED mass is part of the report.
+  private val sourceCaps = QueryDef(
+    "q_source_caps",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      val win = Window.partitionBy("source")
+        .orderBy(col("toks").desc, col("doc_id").asc)
+      d.withColumn("rn", row_number().over(win))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rn") <= Cap, 1L).otherwise(0L)).as("n_kept"),
+          sum("toks").as("tokens_total"),
+          sum(when(col("rn") <= Cap, col("toks")).otherwise(0L))
+            .as("tokens_kept"))
+        .withColumn("token_keep_pct",
+          dround(col("tokens_kept").cast("double")
+            / col("tokens_total") * 100, 2))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH d AS (SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+                 FROM documents),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source
+                ORDER BY toks DESC, doc_id ASC) AS rn FROM d),
+        agg AS (SELECT source, count(*) AS n_docs,
+                  CAST(sum(CASE WHEN rn <= $Cap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                  CAST(sum(toks) AS BIGINT) AS tokens_total,
+                  CAST(sum(CASE WHEN rn <= $Cap THEN toks ELSE 0 END) AS BIGINT)
+                    AS tokens_kept
+                FROM r GROUP BY source)
+      SELECT source, n_docs, n_kept, tokens_total, tokens_kept,
+             ${oround("CAST(tokens_kept AS DOUBLE) / tokens_total * 100", 2)}
+               AS token_keep_pct
+      FROM agg ORDER BY source"""))
+
+  // -- stratified Bernoulli down-sample to a target language mix: each doc
+  //    draws a deterministic LCG uniform from its id (reproducible under any
+  //    partitioning) and survives iff u < rate(lang). TWO scramble rounds,
+  //    not one: after a single round, consecutive small ids map to
+  //    uniforms ≈ id·69069/2^32 — tiny and ordered, so a threshold test
+  //    keeps everything (a rank key tolerates that; a Bernoulli draw does
+  //    not). The second multiply wraps mod 2^32 and mixes. Pure scan +
+  //    aggregate: zero windows, zero shuffles beyond the final 5-row
+  //    rollup — the cheapest possible shape at 100 TB. Complements
+  //    q_mixture_rates (PLANS the rates) and q_weighted_sample (global
+  //    quality-weighted top-k).
+  private val stratifiedSample = QueryDef(
+    "q_stratified_sample",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+        // en dominates the corpus → cut to a quarter; the rest pass at 60%
+        .withColumn("rate",
+          when(col("lang") === "en", lit(0.25)).otherwise(lit(0.60)))
+        .withColumn("u",
+          ((((((col("doc_id") % lit(4294967296L)) * lit(69069L) + lit(12345L))
+            % lit(4294967296L)) * lit(1664525L) + lit(1013904223L))
+            % lit(4294967296L)).cast("double") + lit(0.5)) / lit(4294967296.0))
+        .withColumn("kept", (col("u") < col("rate")).cast("long"))
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum("kept").as("n_kept"),
+          sum(col("kept") * col("toks")).as("tokens_kept"),
+          dround(min(col("rate")), 2).as("target_rate"))
+        .withColumn("eff_rate",
+          dround(col("n_kept").cast("double") / col("n_total"), 4))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH d AS (SELECT lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                   CASE WHEN lang = 'en' THEN CAST(0.25 AS DOUBLE)
+                        ELSE CAST(0.60 AS DOUBLE) END AS rate,
+                   ((((doc_id % 4294967296) * 69069 + 12345) % 4294967296
+                      * 1664525 + 1013904223) % 4294967296 + 0.5)
+                     / 4294967296 AS u
+                 FROM documents),
+        k AS (SELECT lang, toks, rate,
+                CASE WHEN u < rate THEN 1 ELSE 0 END AS kept
+              FROM d)
+      SELECT lang, count(*) AS n_total,
+             CAST(sum(kept) AS BIGINT) AS n_kept,
+             CAST(sum(kept * toks) AS BIGINT) AS tokens_kept,
+             ${oround("min(rate)", 2)} AS target_rate,
+             ${oround("CAST(sum(kept) AS DOUBLE) / count(*)", 4)} AS eff_rate
+      FROM k GROUP BY lang ORDER BY lang"""))
+
+  /** Shard token budget for [[tokenShards]]. */
+  private val Budget = 2000L
+
+  // -- token-budget shard packing: assign docs (in (lang, doc_id) order) to
+  //    training shards of ~Budget tokens by their cumulative-token START
+  //    offset. The running total is the textbook scale trap — a naive
+  //    `sum() OVER (PARTITION BY lang ORDER BY doc_id)` serializes each
+  //    language through one task. Instead: bucketed two-pass prefix sum
+  //    (ScorePipeline's percentile pattern): (1) an intra-bucket running sum
+  //    partitioned by (lang, bucket) — parallel; (2) per-bucket totals,
+  //    whose own running sum is a window over ONLY n_buckets rows — tiny;
+  //    (3) global offset = bucket offset + intra-bucket cumsum. PlanSpec
+  //    asserts no unpartitioned window touches the document frame.
+  private val tokenShards = QueryDef(
+    "q_token_shards",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+        .withColumn("bucket", expr("doc_id div 100"))
+      val wIntra = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+      val intra = d.withColumn("cum_in", sum("toks").over(wIntra))
+      val wOff = Window.partitionBy("lang").orderBy("bucket")
+      val off = d.groupBy("lang", "bucket").agg(sum("toks").as("bt"))
+        .withColumn("off", sum("bt").over(wOff) - col("bt"))
+        .select("lang", "bucket", "off")
+      intra.join(off, Seq("lang", "bucket"))
+        .withColumn("shard", expr(s"(cum_in + off - toks) div $Budget"))
+        .groupBy("lang", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("shard_tokens"))
+        .orderBy("lang", "shard")
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, lang, doc_id // 100 AS bucket,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+                 FROM documents),
+        intra AS (SELECT *, CAST(sum(toks) OVER (PARTITION BY lang, bucket
+                    ORDER BY doc_id) AS BIGINT) AS cum_in FROM d),
+        bt AS (SELECT lang, bucket, CAST(sum(toks) AS BIGINT) AS bt
+               FROM d GROUP BY lang, bucket),
+        os AS (SELECT lang, bucket,
+                 CAST(sum(bt) OVER (PARTITION BY lang ORDER BY bucket)
+                   AS BIGINT) - bt AS off
+               FROM bt)
+      SELECT i.lang, (i.cum_in + o.off - i.toks) // $Budget AS shard,
+             count(*) AS n_docs, CAST(sum(i.toks) AS BIGINT) AS shard_tokens
+      FROM intra i JOIN os o ON i.lang = o.lang AND i.bucket = o.bucket
+      GROUP BY i.lang, shard ORDER BY i.lang, shard"""))
+
+  override def queries: Seq[QueryDef] =
+    Seq(sourceCaps, stratifiedSample, tokenShards)
+}

@@ -86,7 +86,9 @@ object Registry {
     TextQueries,
     DedupQueries,
     EmbeddingQueries,
-    MultimodalQueries)
+    MultimodalQueries,
+    SketchQueries,
+    CurationQueries)
 
   lazy val all: Seq[QueryDef] = {
     val qs = modules.flatMap(_.queries)

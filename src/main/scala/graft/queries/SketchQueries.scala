@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import Det.{dround, oround}
+
+/** Distinct-count and set-operation SKETCHES for the training-data curation
+  * family (builder brief: "a novel sketch" is a first-class operator class).
+  *
+  * Both operators are K-Minimum-Values (KMV / bottom-k theta) sketches
+  * [Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07]: hash every key to a
+  * 32-bit integer, keep the K smallest DISTINCT hash values; the K-th
+  * smallest hash h_K estimates the distinct count as (K-1) * 2^32 / (h_K+1).
+  * Union sketches merge by taking the K smallest of the combined hash sets;
+  * intersection follows by inclusion–exclusion. This is the sketch family
+  * behind `APPROX_COUNT_DISTINCT` in warehouse engines, re-expressed here so
+  * the DuckDB oracle can replay it bit-for-bit:
+  *
+  *   - the hash is a polynomial rolling hash over the key's characters
+  *     followed by two LCG scramble rounds — pure 64-bit integer arithmetic
+  *     with every intermediate product < 2^53, identical in Spark and DuckDB
+  *     (Spark's xxhash64 / DuckDB's hash() would never agree);
+  *   - "K smallest distinct hashes per group" is a groupBy-distinct (map-side
+  *     combined) followed by a rank-filtered window, which Spark executes as
+  *     WindowGroupLimit — each partition pre-prunes to K rows before the
+  *     shuffle, so the sketch costs O(K) per group of shuffle traffic no
+  *     matter how many keys a 100 TB corpus holds. That per-group-constant
+  *     shuffle is the entire point of sketching at scale.
+  *
+  * Keys are the documents ingest-gate dedup key (first 8 tokens — the same
+  * key S12/q_exact_dedup profiles), so the sketch estimates are directly
+  * comparable to the exact distinct counts reported alongside them.
+  */
+object SketchQueries extends QueryModule {
+
+  /** Polynomial rolling hash (base 31, mod 2^32) + 2 LCG scramble rounds.
+    * Spark expression-SQL form over a string column named `s`. The rolling
+    * fold keeps acc < 2^32 so acc*31+c < 2^37; the scramble products are
+    * < 2^32 * 1664525 < 2^53 — no Long overflow under ANSI mode even for
+    * adversarial keys. */
+  private def sparkHash(s: String): String =
+    s"""((CASE WHEN length($s) > 0
+               THEN aggregate(transform(sequence(1, length($s)),
+                                i -> CAST(ascii(substr($s, i, 1)) AS BIGINT)),
+                              CAST(0 AS BIGINT),
+                              (acc, x) -> (acc * 31 + x) % 4294967296)
+               ELSE CAST(0 AS BIGINT) END
+          * 69069 + 12345) % 4294967296 * 1664525 + 1013904223) % 4294967296"""
+
+  /** DuckDB twin of [[sparkHash]] — list_reduce has no init value, so the
+    * zero accumulator is prepended; generate_series(1,0) is empty for the
+    * guard arm, matching the Spark CASE. */
+  private def duckHash(s: String): String =
+    s"""((CASE WHEN length($s) > 0
+               THEN list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(generate_series(1, length($s)),
+                          i -> CAST(ord(substr($s, i, 1)) AS BIGINT))),
+                      (acc, x) -> (acc * 31 + x) % 4294967296)
+               ELSE CAST(0 AS BIGINT) END
+          * 69069 + 12345) % 4294967296 * 1664525 + 1013904223) % 4294967296"""
+
+  private val K = 32
+
+  // -- KMV distinct-count sketch per language: K smallest distinct hashes of
+  //    the dedup key; estimate vs the exact distinct count in one result.
+  //    Groups with fewer than K distinct hashes fall back to the exact
+  //    (small) count — the standard KMV exact-mode branch.
+  private val kmvDistinct = QueryDef(
+    "q_kmv_distinct",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("k8", concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+        .withColumn("h", expr(sparkHash("k8")))
+      val exact = d.groupBy("lang")
+        .agg(countDistinct("k8").as("n_exact"))
+      val dh = d.select("lang", "h").distinct()
+      val nh = dh.groupBy("lang").agg(count(lit(1)).as("n_hashes"))
+      val win = Window.partitionBy("lang").orderBy(col("h").asc)
+      val hk = dh.withColumn("rn", row_number().over(win))
+        .filter(col("rn") === K).select(col("lang"), col("h").as("hk"))
+      exact.join(nh, Seq("lang")).join(hk, Seq("lang"), "left")
+        .withColumn("kmv_est",
+          when(col("n_hashes") >= K,
+            lit((K - 1) * 4294967296.0) / (col("hk") + lit(1L)))
+            .otherwise(col("n_hashes").cast("double")))
+        .select(col("lang"), col("n_exact"),
+          dround(col("kmv_est"), 2).as("kmv_est"),
+          dround((col("kmv_est") - col("n_exact"))
+            / col("n_exact") * 100, 2).as("rel_err_pct"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH d AS (SELECT lang,
+                   array_to_string((string_split(text, ' '))[1:8], ' ') AS k8
+                 FROM documents),
+        hd AS (SELECT lang, k8, ${duckHash("k8")} AS h FROM d),
+        exact AS (SELECT lang, count(DISTINCT k8) AS n_exact FROM hd GROUP BY lang),
+        dh AS (SELECT DISTINCT lang, h FROM hd),
+        nh AS (SELECT lang, count(*) AS n_hashes FROM dh GROUP BY lang),
+        hk AS (SELECT lang, h AS hk
+               FROM (SELECT lang, h, row_number() OVER
+                       (PARTITION BY lang ORDER BY h ASC) AS rn FROM dh)
+               WHERE rn = $K),
+        est AS (SELECT e.lang, e.n_exact,
+                  CASE WHEN n.n_hashes >= $K
+                       THEN ${(K - 1).toDouble} * 4294967296.0 / (k.hk + 1)
+                       ELSE CAST(n.n_hashes AS DOUBLE) END AS kmv_est
+                FROM exact e JOIN nh n ON e.lang = n.lang
+                LEFT JOIN hk k ON e.lang = k.lang)
+      SELECT lang, n_exact, ${oround("kmv_est", 2)} AS kmv_est,
+             ${oround("(kmv_est - n_exact) / n_exact * 100", 2)} AS rel_err_pct
+      FROM est ORDER BY lang"""))
+
+  // -- Theta-style set-operation sketch: split the corpus into two source
+  //    groups (even/odd source number), sketch each side and the union with
+  //    the same bottom-K machinery, then estimate |A∩B| by inclusion–
+  //    exclusion (clamped at 0) and Jaccard from the estimates. Exact
+  //    counterparts ride along for calibration. At 100 TB each side's
+  //    sketch is K rows — the merge is free; the exact columns are the
+  //    expensive part and exist only because the oracle can check them.
+  private val thetaSetops = QueryDef(
+    "q_theta_setops",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("grp", (substring(col("source"), 4, 10).cast("int") % 2)
+          .cast("long"))
+        .withColumn("k8", concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+        .withColumn("h", expr(sparkHash("k8")))
+      val dh = d.select("grp", "h").distinct()
+      def kthSmallest(df: org.apache.spark.sql.DataFrame, part: Seq[String],
+          out: String) = {
+        val win = if (part.isEmpty) Window.orderBy(col("h").asc)
+          else Window.partitionBy(part.map(col): _*).orderBy(col("h").asc)
+        df.withColumn("rn", row_number().over(win)).filter(col("rn") === K)
+          .select((part.map(col) :+ col("h").as(out)): _*)
+      }
+      def est(hkCol: org.apache.spark.sql.Column, nCol: org.apache.spark.sql.Column) =
+        when(nCol >= K, lit((K - 1) * 4294967296.0) / (hkCol + lit(1L)))
+          .otherwise(nCol.cast("double"))
+      val perGrp = dh.groupBy("grp").agg(count(lit(1)).as("nh"))
+        .join(kthSmallest(dh, Seq("grp"), "hk"), Seq("grp"), "left")
+        .withColumn("e", est(col("hk"), col("nh")))
+      val ea = perGrp.filter(col("grp") === 0).select(col("e").as("est_a"))
+      val eb = perGrp.filter(col("grp") === 1).select(col("e").as("est_b"))
+      val du = dh.select("h").distinct()
+      val eu = du.agg(count(lit(1)).as("nhu"))
+        .crossJoin(broadcast(kthSmallest(du, Nil, "hku")))
+        .withColumn("est_union", est(col("hku"), col("nhu")))
+        .select("est_union")
+      // exact counterparts over the dedup key
+      val keyGrp = d.select("grp", "k8").distinct()
+      val exact = keyGrp.groupBy("k8").agg(countDistinct("grp").as("ng"))
+        .agg(count(lit(1)).as("n_union"),
+          sum(when(col("ng") === 2, 1L).otherwise(0L)).as("n_inter"))
+      val exA = keyGrp.filter(col("grp") === 0)
+        .agg(countDistinct("k8").as("n_a"))
+      val exB = keyGrp.filter(col("grp") === 1)
+        .agg(countDistinct("k8").as("n_b"))
+      broadcast(ea).crossJoin(broadcast(eb)).crossJoin(broadcast(eu))
+        .crossJoin(broadcast(exact)).crossJoin(broadcast(exA))
+        .crossJoin(broadcast(exB))
+        .withColumn("est_inter",
+          greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
+        .select(
+          dround(col("est_a"), 2).as("est_a"),
+          dround(col("est_b"), 2).as("est_b"),
+          dround(col("est_union"), 2).as("est_union"),
+          dround(col("est_inter"), 2).as("est_inter"),
+          dround(col("est_inter") / col("est_union"), 4).as("jaccard_est"),
+          col("n_a"), col("n_b"), col("n_union"), col("n_inter"))
+    },
+    Some(s"""
+      WITH d AS (SELECT CAST(CAST(substr(source, 4, 10) AS INT) % 2 AS BIGINT) AS grp,
+                   array_to_string((string_split(text, ' '))[1:8], ' ') AS k8
+                 FROM documents),
+        hd AS (SELECT grp, k8, ${duckHash("k8")} AS h FROM d),
+        dh AS (SELECT DISTINCT grp, h FROM hd),
+        pg AS (SELECT g.grp, g.nh, k.hk,
+                 CASE WHEN g.nh >= $K
+                      THEN ${(K - 1).toDouble} * 4294967296.0 / (k.hk + 1)
+                      ELSE CAST(g.nh AS DOUBLE) END AS e
+               FROM (SELECT grp, count(*) AS nh FROM dh GROUP BY grp) g
+               LEFT JOIN (SELECT grp, h AS hk
+                          FROM (SELECT grp, h, row_number() OVER
+                                  (PARTITION BY grp ORDER BY h ASC) AS rn FROM dh)
+                          WHERE rn = $K) k ON g.grp = k.grp),
+        du AS (SELECT DISTINCT h FROM dh),
+        eu AS (SELECT CASE WHEN n.nhu >= $K
+                           THEN ${(K - 1).toDouble} * 4294967296.0 / (k.hku + 1)
+                           ELSE CAST(n.nhu AS DOUBLE) END AS est_union
+               FROM (SELECT count(*) AS nhu FROM du) n,
+                    (SELECT h AS hku
+                     FROM (SELECT h, row_number() OVER (ORDER BY h ASC) AS rn
+                           FROM du) WHERE rn = $K) k),
+        kg AS (SELECT DISTINCT grp, k8 FROM hd),
+        exact AS (SELECT count(*) AS n_union,
+                    CAST(sum(CASE WHEN ng = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter
+                  FROM (SELECT k8, count(DISTINCT grp) AS ng FROM kg GROUP BY k8)),
+        core AS (SELECT a.e AS est_a, b.e AS est_b, u.est_union,
+                   greatest(0.0, a.e + b.e - u.est_union) AS est_inter
+                 FROM (SELECT e FROM pg WHERE grp = 0) a,
+                      (SELECT e FROM pg WHERE grp = 1) b, eu u)
+      SELECT ${oround("c.est_a", 2)} AS est_a, ${oround("c.est_b", 2)} AS est_b,
+             ${oround("c.est_union", 2)} AS est_union,
+             ${oround("c.est_inter", 2)} AS est_inter,
+             ${oround("c.est_inter / c.est_union", 4)} AS jaccard_est,
+             (SELECT count(DISTINCT k8) FROM kg WHERE grp = 0) AS n_a,
+             (SELECT count(DISTINCT k8) FROM kg WHERE grp = 1) AS n_b,
+             e.n_union, e.n_inter
+      FROM core c, exact e"""))
+
+  override def queries: Seq[QueryDef] = Seq(kmvDistinct, thetaSetops)
+}

@@ -65,6 +65,18 @@ object StreamIngest {
     stream.withWatermark("collected_at", watermark)
       .dropDuplicates("content_hash")
 
+  /** Strictly state-bounded variant: `dropDuplicatesWithinWatermark`
+    * guarantees dedup only for duplicates arriving within the watermark
+    * delay of each other, and in exchange EVICTS hash state once the
+    * watermark passes — the shape to run at 100 TB/day, where
+    * `dropDuplicates` state (keyed on every hash ever seen inside the
+    * watermark, compared by event time) grows without that bound. A hash
+    * recurring after eviction is re-emitted; the exact-parity forever-dedup
+    * is `dedupedForeachBatch`. */
+  def boundedDedup(stream: DataFrame, watermark: String = "1 hour"): DataFrame =
+    stream.withWatermark("collected_at", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** 7-day tumbling per-(entity, window) signal summary
     * (signal_summaries.py:82-96 → window() on ingest time). Works on both
     * a static DataFrame and a stream (append mode after watermark). */

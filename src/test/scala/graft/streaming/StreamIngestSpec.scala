@@ -87,4 +87,29 @@ class StreamIngestSpec extends SparkSpec {
     val rows = spark.sql("SELECT payload FROM dedup_out").as[String].collect()
     assert(rows.sorted.toSeq == Seq("p", "q"))
   }
+
+  test("dropDuplicatesWithinWatermark dedups inside the delay, evicts after") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("payload", "collected_at")
+      .withColumn("content_hash", sha2($"payload", 256))
+    val q = StreamIngest.boundedDedup(stream, "1 hour")
+      .writeStream.format("memory").queryName("bounded_out")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // p twice within the watermark delay → one emission
+      mem.addData(("p", ts("2026-01-01 00:00:00")), ("p", ts("2026-01-01 00:10:00")))
+      q.processAllAvailable()
+      // advance event time far past the delay → p's dedup state is evicted
+      mem.addData(("x", ts("2026-01-01 06:00:00")))
+      q.processAllAvailable()
+      // p recurs AFTER eviction → re-emitted (bounded-state trade-off; the
+      // forever-dedup guarantee lives in dedupedForeachBatch)
+      mem.addData(("p", ts("2026-01-01 06:30:00")))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT payload FROM bounded_out").as[String].collect()
+      assert(rows.sorted.toSeq == Seq("p", "p", "x"))
+    } finally q.stop()
+  }
 }

@@ -88,7 +88,8 @@ object Registry {
     EmbeddingQueries,
     MultimodalQueries,
     SketchQueries,
-    CurationQueries)
+    CurationQueries,
+    TemporalQueries)
 
   lazy val all: Seq[QueryDef] = {
     val qs = modules.flatMap(_.queries)

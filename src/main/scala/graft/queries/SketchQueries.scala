@@ -211,5 +211,50 @@ object SketchQueries extends QueryModule {
              e.n_union, e.n_inter
       FROM core c, exact e"""))
 
-  override def queries: Seq[QueryDef] = Seq(kmvDistinct, thetaSetops)
+  /** Quantile probes and the rank tolerance certified by [[approxQuantiles]].
+    * Spark's GK sketch guarantees rank error ≤ n/accuracy = 0.05% at
+    * accuracy 2000; the certified band is ±0.5% — a 10× margin. */
+  private val Probes = Seq(0.5, 0.9, 0.99)
+  private val RankEps = 0.005
+  private val Accuracy = 2000
+
+  // -- Approximate quantiles (Greenwald–Khanna sketch, the engine-native
+  //    `percentile_approx`) CERTIFIED against the exact quantile: the result
+  //    carries the exact value and an integer flag proving the sketch output
+  //    lies within the ±RankEps rank band [exact(q-ε), exact(q+ε)]. The
+  //    DuckDB twin emits the same exact values with flag 1, so the hash
+  //    compare fails iff the sketch ever leaves its guaranteed band. The
+  //    sketch is THE quantile plan at 100 TB — single-pass, O(accuracy)
+  //    state, mergeable across partitions — where the exact percentile
+  //    (full sort per group) is the thing you can no longer afford;
+  //    here the exact ride-along is what makes it certifiable.
+  private val approxQuantiles = QueryDef(
+    "q_approx_quantile_bounds",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      def exact(qs: Seq[Double], name: String) =
+        expr(s"percentile(l_extendedprice, array(${qs.mkString(",")}))").as(name)
+      val agg = li.agg(
+        percentile_approx(col("l_extendedprice"),
+          array(Probes.map(lit): _*), lit(Accuracy)).as("apx"),
+        exact(Probes, "ex"),
+        exact(Probes.map(_ - RankEps), "lo"),
+        exact(Probes.map(_ + RankEps), "hi"))
+      agg.select(posexplode(arrays_zip(col("apx"), col("ex"), col("lo"), col("hi"))))
+        .select(
+          element_at(array(Probes.map(lit): _*), col("pos") + 1).as("p"),
+          dround(col("col.ex"), 4).as("exact_value"),
+          (col("col.apx") >= col("col.lo") && col("col.apx") <= col("col.hi"))
+            .cast("long").as("within_bounds"))
+        .orderBy("p")
+    },
+    Some(Probes.map { q =>
+      s"""SELECT CAST($q AS DOUBLE) AS p,
+             ${oround(s"quantile_cont(l_extendedprice, $q)", 4)} AS exact_value,
+             CAST(1 AS BIGINT) AS within_bounds
+           FROM lineitem"""
+    }.mkString("", "\n      UNION ALL\n      ", "\n      ORDER BY p")))
+
+  override def queries: Seq[QueryDef] =
+    Seq(kmvDistinct, thetaSetops, approxQuantiles)
 }

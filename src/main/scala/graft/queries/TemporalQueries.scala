@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import Det.{dround, oround}
+
+/** Temporal operators: time-based sliding-frame aggregation, interval
+  * (event-to-event attribution) joins, and skew-resistant shuffle joins.
+  * These extend the W/J families of SURVEY.md §2.5/§2.3 with the shapes a
+  * clickstream/feature-engineering pipeline runs at 100 TB:
+  *
+  *   - a RANGE frame ("trailing 30 days") instead of a ROWS frame — the
+  *     window is partitioned by the entity key, so scale-out is by customer
+  *     and no global ordering exists anywhere;
+  *   - conversion attribution (purchase ← nearest preceding click within
+  *     1 h) as an equi-join on the entity key with a time-band predicate —
+  *     the 100 TB plan is a per-user-partition join, NOT an all-pairs
+  *     time join; the streaming twin (graft.streaming.StreamJoin) runs the
+  *     same semantics incrementally with watermarked state;
+  *   - a SALTED shuffle join against a hot-key side (every row of the fact
+  *     carries one of 5 join keys — maximal skew). Salting replicates the
+  *     small side across `Salts` buckets so no single reducer owns a hot
+  *     key. The same trick q_salted_type_counts applies to aggregation,
+  *     here applied to the join operator itself.
+  */
+object TemporalQueries extends QueryModule {
+
+  // -- W: trailing 30-day spend per customer (RANGE frame over days).
+  //    The frame key is datediff-days (integer), so the frame is a true
+  //    time interval: same-day orders are peers and the result is
+  //    independent of their relative order — deterministic under any
+  //    partitioning. Money sums run on the integer cent grid (BASELINE.md
+  //    round-3 convention). The customer filter is on the PARTITION key, so
+  //    it commutes with the window and Catalyst pushes it to the scan.
+  private val slidingSpend = QueryDef(
+    "q_sliding_spend_30d",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_custkey") % 50 === 0)
+        .withColumn("d", datediff(col("o_orderdate"), lit("1992-01-01").cast("date")))
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      val w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-30, 0)
+      o.withColumn("trail_cents", sum("cents").over(w))
+        .withColumn("n_trail", count(lit(1)).over(w))
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          (col("trail_cents").cast("double") / 100.0).as("trailing_spend_30d"),
+          col("n_trail"))
+        .orderBy("o_custkey", "order_date", "o_orderkey")
+    },
+    Some("""
+      WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                   datediff('day', DATE '1992-01-01', o_orderdate) AS d,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+                 FROM orders WHERE o_custkey % 50 = 0)
+      SELECT o_orderkey, o_custkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             CAST(sum(cents) OVER w AS DOUBLE) / 100.0 AS trailing_spend_30d,
+             count(*) OVER w AS n_trail
+      FROM o
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, order_date, o_orderkey"""))
+
+  /** Attribution lookback window (µs). */
+  private val LookbackUs = 3600L * 1000000L
+
+  // -- J: conversion attribution — each purchase is attributed to the
+  //    NEAREST preceding click by the same user within 1 h. Join shape at
+  //    scale: equi-join on user_id (shuffle/broadcast decided by AQE) with
+  //    the time band as a post-join predicate — per-user event counts are
+  //    bounded, so the pair blowup is per-user-quadratic at worst, never
+  //    corpus-quadratic. The min-gap argmin then collapses candidates with
+  //    one map-side-combinable aggregate. Streaming twin: StreamJoin.
+  private val clickAttribution = QueryDef(
+    "q_click_attribution",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us").as("p_ts"))
+      val pairs = purchases.join(clicks, "user_id")
+        .filter(col("c_ts") <= col("p_ts") &&
+          col("p_ts") - col("c_ts") <= LookbackUs)
+      val best = pairs.groupBy("event_id", "user_id")
+        .agg(min(col("p_ts") - col("c_ts")).as("gap_us"))
+      best.groupBy("user_id")
+        .agg(count(lit(1)).as("n_attributed"),
+          dround(avg(col("gap_us").cast("double") / 60000000.0), 4)
+            .as("avg_gap_min"))
+        .orderBy("user_id")
+    },
+    Some(s"""
+      WITH c AS (SELECT user_id, epoch_us(ts) AS c_ts FROM events
+                 WHERE event_type = 'click'),
+        p AS (SELECT event_id, user_id, epoch_us(ts) AS p_ts FROM events
+              WHERE event_type = 'purchase'),
+        best AS (SELECT p.event_id, p.user_id,
+                   min(p.p_ts - c.c_ts) AS gap_us
+                 FROM p JOIN c ON p.user_id = c.user_id
+                 WHERE c.c_ts <= p.p_ts AND p.p_ts - c.c_ts <= $LookbackUs
+                 GROUP BY p.event_id, p.user_id)
+      SELECT user_id, count(*) AS n_attributed,
+             ${oround("avg(CAST(gap_us AS DOUBLE) / 60000000.0)", 4)}
+               AS avg_gap_min
+      FROM best GROUP BY user_id ORDER BY user_id"""))
+
+  /** Salt fan-out for the hot-key join. */
+  private val Salts = 16
+
+  // -- J: salted shuffle join. The "dim" side is the per-type global mean
+  //    (5 rows — every fact row joins one of 5 keys: the worst-case hot-key
+  //    distribution for a shuffle join). Replicating the small side ×Salts
+  //    and scattering the fact by a deterministic hash salt makes every
+  //    reducer own 1/Salts of each hot key. (AQE skew-join splits oversized
+  //    partitions too, but salting works even when one KEY exceeds a single
+  //    executor — AQE cannot split within a key.) Broadcast is disabled
+  //    locally so the salted SHUFFLE path is what actually executes; at
+  //    100 TB this is the shape for joining two fact tables on a skewed key
+  //    where neither side broadcasts.
+  private val saltedSkewJoin = QueryDef(
+    "q_salted_skew_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val typeStats = ev.groupBy("event_type")
+        .agg((sum(round(col("value") * 100).cast("long")).cast("double")
+          / lit(100.0) / count(lit(1))).as("type_mean"))
+      val salted = typeStats.withColumn("salt",
+        explode(array((0 until Salts).map(lit): _*)))
+      val fact = ev.withColumn("salt", pmod(hash(col("event_id")), lit(Salts)))
+      val joined = fact.hint("shuffle_hash")
+        .join(salted, Seq("event_type", "salt"))
+      joined.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          dround(avg(abs(col("value") - col("type_mean"))), 4)
+            .as("mean_abs_dev"),
+          dround(first("type_mean"), 4).as("type_mean"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH ts AS (SELECT event_type,
+                    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                      / 100.0 / count(*) AS type_mean
+                  FROM events GROUP BY event_type),
+        j AS (SELECT e.event_type, e.value, ts.type_mean
+              FROM events e JOIN ts ON e.event_type = ts.event_type)
+      SELECT event_type, count(*) AS n,
+             (CASE WHEN avg(abs(value - type_mean)) >= 0
+                THEN floor(avg(abs(value - type_mean)) * 1e4 + 0.5)
+                ELSE ceil(avg(abs(value - type_mean)) * 1e4 - 0.5) END / 1e4)
+               AS mean_abs_dev,
+             (CASE WHEN min(type_mean) >= 0
+                THEN floor(min(type_mean) * 1e4 + 0.5)
+                ELSE ceil(min(type_mean) * 1e4 - 0.5) END / 1e4) AS type_mean
+      FROM j GROUP BY event_type ORDER BY event_type"""))
+
+  override def queries: Seq[QueryDef] =
+    Seq(slidingSpend, clickAttribution, saltedSkewJoin)
+}

@@ -601,8 +601,68 @@ object TextQueries extends QueryModule {
              CAST(sum(CASE WHEN xent > 4.0 THEN m ELSE 0 END) AS BIGINT) AS n_high_xent
       FROM px GROUP BY lang ORDER BY lang"""))
 
+  /** PII patterns — restricted to the syntax Java regex and RE2 (DuckDB)
+    * interpret identically: character classes, bounded repetition, \b, \d. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  // -- PII redaction: scrub emails/phones before a corpus ships to training.
+  //    The synthetic docs carry no organic PII, so each doc is first salted
+  //    with a DETERMINISTIC email + phone derived from doc_id (both engines
+  //    build the identical string) — the redactor then has real work whose
+  //    output is hash-checked: match counts and the sha256 of the redacted
+  //    text. Pure per-row string transforms: no shuffle at all before the
+  //    final 5-row rollup — the cheapest possible 100 TB shape, and the scan
+  //    prunes to (doc_id, lang, text).
+  private val piiRedaction = QueryDef(
+    "q_pii_redaction",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("salted", concat(col("text"),
+          lit(" contact u"), col("doc_id"), lit("@example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" ext "),
+          lit("call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .withColumn("n_emails", regexp_count(col("salted"), lit(EmailRe)))
+        .withColumn("n_phones", regexp_count(col("salted"), lit(PhoneRe)))
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(col("salted"), EmailRe, "[EMAIL]"),
+            PhoneRe, "[PHONE]"))
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_emails").as("emails_redacted"),
+          sum("n_phones").as("phones_redacted"),
+          // order-insensitive corpus checksum: per-doc sha256 XOR-folded to
+          // 8 hex bytes via bit_xor (both engines fold the same per-row
+          // digests, any partitioning)
+          lower(hex(bit_xor(conv(substring(sha2(col("redacted"), 256), 1, 8),
+            16, 10).cast("long")))).as("redacted_xor"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH d AS (SELECT lang,
+                   text || ' contact u' || doc_id || '@example.com or 555-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ext ' ||
+                     'call 555-' ||
+                     lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS salted
+                 FROM documents),
+        r AS (SELECT lang,
+                len(regexp_extract_all(salted, '$EmailRe')) AS n_emails,
+                len(regexp_extract_all(salted, '$PhoneRe')) AS n_phones,
+                regexp_replace(regexp_replace(salted, '$EmailRe', '[EMAIL]', 'g'),
+                  '$PhoneRe', '[PHONE]', 'g') AS redacted
+              FROM d)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_emails) AS BIGINT) AS emails_redacted,
+             CAST(sum(n_phones) AS BIGINT) AS phones_redacted,
+             lower(hex(bit_xor(CAST(('0x' || substring(sha256(redacted), 1, 8))
+               AS BIGINT)))) AS redacted_xor
+      FROM r GROUP BY lang ORDER BY lang"""))
+
   override def queries: Seq[QueryDef] =
     Seq(tokenStats, docQuality, langId, fingerprint, keywordHits, tokenCountsBpe,
       tfidfTop, weightedSample, docRepetition, mixtureRates, qualityFilterRules,
-      unigramLogprob)
+      unigramLogprob, piiRedaction)
 }

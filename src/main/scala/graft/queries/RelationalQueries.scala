@@ -727,6 +727,37 @@ object RelationalQueries extends QueryModule {
       GROUP BY ROLLUP (n_name)
       ORDER BY n_name"""))
 
+  // -- A: GROUPING SETS — the general form of rollup/cube: exactly the
+  //    requested group-bys ((priority), (status), ()) computed in ONE pass
+  //    over the fact table (Catalyst expands to a single Expand + aggregate,
+  //    not three scans). Disambiguation by the rollup sentinel convention:
+  //    a set's absent keys read 'ALL'.
+  private val groupingSetsAgg = QueryDef(
+    "q_grouping_sets",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      o.groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum("cents").cast("double") / 100.0).as("sum_price"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"), col("sum_price"))
+        .orderBy("priority", "status")
+    },
+    Some("""
+      SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+             coalesce(o_orderstatus, 'ALL') AS status,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      ORDER BY priority, status"""))
+
   // -- 3-way fact join + filtered agg + top-k (TPC-H Q3 shipping-priority
   //    shape): two shuffle joins the optimizer must order well
   private val shippingPriority = QueryDef(
@@ -880,6 +911,6 @@ object RelationalQueries extends QueryModule {
     scd2History, fullOuterSpend, quantiles,
     customersNoOrders, urgentCustomers, twoLevelAgg,
     pivotEventCounts, jsonMetaAvg, tumblingWindow, runningTotal, orderGaps,
-    unionEvidence, setOps, acctbalBands, rollupSuppliers,
+    unionEvidence, setOps, acctbalBands, rollupSuppliers, groupingSetsAgg,
     shippingPriority, regionVolume, asofJoin, rangeJoin)
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** HistQuantiles must agree with Spark's exact `percentile` aggregate
+  * (quantile_cont semantics) on every probe, under any partitioning. */
+class HistQuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val probes = Seq(0.1, 0.25, 0.5, 0.9, 0.99)
+
+  private def reference(vals: Seq[Long], q: Double): Double = {
+    val sorted = vals.sorted
+    val pos = q * (sorted.size - 1)
+    val k = math.floor(pos).toInt
+    val frac = pos - k
+    if (k + 1 >= sorted.size) sorted(k).toDouble
+    else sorted(k) + frac * (sorted(k + 1) - sorted(k))
+  }
+
+  test("matches quantile_cont on an LCG value grid, any partitioning") {
+    val vals = (1 to 5000).map(i => ((i * 69069L + 12345L) % 100000L))
+    for (parts <- Seq(1, 7, 32)) {
+      val df = vals.toDF("v").repartition(parts)
+      val got = HistQuantiles.quantiles(df, col("v"), probes)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      probes.foreach { q =>
+        assert(math.abs(got(q) - reference(vals, q)) < 1e-9,
+          s"q=$q parts=$parts: ${got(q)} vs ${reference(vals, q)}")
+      }
+    }
+  }
+
+  test("duplicate-heavy and tiny inputs (order stats straddling bins)") {
+    val vals = Seq.fill(100)(7L) ++ Seq.fill(50)(9L) ++ Seq(1L, 2L, 3L)
+    val df = vals.toDF("v").repartition(5)
+    val got = HistQuantiles.quantiles(df, col("v"), probes)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    probes.foreach { q =>
+      assert(math.abs(got(q) - reference(vals, q)) < 1e-9, s"q=$q: ${got(q)}")
+    }
+    // single-value frame: every quantile is that value
+    val one = HistQuantiles.quantiles(Seq(42L).toDF("v"), col("v"), Seq(0.5))
+      .collect()
+    assert(one.head.getDouble(1) === 42.0)
+  }
+
+  test("descale maps the grid back (cents → dollars)") {
+    val df = Seq(100L, 200L, 300L).toDF("v")
+    val got = HistQuantiles.quantiles(df, col("v"), Seq(0.5), _ / 100.0)
+      .collect().head.getDouble(1)
+    assert(got === 2.0)
+  }
+}

@@ -128,6 +128,40 @@ class PlanSpec extends SparkSpec {
       "simhash join no longer keyed on banded chunks (all-pairs regression)")
   }
 
+  test("q_sliding_spend_30d: RANGE frame window partitions by customer") {
+    val plan = physicalPlan("q_sliding_spend_30d")
+    val wLine = plan.linesIterator.find(_.contains("specifiedwindowframe(RangeFrame"))
+      .getOrElse(fail("no RANGE-frame window in plan"))
+    assert(wLine.contains("windowspecdefinition(o_custkey"),
+      s"sliding window not partitioned by customer: $wLine")
+  }
+
+  test("q_salted_skew_join: the salted path is a shuffled hash join") {
+    val plan = physicalPlan("q_salted_skew_join")
+    assert(plan.contains("ShuffledHashJoin"),
+      "salted join demo silently became a broadcast (hint lost)")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("ShuffledHashJoin") && l.contains("salt")),
+      "shuffle join no longer keyed on the salt")
+  }
+
+  test("q_grouping_sets: one Expand pass, not one scan per grouping set") {
+    val plan = physicalPlan("q_grouping_sets")
+    assert(plan.contains("Expand"), "grouping sets lost the Expand strategy")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1,
+      "grouping sets reads the fact table more than once")
+  }
+
+  test("q_approx_quantile_bounds: exact side is the histogram plan, " +
+      "not a full-column percentile buffer") {
+    val plan = physicalPlan("q_approx_quantile_bounds")
+    // "percentile(" is the buffering exact aggregate; "percentile_approx("
+    // (the GK sketch) does not match this substring
+    assert(!plan.contains("percentile("),
+      "exact quantiles regressed to the buffering percentile aggregate")
+    assert(plan.contains("percentile_approx"), "GK sketch side missing")
+  }
+
   test("scoring pipeline plan contains no UDF nodes (codegen-friendly)") {
     val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),

@@ -325,7 +325,11 @@ object ScoringQueries extends QueryModule {
              -- bucketed rank() over Det.dround(vr_score, 4); raw-double
              -- ordering diverges across engines on ulp-level near-ties
              percent_rank() OVER (ORDER BY ${oround("vr_score", 4)} ASC) AS pctl,
-             avg(vr_score) OVER () AS sector_avg
+             -- 1e-6 integer-grid mean (order-free, engine-identical) — a
+             -- raw avg() here diverged from Spark by one ulp and flipped a
+             -- 1e-4-boundary final_score at the 10× scale factor
+             CAST(sum(CAST(floor(vr_score * 1e6 + 0.5) AS BIGINT)) OVER ()
+                  AS DOUBLE) / 1e6 / count(*) OVER () AS sector_avg
            FROM vr v),
         calc AS (SELECT r.entity_id, r.vr_score, r.cv_factor, h.hhi,
              h.penalty_factor, sy.synergy_bonus,

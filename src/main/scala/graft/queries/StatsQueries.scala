@@ -58,8 +58,15 @@ object StatsQueries extends QueryModule {
       val inputs = ScorePipeline.dimensionInputs(s, dir)
       val wide = inputs.groupBy("entity_id").pivot("dimension", dims).agg(first("score"))
       val rel = SemConfidence.reliability(wide, dims).select("rho")
+      // mean on the 1e-6 integer grid: avg() of 5 doubles is summation-
+      // order-dependent at the ulp level, and at the 10× scale factor one
+      // entity's mean sat exactly on the 1e-4 output boundary (the same
+      // class as the sector_avg residual; same fix — sum exact integer-
+      // valued doubles, divide once, mirrored in the oracle)
       val perEntity = inputs.groupBy("entity_id")
-        .agg(avg("score").as("mean_score"), stddev_samp(col("score")).as("sigma"))
+        .agg((sum(floor(col("score") * 1e6 + 0.5).cast("long")).cast("double")
+            / lit(1e6) / count(lit(1)).cast("double")).as("mean_score"),
+          stddev_samp(col("score")).as("sigma"))
         .crossJoin(broadcast(rel))
       SemConfidence.semBounds(perEntity, "mean_score", "sigma", "rho")
         .select(col("entity_id"),
@@ -74,7 +81,9 @@ object StatsQueries extends QueryModule {
       s"""
       WITH $wideCte,
         rel AS (SELECT rho FROM ${OracleSem.relSubquery(dims, "wide")}),
-        pe AS (SELECT entity_id, avg(score) AS mean_score,
+        pe AS (SELECT entity_id,
+                      CAST(sum(CAST(floor(score * 1e6 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 1e6 / count(*) AS mean_score,
                       stddev_samp(score) AS sigma
                FROM dimscores GROUP BY entity_id),
         sb AS (SELECT entity_id, mean_score, sigma,
@@ -122,10 +131,15 @@ object StatsQueries extends QueryModule {
       // persist: both gate sides derive from the same hashed scan — cache
       // avoids computing 1M sha2 twice (at 100 TB the hash column is
       // materialized at ingest, not recomputed per read)
+      // the gate key is the BINARY digest (32 B), not the hex string
+      // (64 B + string comparisons): join keys and dedup state carry no
+      // human-readable requirement, and at 100 TB the gate's shuffle and
+      // broadcast sizes halve for free. Counts are representation-blind,
+      // so the hex-based oracle is unchanged.
       val ev = Tables.events(s, dir)
-        .withColumn("content_hash", sha2(concat_ws("#",
+        .withColumn("content_hash", unhex(sha2(concat_ws("#",
           col("user_id"), col("event_type"),
-          get_json_object(col("props"), "$.k")), 256))
+          get_json_object(col("props"), "$.k")), 256)))
         .select("event_id", "event_type", "content_hash")
         .persist()
       val seen = ev.filter(col("event_id") % 2 === 0)

@@ -157,6 +157,93 @@ object TemporalQueries extends QueryModule {
                 ELSE ceil(min(type_mean) * 1e4 - 0.5) END / 1e4) AS type_mean
       FROM j GROUP BY event_type ORDER BY event_type"""))
 
+  /** Epoch-µs per week, and the corpus epoch the cohort grid hangs off. */
+  private val WeekUs = 7L * 86400L * 1000000L
+  private val EpochUs = 1704067200000000L // 2024-01-01 UTC
+
+  // -- cohort retention: users bucketed by first-activity week; for each
+  //    (cohort, week-offset) cell, how many of the cohort's users were
+  //    active. Two aggregations and one join, ALL keyed on user/cohort —
+  //    the canonical product-analytics matrix with no global operation
+  //    anywhere. Integer week arithmetic on epoch-µs (identical in DuckDB).
+  private val cohortRetention = QueryDef(
+    "q_cohort_retention",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("week", ((col("ts_us") - EpochUs) / WeekUs).cast("long"))
+      val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      val active = ev.select("user_id", "week").distinct()
+      active.join(cohort, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some(s"""
+      WITH ev AS (SELECT user_id,
+                    (epoch_us(ts) - $EpochUs) // $WeekUs AS week
+                  FROM events),
+        cohort AS (SELECT user_id, min(week) AS cohort_week
+                   FROM ev GROUP BY user_id),
+        active AS (SELECT DISTINCT user_id, week FROM ev)
+      SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+             count(DISTINCT a.user_id) AS n_active
+      FROM active a JOIN cohort c ON a.user_id = c.user_id
+      GROUP BY c.cohort_week, week_offset
+      ORDER BY c.cohort_week, week_offset"""))
+
+  // -- ordered funnel: signup → first click AFTER signup → first purchase
+  //    AFTER that click, per user; report how many users reach each stage.
+  //    Sequential "first X after Y" via chained conditional-min window
+  //    aggregates over ONE user-partitioned exchange (three Window nodes,
+  //    same partitioning → Catalyst plans a single shuffle). No self-joins,
+  //    no per-user explosion.
+  private val funnelStages = QueryDef(
+    "q_funnel_stages",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+      val staged = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+        .withColumn("s_ts",
+          min(when(col("event_type") === "signup", col("ts_us"))).over(w))
+        .withColumn("c_ts",
+          min(when(col("event_type") === "click" &&
+            col("ts_us") >= col("s_ts"), col("ts_us"))).over(w))
+        .withColumn("p_ts",
+          min(when(col("event_type") === "purchase" &&
+            col("ts_us") >= col("c_ts"), col("ts_us"))).over(w))
+      staged.select(col("user_id"),
+          when(col("p_ts").isNotNull, 3)
+            .when(col("c_ts").isNotNull, 2)
+            .when(col("s_ts").isNotNull, 1)
+            .otherwise(0).cast("long").as("stage"))
+        .distinct()
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        s AS (SELECT user_id,
+                min(CASE WHEN event_type = 'signup' THEN t END) AS s_ts
+              FROM ev GROUP BY user_id),
+        c AS (SELECT e.user_id,
+                min(CASE WHEN e.event_type = 'click' AND e.t >= s.s_ts
+                         THEN e.t END) AS c_ts
+              FROM ev e JOIN s ON e.user_id = s.user_id GROUP BY e.user_id),
+        p AS (SELECT e.user_id,
+                min(CASE WHEN e.event_type = 'purchase' AND e.t >= c.c_ts
+                         THEN e.t END) AS p_ts
+              FROM ev e JOIN c ON e.user_id = c.user_id GROUP BY e.user_id)
+      SELECT stage, count(*) AS n_users FROM (
+        SELECT s.user_id,
+               CASE WHEN p.p_ts IS NOT NULL THEN 3
+                    WHEN c.c_ts IS NOT NULL THEN 2
+                    WHEN s.s_ts IS NOT NULL THEN 1
+                    ELSE 0 END AS stage
+        FROM s JOIN c ON s.user_id = c.user_id
+               JOIN p ON s.user_id = p.user_id)
+      GROUP BY stage ORDER BY stage"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(slidingSpend, clickAttribution, saltedSkewJoin)
+    Seq(slidingSpend, clickAttribution, saltedSkewJoin,
+      cohortRetention, funnelStages)
 }

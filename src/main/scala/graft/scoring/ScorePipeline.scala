@@ -93,7 +93,16 @@ object ScorePipeline {
     val withBonus = Synergy.ruleSynergy(wide, Rules)
       .select(col("entity_id"), col("synergy_bonus"))
 
-    val sectorAvg = vr.agg(avg("vr_score").as("sector_avg"))
+    // sector mean on the 1e-6 integer grid: a raw avg() of 15k+ doubles is
+    // summation-order-dependent at the ulp level, and sector_avg feeds
+    // position_factor → composite → final_score, where one entity per ~10k
+    // landed exactly on the 1e-4 output-rounding boundary at the 10× scale
+    // factor (the round-4 q_sem_bounds residual). Quantize each vr_score to
+    // 1e-6 (floor(x·1e6+0.5) — same binary arithmetic as Det.dround), sum
+    // as integers (order-free), divide once — bit-identical in DuckDB.
+    val sectorAvg = vr.agg(
+      (sum(floor(col("vr_score") * 1e6 + 0.5).cast("long")).cast("double")
+        / lit(1e6) / count(lit(1)).cast("double")).as("sector_avg"))
     // Distributed percent_rank: a bare `Window.orderBy(vr_score)` funnels
     // every entity through ONE task — the 100 TB killer. Instead: bucket by
     // the score (total order preserved: equal scores share a bucket),

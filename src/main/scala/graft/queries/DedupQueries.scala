@@ -572,7 +572,61 @@ $rounds,
              CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_doc_passages
       FROM byp"""))
 
+  // -- Blocked edit-distance (Levenshtein) similarity join — the fuzzy-dedup
+  //    class the sketch family can't express: an EXACT small-edit guarantee
+  //    on the 120-char prefix, for catching near-identical boilerplate that
+  //    tokenized sketches blur. Three nested prune layers keep it off the
+  //    O(n²) cliff at 100 TB:
+  //      1. exact-dedup-first (same as MinHash): identical texts collapse to
+  //         one representative before any pairing, so duplicate mass never
+  //         multiplies candidates;
+  //      2. blocking on the first-2-token key: pairs form only inside a
+  //         block (equi-join, shuffles on the block key — never all-pairs);
+  //      3. the length lower bound |len(a)−len(b)| ≤ d (edit distance is at
+  //         least the length difference) runs as a cheap codegen'd filter
+  //         BEFORE the O(len²) DP evaluates.
+  //    At web scale the block key graduates to (first tokens, length band)
+  //    and skewed blocks split via AQE — the shape stays an equi-join.
+  private val DistMax = 20
+  private val fuzzyNeardupJoin = QueryDef(
+    "q_fuzzy_neardup_join",
+    (s, dir) => {
+      val c = Tables.documents(s, dir)
+        .groupBy("text")
+        .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
+      val d = c.select(col("rep"), col("n"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"),
+        substring(col("text"), 1, 120).as("pfx"))
+      val a = d.select(col("blk"), col("rep").as("doc_a"),
+        col("n").as("n_a"), col("pfx").as("pfx_a"))
+      val b = d.select(col("blk"), col("rep").as("doc_b"),
+        col("n").as("n_b"), col("pfx").as("pfx_b"))
+      a.join(b, Seq("blk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(abs(length(col("pfx_a")) - length(col("pfx_b"))) <= DistMax)
+        .withColumn("dist",
+          levenshtein(col("pfx_a"), col("pfx_b")).cast("long"))
+        .filter(col("dist") <= DistMax)
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+          col("dist"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH c AS (SELECT text, min(doc_id) AS rep, count(*) AS n
+                 FROM documents GROUP BY text),
+        d AS (SELECT rep, n,
+                array_to_string((string_split(text, ' '))[1:2], ' ') AS blk,
+                substr(text, 1, 120) AS pfx
+              FROM c)
+      SELECT a.rep AS doc_a, b.rep AS doc_b, a.n AS n_a, b.n AS n_b,
+             CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+      FROM d a JOIN d b ON a.blk = b.blk AND a.rep < b.rep
+      WHERE abs(length(a.pfx) - length(b.pfx)) <= $DistMax
+        AND levenshtein(a.pfx, b.pfx) <= $DistMax
+      ORDER BY doc_a, doc_b"""))
+
   override def queries: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, minhashBandedR2, simhash, neardupClusters,
-    ngramJaccard, embeddingNearDup, contamination, passageDedup)
+    ngramJaccard, embeddingNearDup, contamination, passageDedup,
+    fuzzyNeardupJoin)
 }

@@ -604,6 +604,54 @@ object RelationalQueries extends QueryModule {
       WHERE o_custkey < 100
       ORDER BY o_custkey, o_orderkey"""))
 
+  // -- ratio-to-report window: each nation's revenue as a share of its
+  //    region's total, plus its in-region revenue rank. The window runs
+  //    AFTER the group-by — it partitions |nations| aggregated rows, never
+  //    the order facts, so the plan is a fact-side hash aggregate (map-side
+  //    combined) + two broadcast dim joins + a 25-row window: the share
+  //    step costs nothing more at 100 TB than it does here. Revenue is
+  //    summed on the integer-cent grid (order-free long addition, identical
+  //    in both engines) so the ratio is bit-deterministic.
+  private val nationRevenueShare = QueryDef(
+    "q_nation_revenue_share",
+    (s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val part = Window.partitionBy("r_name")
+      rev.select(col("r_name"), col("n_name"),
+          dround(col("cents") / 100.0, 2).as("rev"),
+          dround(col("cents").cast("double")
+            / sum("cents").over(part) * 100, 4).as("share_pct"),
+          rank().over(part.orderBy(col("cents").desc, col("n_name").asc))
+            .cast("long").as("rnk"))
+        .orderBy("r_name", "n_name")
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT r_name, n_name,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name)
+      SELECT r_name, n_name,
+             ${oround("cents / 100.0", 2)} AS rev,
+             ${oround(
+               "CAST(cents AS DOUBLE) / sum(cents) OVER (PARTITION BY r_name) * 100",
+               4)} AS share_pct,
+             CAST(rank() OVER (PARTITION BY r_name
+                    ORDER BY cents DESC, n_name ASC) AS BIGINT) AS rnk
+      FROM rev
+      ORDER BY r_name, n_name"""))
+
   // -- lag: days between consecutive orders per customer
   private val orderGaps = QueryDef(
     "q_order_gaps",
@@ -910,7 +958,8 @@ object RelationalQueries extends QueryModule {
     ordersPage, ordersKeysetPage, eventSessions, cubeVolumes, saltedTypeCounts,
     scd2History, fullOuterSpend, quantiles,
     customersNoOrders, urgentCustomers, twoLevelAgg,
-    pivotEventCounts, jsonMetaAvg, tumblingWindow, runningTotal, orderGaps,
+    pivotEventCounts, jsonMetaAvg, tumblingWindow, runningTotal,
+    nationRevenueShare, orderGaps,
     unionEvidence, setOps, acctbalBands, rollupSuppliers, groupingSetsAgg,
     shippingPriority, regionVolume, asofJoin, rangeJoin)
 }

@@ -34,31 +34,41 @@ import Det.{dround, oround}
   */
 object SketchQueries extends QueryModule {
 
-  /** Polynomial rolling hash (base 31, mod 2^32) + 2 LCG scramble rounds.
-    * Spark expression-SQL form over a string column named `s`. The rolling
-    * fold keeps acc < 2^32 so acc*31+c < 2^37; the scramble products are
-    * < 2^32 * 1664525 < 2^53 — no Long overflow under ANSI mode even for
-    * adversarial keys. */
-  private def sparkHash(s: String): String =
-    s"""((CASE WHEN length($s) > 0
-               THEN aggregate(transform(sequence(1, length($s)),
-                                i -> CAST(ascii(substr($s, i, 1)) AS BIGINT)),
-                              CAST(0 AS BIGINT),
-                              (acc, x) -> (acc * 31 + x) % 4294967296)
-               ELSE CAST(0 AS BIGINT) END
-          * 69069 + 12345) % 4294967296 * 1664525 + 1013904223) % 4294967296"""
+  /** Polynomial rolling hash (base 31, mod 2^32) over a string column named
+    * `s` — the shared base for the KMV hash and the CMS row hashes. The
+    * rolling fold keeps acc < 2^32 so acc*31+c < 2^37 — no Long overflow
+    * under ANSI mode even for adversarial keys. */
+  private def sparkBase(s: String): String =
+    s"""(CASE WHEN length($s) > 0
+              THEN aggregate(transform(sequence(1, length($s)),
+                               i -> CAST(ascii(substr($s, i, 1)) AS BIGINT)),
+                             CAST(0 AS BIGINT),
+                             (acc, x) -> (acc * 31 + x) % 4294967296)
+              ELSE CAST(0 AS BIGINT) END)"""
 
-  /** DuckDB twin of [[sparkHash]] — list_reduce has no init value, so the
+  /** DuckDB twin of [[sparkBase]] — list_reduce has no init value, so the
     * zero accumulator is prepended; generate_series(1,0) is empty for the
     * guard arm, matching the Spark CASE. */
+  private def duckBase(s: String): String =
+    s"""(CASE WHEN length($s) > 0
+              THEN list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, length($s)),
+                         i -> CAST(ord(substr($s, i, 1)) AS BIGINT))),
+                     (acc, x) -> (acc * 31 + x) % 4294967296)
+              ELSE CAST(0 AS BIGINT) END)"""
+
+  /** Base hash + 2 LCG scramble rounds — the KMV key hash. Scramble
+    * multipliers stay < 2^21 so every product is < 2^53, identical 64-bit
+    * integer arithmetic in both engines (Spark's xxhash64 / DuckDB's hash()
+    * would never agree). */
+  private def sparkHash(s: String): String =
+    s"""((${sparkBase(s)}
+          * 69069 + 12345) % 4294967296 * 1664525 + 1013904223) % 4294967296"""
+
+  /** DuckDB twin of [[sparkHash]]. */
   private def duckHash(s: String): String =
-    s"""((CASE WHEN length($s) > 0
-               THEN list_reduce(
-                      list_prepend(CAST(0 AS BIGINT),
-                        list_transform(generate_series(1, length($s)),
-                          i -> CAST(ord(substr($s, i, 1)) AS BIGINT))),
-                      (acc, x) -> (acc * 31 + x) % 4294967296)
-               ELSE CAST(0 AS BIGINT) END
+    s"""((${duckBase(s)}
           * 69069 + 12345) % 4294967296 * 1664525 + 1013904223) % 4294967296"""
 
   private val K = 32
@@ -211,6 +221,88 @@ object SketchQueries extends QueryModule {
              e.n_union, e.n_inter
       FROM core c, exact e"""))
 
+  /** CMS geometry: D independent row hashes × W counters per row. Row
+    * hashes are one LCG scramble of the shared polynomial base hash, with
+    * per-row (multiplier, increment) pairs; multipliers < 2^21 keep every
+    * product < 2^53 (same cross-engine-safe envelope as [[sparkHash]]). */
+  private val CmsW = 512
+  private val CmsLcg = Seq(
+    (0, 69069L, 12345L),
+    (1, 1664525L, 1013904223L),
+    (2, 65539L, 362437L),
+    (3, 2034059L, 1499101L))
+  private val TopK = 20
+
+  // -- Count-Min-Sketch heavy hitters over the corpus token stream
+  //    [Cormode & Muthukrishnan 2005]: every token increments D=4 counters
+  //    (one per row hash) in a D×W=4×512 grid; a token's frequency estimate
+  //    is the MIN over its D counters, which can only OVERcount (collisions
+  //    add, never subtract). The result certifies exactly that: the exact
+  //    top-20 tokens ride along and `overcount = cms_est - n_exact` must be
+  //    ≥ 0 in both engines, while the hash compare pins the estimates
+  //    bit-for-bit.
+  //
+  //    Scale shape: the sketch state is 2,048 cells NO MATTER how many
+  //    distinct tokens a 100 TB corpus holds — the cell aggregation is a
+  //    2,048-group groupBy with map-side partial aggregation, i.e. constant
+  //    shuffle per partition, where an exact per-token count would shuffle
+  //    the full vocabulary. Here the cells are built from the per-token
+  //    pre-aggregate (weighted by count) because the exact counts must
+  //    exist anyway for the oracle's top-K calibration; a pure deployment
+  //    builds the cells straight off the token stream and never holds
+  //    per-token state. Candidate lookup is a broadcast join against the
+  //    2,048-row cell table.
+  private val cmsHeavyHitters = QueryDef(
+    "q_cms_heavy_hitters",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val tokCounts = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .withColumn("b", expr(sparkBase("tok")))
+      def rowCol(b: Column, a: Long, c: Long): Column =
+        (b * lit(a) + lit(c)) % lit(4294967296L) % lit(CmsW.toLong)
+      val rcArr = array(CmsLcg.map { case (_, a, c) =>
+        rowCol(col("b"), a, c) }: _*)
+      val cells = tokCounts
+        .select(col("n"), posexplode(rcArr).as(Seq("r", "c")))
+        .groupBy("r", "c").agg(sum("n").as("cnt"))
+      val top = tokCounts
+        .orderBy(col("n").desc, col("tok").asc).limit(TopK)
+      val probes = top.select(col("tok"), col("n").as("n_exact"),
+        posexplode(rcArr).as(Seq("r", "c")))
+      probes.join(broadcast(cells), Seq("r", "c"))
+        .groupBy("tok", "n_exact").agg(min("cnt").as("cms_est"))
+        .select(col("tok"), col("n_exact"), col("cms_est"),
+          (col("cms_est") - col("n_exact")).as("overcount"))
+        .orderBy(col("n_exact").desc, col("tok").asc)
+    },
+    Some {
+      val lcgValues = CmsLcg.map { case (r, a, c) => s"($r, $a, $c)" }
+        .mkString(", ")
+      s"""
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+        tc AS (SELECT tok, count(*) AS n, ${duckBase("tok")} AS b
+               FROM toks WHERE length(tok) > 0 GROUP BY tok),
+        lcg(r, a, c) AS (VALUES $lcgValues),
+        cells AS (SELECT l.r, (t.b * l.a + l.c) % 4294967296 % $CmsW AS cc,
+                    sum(t.n) AS cnt
+                  FROM tc t, lcg l GROUP BY 1, 2),
+        top AS (SELECT tok, n AS n_exact, b FROM tc
+                ORDER BY n DESC, tok ASC LIMIT $TopK),
+        probes AS (SELECT t.tok, t.n_exact, l.r,
+                     (t.b * l.a + l.c) % 4294967296 % $CmsW AS cc
+                   FROM top t, lcg l),
+        est AS (SELECT p.tok, p.n_exact, min(ce.cnt) AS cms_est
+                FROM probes p JOIN cells ce ON p.r = ce.r AND p.cc = ce.cc
+                GROUP BY p.tok, p.n_exact)
+      SELECT tok, n_exact, CAST(cms_est AS BIGINT) AS cms_est,
+             CAST(cms_est - n_exact AS BIGINT) AS overcount
+      FROM est ORDER BY n_exact DESC, tok ASC"""
+    })
+
   /** Quantile probes and the rank tolerance certified by [[approxQuantiles]].
     * Spark's GK sketch guarantees rank error ≤ n/accuracy = 0.05% at
     * accuracy 2000; the certified band is ±0.5% — a 10× margin. */
@@ -267,5 +359,5 @@ object SketchQueries extends QueryModule {
     }.mkString("", "\n      UNION ALL\n      ", "\n      ORDER BY p")))
 
   override def queries: Seq[QueryDef] =
-    Seq(kmvDistinct, thetaSetops, approxQuantiles)
+    Seq(kmvDistinct, thetaSetops, approxQuantiles, cmsHeavyHitters)
 }

@@ -39,6 +39,44 @@ class ScaleSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("tables bucketed on the same key join with ZERO exchange") {
+    // The co-located join story at 100 TB: pay the shuffle ONCE at write
+    // time (bucketBy), then every subsequent join/aggregation on the bucket
+    // key is exchange-free. Broadcast is disabled so the join would
+    // otherwise be a shuffled SMJ — the assertion is that bucketing alone
+    // removes both Exchange nodes.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+    try {
+      val a = (0 until 1000).map(i => (i.toLong % 97, i.toLong))
+        .toDF("k", "va")
+      val b = (0 until 500).map(i => (i.toLong % 97, i.toLong * 2))
+        .toDF("k", "vb")
+      spark.sql("DROP TABLE IF EXISTS bj_a")
+      spark.sql("DROP TABLE IF EXISTS bj_b")
+      a.write.mode("overwrite").format("parquet").bucketBy(8, "k")
+        .option("path", s"$dir/a").saveAsTable("bj_a")
+      b.write.mode("overwrite").format("parquet").bucketBy(8, "k")
+        .option("path", s"$dir/b").saveAsTable("bj_b")
+      val j = spark.table("bj_a").join(spark.table("bj_b"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n${plan.take(3000)}")
+      // and it is still the correct join
+      val expect = a.join(b, "k").count()
+      assert(j.count() === expect)
+      // bucket-key aggregation is exchange-free too
+      val agg = spark.table("bj_a").groupBy("k").agg(sum("va"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucket-key aggregation re-shuffled")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bj_a")
+      spark.sql("DROP TABLE IF EXISTS bj_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
+
   test("warehouse partitioned write prunes by partition column") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wh").toString
     Warehouse.writePartitioned(skewed.withColumn("bucket", col("key") === "hot"),

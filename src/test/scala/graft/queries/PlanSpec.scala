@@ -162,6 +162,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("percentile_approx"), "GK sketch side missing")
   }
 
+  test("q_cms_heavy_hitters: top-k is TakeOrdered; cell lookup broadcasts") {
+    val plan = physicalPlan("q_cms_heavy_hitters")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "exact top-k must be a per-partition heap + driver merge, not a global sort")
+    assert(plan.contains("BroadcastHashJoin"),
+      "2,048-row cell table must broadcast to the probe side")
+    assert(!plan.contains("SortMergeJoin"), "cell lookup fell back to SMJ")
+  }
+
+  test("q_nation_revenue_share: window runs over aggregated rows, after " +
+      "broadcast dim joins") {
+    val plan = physicalPlan("q_nation_revenue_share")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the ratio-to-report window must sit ABOVE the aggregate: Window's
+    // child subtree contains the HashAggregate, never the raw orders scan
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      "window must consume the nation-level aggregate, not order facts")
+  }
+
   test("scoring pipeline plan contains no UDF nodes (codegen-friendly)") {
     val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),

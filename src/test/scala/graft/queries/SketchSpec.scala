@@ -22,6 +22,40 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(r.getLong(2) - exact) / exact < 0.02) // tighter rsd → tighter bound
   }
 
+  test("CMS heavy hitters: estimate never undercounts, for EVERY token") {
+    // The one-sided CMS error guarantee must hold for the full vocabulary,
+    // not just the top-20 the oracle query reports. Rebuild the 4×512 cell
+    // grid and check est >= exact for all distinct tokens at sf0.01.
+    import org.apache.spark.sql.expressions.Window
+    val base = // polynomial rolling hash, mod 2^32 (same as the query's)
+      """(CASE WHEN length(tok) > 0
+               THEN aggregate(transform(sequence(1, length(tok)),
+                                i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT)),
+                              CAST(0 AS BIGINT),
+                              (acc, x) -> (acc * 31 + x) % 4294967296)
+               ELSE CAST(0 AS BIGINT) END)"""
+    val lcg = Seq((69069L, 12345L), (1664525L, 1013904223L),
+      (65539L, 362437L), (2034059L, 1499101L))
+    val tc = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .withColumn("b", expr(base))
+    val rc = array(lcg.map { case (a, c) =>
+      (col("b") * lit(a) + lit(c)) % lit(4294967296L) % lit(512L) }: _*)
+    val cells = tc.select(col("n"), posexplode(rc).as(Seq("r", "c")))
+      .groupBy("r", "c").agg(sum("n").as("cnt"))
+    val est = tc.select(col("tok"), col("n"), posexplode(rc).as(Seq("r", "c")))
+      .join(broadcast(cells), Seq("r", "c"))
+      .groupBy("tok", "n").agg(min("cnt").as("est"))
+    assert(est.filter(col("est") < col("n")).count() === 0,
+      "CMS undercounted at least one token — hash rows must be independent")
+    // and the sketch is useful: the top-20 relative overcount stays small
+    val top = est.orderBy(col("n").desc, col("tok").asc).limit(20)
+      .select(max((col("est") - col("n")) / col("n"))).head().getDouble(0)
+    assert(top < 0.25, s"top-20 max relative overcount $top >= 25%")
+  }
+
   test("grouped HLL matches exact within tolerance per group") {
     val ev = Tables.events(spark, sfDir)
     val rows = ev.groupBy("event_type")

@@ -165,6 +165,63 @@ object CurationQueries extends QueryModule {
       FROM intra i JOIN os o ON i.lang = o.lang AND i.bucket = o.bucket
       GROUP BY i.lang, shard ORDER BY i.lang, shard"""))
 
+  /** Morton key geometry shared by the Spark query and the oracle twin:
+    * 8 bits per dimension, 2 dimensions → 16-bit key; the top 4 key bits
+    * (2 per dim) name one cell of a 4×4 grid. */
+  private val ZBits = 8
+
+  // -- Z-order layout audit (graft.operators.ZOrder): scale customer key
+  //    and order date into [0, 256), interleave their bits into a Morton
+  //    key, and report each top-level quadrant's row count and per-dim
+  //    bounding box. The CLAIM a z-ordered layout makes at 100 TB is that
+  //    any contiguous key range bounds EVERY interleaved dimension — so
+  //    parquet min/max stats prune multi-dim range queries on files sorted
+  //    by this one key. The oracle certifies the bit math cross-engine;
+  //    the bounding boxes in the output (each dim confined to a 64-wide
+  //    band per quadrant) are the pruning guarantee made visible.
+  //    ZOrderSpec asserts the file-level version on a real layout() write.
+  private val zorderQuadrants = QueryDef(
+    "q_zorder_quadrants",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"))
+      val ext = o.agg(max("o_custkey").as("maxc"),
+        min("od").as("mind"), max("od").as("maxd"))
+      val scaled = o.crossJoin(broadcast(ext))
+        .withColumn("cb", expr("o_custkey * 256 DIV (maxc + 1)"))
+        .withColumn("db", expr(
+          "CAST(datediff(od, mind) AS BIGINT) * 256" +
+            " DIV (CAST(datediff(maxd, mind) AS BIGINT) + 1)"))
+      scaled
+        .withColumn("zkey", graft.operators.ZOrder.mortonKey(
+          Seq(col("cb"), col("db")), ZBits))
+        .withColumn("quadrant", expr("zkey DIV 4096"))
+        .groupBy("quadrant")
+        .agg(count(lit(1)).as("n"),
+          min("cb").as("min_cb"), max("cb").as("max_cb"),
+          min("db").as("min_db"), max("db").as("max_db"))
+        .orderBy("quadrant")
+    },
+    Some {
+      val morton = (0 until ZBits).map { i =>
+        s"(((cb >> $i) & 1) << ${2 * i}) | (((db >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" | ")
+      s"""
+      WITH ext AS (SELECT max(o_custkey) AS maxc,
+                     min(CAST(o_orderdate AS DATE)) AS mind,
+                     max(CAST(o_orderdate AS DATE)) AS maxd
+                   FROM orders),
+        s AS (SELECT o_custkey * 256 // (maxc + 1) AS cb,
+                (date_diff('day', mind, CAST(o_orderdate AS DATE)) * 256)
+                  // (date_diff('day', mind, maxd) + 1) AS db
+              FROM orders, ext),
+        k AS (SELECT cb, db, $morton AS zkey FROM s)
+      SELECT zkey // 4096 AS quadrant, count(*) AS n,
+             min(cb) AS min_cb, max(cb) AS max_cb,
+             min(db) AS min_db, max(db) AS max_db
+      FROM k GROUP BY 1 ORDER BY 1"""
+    })
+
   override def queries: Seq[QueryDef] =
-    Seq(sourceCaps, stratifiedSample, tokenShards)
+    Seq(sourceCaps, stratifiedSample, tokenShards, zorderQuadrants)
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank on the 1e-9 integer grid — iterative weighted propagation as a
+  * sequence of join + aggregate rounds, engineered so the fixed point is
+  * BIT-DETERMINISTIC: ranks are longs (units of 1e-9), per-edge
+  * contributions use integer division, and partial sums are long adds —
+  * order-free, so the result is identical under any partitioning and
+  * replayable by any engine (the DuckDB oracle unrolls the same rounds as
+  * CTEs). A float PageRank would drift in the last ulp with partition
+  * count and could never be hash-checked.
+  *
+  * Scale shape (the same discipline as [[ConnectedComponents]]):
+  *   - each round is one shuffle on `dst` (the contribution aggregate);
+  *     the join with out-degrees reuses the edge partitioning;
+  *   - NO driver-side graph state — ranks live in a DataFrame;
+  *   - `localCheckpoint` after every round truncates lineage, avoiding the
+  *     2^rounds plan blowup; a real cluster would use `checkpoint()` to
+  *     survive executor loss.
+  *
+  * Damping follows the standard 0.15 + 0.85 · Σ contrib form
+  * [Page et al. 1999], with the division-lost mass (integer div truncates)
+  * deliberately dropped in BOTH engines rather than redistributed.
+  */
+object PageRank {
+
+  val One: Long = 1000000000L // rank 1.0 on the 1e-9 grid
+
+  /** Ranks after `iters` rounds over directed `edges(src, dst)`.
+    * Returns (node, r) with r in 1e-9 units. Every node that appears as a
+    * src or dst participates; sink nodes keep the 0.15 floor. */
+  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+    // materialize the loop-invariant inputs ONCE — without this, every
+    // round's plan re-derives the edge list from its upstream joins
+    // (measured 7.7 s -> 2.6 s on the sf0.1 purchase graph)
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint()
+    val out = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    var rank = nodes.withColumn("r", lit(One))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(out, "src")
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("r DIV outdeg").as("c"))
+      rank = nodes
+        .join(contrib.groupBy("node").agg(sum("c").as("sc")),
+          Seq("node"), "left")
+        .select(col("node"),
+          (lit(One * 15 / 100) +
+            expr("(coalesce(sc, CAST(0 AS BIGINT)) * 85) DIV 100")).as("r"))
+        .localCheckpoint()
+    }
+    rank
+  }
+}

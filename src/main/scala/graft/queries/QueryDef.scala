@@ -89,7 +89,8 @@ object Registry {
     MultimodalQueries,
     SketchQueries,
     CurationQueries,
-    TemporalQueries)
+    TemporalQueries,
+    GraphQueries)
 
   lazy val all: Seq[QueryDef] = {
     val qs = modules.flatMap(_.queries)

@@ -366,7 +366,133 @@ object StatsQueries extends QueryModule {
       FROM fin"""
     })
 
+  /** Columns profiled by q_table_profile: (name, isNumeric). String
+    * columns profile their LENGTH distribution so every stat row is
+    * numeric and one `stack` covers both kinds. */
+  private val ProfileCols = Seq(
+    ("o_orderkey", true), ("o_custkey", true), ("o_totalprice", true),
+    ("o_orderstatus", false), ("o_orderpriority", false))
+
+  // -- single-pass table profiler (ANALYZE-style data-quality audit): null
+  //    count, exact distinct count, min/max/mean per column, computed in
+  //    ONE aggregate over one scan and unpivoted (stack) to long form.
+  //    Money means run on the integer-cent grid (order-free, engine-
+  //    identical); key/length means are exact integer-sum ÷ count.
+  //    Scale notes: multiple exact countDistincts expand the scan (one
+  //    Expand row per distinct-agg) — the profiler a 100 TB pipeline
+  //    schedules nightly swaps them for approx_count_distinct (HLL, one
+  //    pass, no Expand; SketchSpec certifies its error envelope). The
+  //    stack() runs over ONE aggregated row — free.
+  private val tableProfile = QueryDef(
+    "q_table_profile",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      def numExpr(c: String) =
+        if (c == "o_totalprice") expr(s"round($c * 100)").cast("long")
+        else col(c).cast("long")
+      val aggs = ProfileCols.flatMap { case (c, isNum) =>
+        val v = if (isNum) numExpr(c) else length(col(c)).cast("long")
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          min(v).as(s"${c}__mn"), max(v).as(s"${c}__mx"),
+          sum(v).as(s"${c}__sm"), count(v).as(s"${c}__ct"))
+      }
+      val wide = o.agg(aggs.head, aggs.tail: _*)
+      val descale = Map("o_totalprice" -> 100.0).withDefaultValue(1.0)
+      val stackArgs = ProfileCols.map { case (c, _) =>
+        val d = descale(c)
+        s"'$c', ${c}__nn, ${c}__nd, CAST(${c}__mn AS DOUBLE) / $d," +
+          s" CAST(${c}__mx AS DOUBLE) / $d," +
+          s" CAST(${c}__sm AS DOUBLE) / $d / ${c}__ct"
+      }.mkString(", ")
+      wide.selectExpr(s"stack(${ProfileCols.size}, $stackArgs) AS " +
+          "(col_name, n_null, n_distinct, min_v, max_v, mean_v)")
+        .select(col("col_name"), col("n_null"), col("n_distinct"),
+          dround(col("min_v"), 4).as("min_v"),
+          dround(col("max_v"), 4).as("max_v"),
+          dround(col("mean_v"), 4).as("mean_v"))
+        .orderBy("col_name")
+    },
+    Some {
+      val rows = ProfileCols.map { case (c, isNum) =>
+        val v =
+          if (c == "o_totalprice") s"CAST(round($c * 100) AS BIGINT)"
+          else if (isNum) s"CAST($c AS BIGINT)"
+          else s"CAST(length($c) AS BIGINT)"
+        val d = if (c == "o_totalprice") "100.0" else "1.0"
+        s"""SELECT '$c' AS col_name,
+             CAST(count(*) - count($c) AS BIGINT) AS n_null,
+             CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             ${oround(s"CAST(min($v) AS DOUBLE) / $d", 4)} AS min_v,
+             ${oround(s"CAST(max($v) AS DOUBLE) / $d", 4)} AS max_v,
+             ${oround(
+               s"CAST(CAST(sum($v) AS BIGINT) AS DOUBLE) / $d / count($v)",
+               4)} AS mean_v
+           FROM orders"""
+      }
+      rows.mkString("", "\n      UNION ALL\n      ",
+        "\n      ORDER BY col_name")
+    })
+
+  // -- robust outlier detection (median/MAD) per event type — the quality
+  //    filter that survives heavy tails where mean/stddev z-scores drown.
+  //    `value` lives on the cent grid, so the group median (quantile_cont
+  //    semantics) lands on the EXACT half-cent grid and MAD on the
+  //    quarter-cent grid — every comparison below is exact binary
+  //    arithmetic in both engines, no ulp risk. Scale notes: percentile()
+  //    buffers per group (bounded here by #event_types ≈ 6 groups); a
+  //    100 TB run swaps it for the HistQuantiles histogram plan partitioned
+  //    by group — the grid trick is what makes BOTH exact.
+  private val madOutliers = QueryDef(
+    "q_mad_outliers",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(c, 0.5)").as("med_c"),
+          count(lit(1)).as("n"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("c") - col("med_c")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(adev, 0.5)").as("mad_c"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("n"), col("med_c"), col("mad_c"))
+        .agg(sum(when(col("adev") > col("mad_c") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+        .select(col("event_type"), col("n"),
+          dround(col("med_c") / 100, 4).as("median_value"),
+          dround(col("mad_c") / 100, 4).as("mad"),
+          col("n_outliers"),
+          dround(col("n_outliers") / col("n") * 100, 4).as("outlier_pct"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+                  FROM events),
+        med AS (SELECT event_type, quantile_cont(c, 0.5) AS med_c,
+                  count(*) AS n
+                FROM ev GROUP BY event_type),
+        dev AS (SELECT e.event_type, abs(e.c - m.med_c) AS adev, m.med_c,
+                  m.n
+                FROM ev e JOIN med m ON e.event_type = m.event_type),
+        mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad_c
+                FROM dev GROUP BY event_type),
+        fin AS (SELECT d.event_type, d.n, d.med_c, a.mad_c,
+                  CAST(sum(CASE WHEN d.adev > a.mad_c * 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+                FROM dev d JOIN mad a ON d.event_type = a.event_type
+                GROUP BY d.event_type, d.n, d.med_c, a.mad_c)
+      SELECT event_type, n,
+             ${oround("med_c / 100", 4)} AS median_value,
+             ${oround("mad_c / 100", 4)} AS mad,
+             n_outliers,
+             ${oround("CAST(n_outliers AS DOUBLE) / n * 100", 4)}
+               AS outlier_pct
+      FROM fin ORDER BY event_type"""))
+
   override def queries: Seq[QueryDef] = Seq(
     semReliability, semBounds, upsertLastWins, dedupGate, pcaOlsCi,
-    bootstrapCi)
+    bootstrapCi, tableProfile, madOutliers)
 }

@@ -183,6 +183,19 @@ class PlanSpec extends SparkSpec {
       "window must consume the nation-level aggregate, not order facts")
   }
 
+  test("q_table_profile: five columns profile in ONE scan of orders") {
+    val plan = physicalPlan("q_table_profile")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"profiler re-scanned the table: $scans scans")
+  }
+
+  test("q_mad_outliers: median/MAD attach via broadcast, no fact re-shuffle") {
+    val plan = physicalPlan("q_mad_outliers")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "tiny per-type median frame fell back to SMJ")
+  }
+
   test("scoring pipeline plan contains no UDF nodes (codegen-friendly)") {
     val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),

@@ -243,7 +243,78 @@ object TemporalQueries extends QueryModule {
                JOIN p ON s.user_id = p.user_id)
       GROUP BY stage ORDER BY stage"""))
 
+  // -- first-order Markov transition matrix over per-user event streams:
+  //    lead() inside user-partitioned windows forms (current, next) pairs,
+  //    then P(next | current) = pair count / current's out-mass. Both
+  //    windows partition by user (embarrassingly parallel); the ratio
+  //    window runs over the ~|types|² aggregated matrix, never the facts.
+  //    Counts are exact longs, so the division is bit-deterministic.
+  private val eventTransitions = QueryDef(
+    "q_event_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+        .withColumn("nxt", lead("event_type", 1).over(w))
+        .filter(col("nxt").isNotNull)
+      val counts = pairs
+        .groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("n"))
+      counts.select(col("cur"), col("nxt"), col("n"),
+          dround(col("n") / sum("n").over(Window.partitionBy("cur")), 4)
+            .as("p"))
+        .orderBy("cur", "nxt")
+    },
+    Some(s"""
+      WITH pairs AS (
+        SELECT event_type AS cur,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts) ASC, event_id ASC) AS nxt
+        FROM events),
+        counts AS (SELECT cur, nxt, count(*) AS n FROM pairs
+                   WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+      SELECT cur, nxt, n,
+             ${oround(
+               "CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur)", 4)} AS p
+      FROM counts ORDER BY cur, nxt"""))
+
+  // -- week-over-week revenue change: calendar-week aggregation (cent
+  //    grid) + lag() over the AGGREGATED series. The unpartitioned window
+  //    touches only ~#weeks rows — the fact table never funnels through
+  //    one task. Weeks are emitted as formatted strings (determinism rule:
+  //    no raw timestamps in results).
+  private val weeklyRevenueWow = QueryDef(
+    "q_weekly_revenue_wow",
+    (s, dir) => {
+      val wk = Tables.orders(s, dir)
+        .groupBy(date_trunc("week", col("o_orderdate")).as("wk"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = Window.orderBy("wk")
+      wk.withColumn("prev", lag("cents", 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") =!= 0)
+        .select(date_format(col("wk"), "yyyy-MM-dd").as("week_start"),
+          dround(col("cents") / 100.0, 2).as("revenue"),
+          dround((col("cents") - col("prev")).cast("double")
+            / col("prev") * 100, 4).as("wow_pct"))
+        .orderBy("week_start")
+    },
+    Some(s"""
+      WITH wk AS (SELECT date_trunc('week', o_orderdate) AS wk,
+                    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                  FROM orders GROUP BY 1),
+        lagged AS (SELECT wk, cents,
+                     lag(cents, 1) OVER (ORDER BY wk) AS prev
+                   FROM wk)
+      SELECT strftime(wk, '%Y-%m-%d') AS week_start,
+             ${oround("cents / 100.0", 2)} AS revenue,
+             ${oround(
+               "CAST(cents - prev AS DOUBLE) / prev * 100", 4)} AS wow_pct
+      FROM lagged WHERE prev IS NOT NULL AND prev <> 0
+      ORDER BY week_start"""))
+
   override def queries: Seq[QueryDef] =
     Seq(slidingSpend, clickAttribution, saltedSkewJoin,
-      cohortRetention, funnelStages)
+      cohortRetention, funnelStages, eventTransitions, weeklyRevenueWow)
 }

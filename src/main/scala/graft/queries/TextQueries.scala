@@ -661,8 +661,65 @@ object TextQueries extends QueryModule {
                AS BIGINT)))) AS redacted_xor
       FROM r GROUP BY lang ORDER BY lang"""))
 
+  /** Vocabulary size for q_vocab_encode — small enough to broadcast
+    * trivially; a production tokenizer vocab (32-128k) broadcasts just as
+    * well (a few MB). */
+  private val VocabSize = 256
+
+  // -- vocabulary build + corpus encode (the tokenizer-fitting step of an
+  //    LLM data pipeline): rank tokens by corpus frequency, assign ids to
+  //    the top-V, encode every token against the broadcast vocab, and
+  //    report per-source coverage. Scale shape: the vocab is a TakeOrdered
+  //    top-V off the token histogram (map-side combined); the id-assigning
+  //    row_number window runs over V rows, never the corpus; the encode is
+  //    a broadcast LEFT join (null = OOV). Coverage is a ratio of exact
+  //    long sums — no per-doc doubles averaged, so no summation-order ulp.
+  private val vocabEncode = QueryDef(
+    "q_vocab_encode",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val idWin = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("tok").asc)
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc).limit(VocabSize)
+        .withColumn("token_id", row_number().over(idWin) - 1)
+        .select("tok", "token_id")
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("token_id").isNotNull, 1L).otherwise(0L))
+            .as("n_covered"),
+          countDistinct("token_id").as("n_used_ids"))
+        .select(col("source"), col("n_tokens"), col("n_covered"),
+          dround(col("n_covered") / col("n_tokens"), 4).as("coverage"),
+          col("n_used_ids"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+        t AS (SELECT source, tok FROM toks WHERE length(tok) > 0),
+        vocab AS (SELECT tok,
+                    row_number() OVER (ORDER BY n DESC, tok ASC) - 1
+                      AS token_id
+                  FROM (SELECT tok, count(*) AS n FROM t GROUP BY tok)
+                  ORDER BY n DESC, tok ASC LIMIT $VocabSize),
+        enc AS (SELECT t.source, v.token_id
+                FROM t LEFT JOIN vocab v ON t.tok = v.tok)
+      SELECT source, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN token_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_covered,
+             ${oround(
+               "CAST(sum(CASE WHEN token_id IS NOT NULL THEN 1 ELSE 0 END)" +
+                 " AS DOUBLE) / count(*)", 4)} AS coverage,
+             count(DISTINCT token_id) AS n_used_ids
+      FROM enc GROUP BY source ORDER BY source"""))
+
   override def queries: Seq[QueryDef] =
     Seq(tokenStats, docQuality, langId, fingerprint, keywordHits, tokenCountsBpe,
       tfidfTop, weightedSample, docRepetition, mixtureRates, qualityFilterRules,
-      unigramLogprob, piiRedaction)
+      unigramLogprob, piiRedaction, vocabEncode)
 }

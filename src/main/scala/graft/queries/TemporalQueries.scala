@@ -314,7 +314,110 @@ object TemporalQueries extends QueryModule {
       FROM lagged WHERE prev IS NOT NULL AND prev <> 0
       ORDER BY week_start"""))
 
+  // -- join-key skew profiler: the diagnostic that DECIDES between plain
+  //    shuffle join, broadcast, and salting (q_salted_skew_join is the
+  //    treatment; this is the measurement). For each candidate key, the
+  //    per-key count distribution: #keys, max key share, p50/p99 of
+  //    per-key counts and their ratio. One groupBy per key (map-side
+  //    combined) then stats over the (small) per-key count frame — the
+  //    profile of a 100 TB fact table costs one pass per key column.
+  //    Counts are ints, so quantile_cont lands on the exact half grid.
+  private val skewProfile = QueryDef(
+    "q_skew_profile",
+    (s, dir) => {
+      def profile(df: org.apache.spark.sql.DataFrame, label: String,
+          key: String) = {
+        val counts = df.groupBy(key).agg(count(lit(1)).as("c"))
+        counts.agg(
+          count(lit(1)).as("n_keys"),
+          sum("c").as("n_rows"),
+          max("c").as("max_c"),
+          expr("percentile(c, 0.5)").as("p50"),
+          expr("percentile(c, 0.99)").as("p99"))
+          .select(lit(label).as("key_col"), col("n_keys"), col("n_rows"),
+            dround(col("max_c") / col("n_rows"), 6).as("max_key_share"),
+            dround(col("p50"), 4).as("p50_c"),
+            dround(col("p99"), 4).as("p99_c"),
+            dround(col("p99") / col("p50"), 4).as("skew_ratio"))
+      }
+      profile(Tables.events(s, dir), "events.user_id", "user_id")
+        .unionByName(profile(Tables.events(s, dir), "events.event_type",
+          "event_type"))
+        .unionByName(profile(Tables.lineitem(s, dir), "lineitem.l_suppkey",
+          "l_suppkey"))
+        .orderBy("key_col")
+    },
+    Some {
+      def one(label: String, table: String, key: String) =
+        s"""SELECT '$label' AS key_col,
+             count(*) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             ${oround("CAST(max(c) AS DOUBLE) / sum(c)", 6)}
+               AS max_key_share,
+             ${oround("quantile_cont(c, 0.5)", 4)} AS p50_c,
+             ${oround("quantile_cont(c, 0.99)", 4)} AS p99_c,
+             ${oround("quantile_cont(c, 0.99) / quantile_cont(c, 0.5)", 4)}
+               AS skew_ratio
+           FROM (SELECT $key, count(*) AS c FROM $table GROUP BY $key)"""
+      Seq(one("events.user_id", "events", "user_id"),
+        one("events.event_type", "events", "event_type"),
+        one("lineitem.l_suppkey", "lineitem", "l_suppkey"))
+        .mkString("", "\n      UNION ALL\n      ", "\n      ORDER BY key_col")
+    })
+
+  /** EWMA half-life weights: alpha = 1/2 so every weight is a power of
+    * two — exactly representable in binary, making the fold's double
+    * arithmetic bit-identical in both engines. */
+  private val EwmaN = 16
+
+  // -- exponential smoothing (EWMA, alpha=0.5) of each user's event-value
+  //    stream: the trailing-16 frame is collected IN FRAME ORDER by a
+  //    user-partitioned window and folded left (s ← s/2 + x/2). The fold
+  //    order is pinned by the window's ORDER BY in both engines, and
+  //    halving is exact in binary — no summation-order or ulp hazard.
+  //    Scale: window partitions by user; frame is bounded (16 rows), so
+  //    state per key is constant. Emitted per user at the LAST event only.
+  private val ewmaValue = QueryDef(
+    "q_ewma_value",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val frame = w.rowsBetween(-(EwmaN - 1), Window.currentRow)
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id") < 200)
+        .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
+      ev.withColumn("xs", collect_list("c").over(frame))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id")
+            .orderBy(col("ts_us").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"),
+          size(col("xs")).cast("long").as("n_in_frame"),
+          dround(expr(
+            "aggregate(xs, CAST(0.0 AS DOUBLE)," +
+              " (acc, x) -> acc / 2 + x / 2) / 100"), 6).as("ewma"))
+        .orderBy("user_id")
+    },
+    Some(s"""
+      WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                    CAST(round(value * 100) AS BIGINT) AS c
+                  FROM events WHERE user_id < 200),
+        fr AS (SELECT user_id,
+                 array_agg(c) OVER (PARTITION BY user_id
+                   ORDER BY ts_us ASC, event_id ASC
+                   ROWS BETWEEN ${EwmaN - 1} PRECEDING AND CURRENT ROW)
+                   AS xs,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts_us DESC, event_id DESC) AS rn
+               FROM ev)
+      SELECT user_id, CAST(len(xs) AS BIGINT) AS n_in_frame,
+             ${oround(
+               "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs)," +
+                 " (acc, x) -> acc / 2 + x / 2) / 100", 6)} AS ewma
+      FROM fr WHERE rn = 1 ORDER BY user_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(slidingSpend, clickAttribution, saltedSkewJoin,
-      cohortRetention, funnelStages, eventTransitions, weeklyRevenueWow)
+      cohortRetention, funnelStages, eventTransitions, weeklyRevenueWow,
+      skewProfile, ewmaValue)
 }

@@ -77,8 +77,10 @@ case class DotProduct(left: Expression, right: Expression)
   * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`,
   * `SELECT vec_dot(a, b)` parses/optimizes/codegens like a built-in. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDotRegistration)
+    ext.injectOptimizerRule(_ => LevenshteinPrefilter)
+  }
 }
 
 object GraftExtensions {

@@ -303,6 +303,45 @@ object SketchQueries extends QueryModule {
       FROM est ORDER BY n_exact DESC, tok ASC"""
     })
 
+  // -- the SAME KMV sketch as q_kmv_distinct, but as the NATIVE mergeable
+  //    aggregate (org.apache.spark.sql.graft.KmvSketchAgg, ladder tier (b):
+  //    TypedImperativeAggregate): each partition folds rows into an O(K)
+  //    buffer, partials merge at the exchange, no distinct and no window
+  //    anywhere in the plan. The oracle replays the sketch relationally
+  //    (k smallest distinct hashes), so the hash compare certifies that
+  //    the imperative buffer path computes bit-for-bit what the
+  //    declarative path computes — the two must agree on every group.
+  private val kmvNativeAgg = QueryDef(
+    "q_kmv_native_agg",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("k8", concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+        .withColumn("h", expr(sparkHash("k8")))
+      d.groupBy("lang")
+        .agg(org.apache.spark.sql.graft.SketchFunctions
+          .kmvDistinctEst(col("h"), K).as("est"))
+        .select(col("lang"), dround(col("est"), 2).as("kmv_est"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH d AS (SELECT lang,
+                   array_to_string((string_split(text, ' '))[1:8], ' ') AS k8
+                 FROM documents),
+        hd AS (SELECT lang, ${duckHash("k8")} AS h FROM d),
+        dh AS (SELECT DISTINCT lang, h FROM hd),
+        nh AS (SELECT lang, count(*) AS n_hashes FROM dh GROUP BY lang),
+        hk AS (SELECT lang, h AS hk
+               FROM (SELECT lang, h, row_number() OVER
+                       (PARTITION BY lang ORDER BY h ASC) AS rn FROM dh)
+               WHERE rn = $K),
+        est AS (SELECT n.lang,
+                  CASE WHEN n.n_hashes >= $K
+                       THEN ${(K - 1).toDouble} * 4294967296.0 / (k.hk + 1)
+                       ELSE CAST(n.n_hashes AS DOUBLE) END AS kmv_est
+                FROM nh n LEFT JOIN hk k ON n.lang = k.lang)
+      SELECT lang, ${oround("kmv_est", 2)} AS kmv_est
+      FROM est ORDER BY lang"""))
+
   /** Quantile probes and the rank tolerance certified by [[approxQuantiles]].
     * Spark's GK sketch guarantees rank error ≤ n/accuracy = 0.05% at
     * accuracy 2000; the certified band is ±0.5% — a 10× margin. */
@@ -359,5 +398,6 @@ object SketchQueries extends QueryModule {
     }.mkString("", "\n      UNION ALL\n      ", "\n      ORDER BY p")))
 
   override def queries: Seq[QueryDef] =
-    Seq(kmvDistinct, thetaSetops, approxQuantiles, cmsHeavyHitters)
+    Seq(kmvDistinct, thetaSetops, approxQuantiles, cmsHeavyHitters,
+      kmvNativeAgg)
 }

@@ -1,0 +1,120 @@
+// Lives under org.apache.spark.sql for the same reason as
+// VectorExpressions: TypedImperativeAggregate and ExpressionUtils are
+// private[sql] extension surface.
+package org.apache.spark.sql.graft
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** KMV (bottom-k / theta) distinct-count sketch as a NATIVE Spark
+  * aggregate — the mergeable-sketch story done the way a warehouse engine
+  * does it: each partition folds rows into an O(k) buffer, partial buffers
+  * MERGE associatively at the exchange (this class's `merge`), and the
+  * final buffer yields the estimate. One pass, no distinct, no window —
+  * compare q_kmv_distinct, which builds the identical sketch relationally
+  * (distinct + WindowGroupLimit) so DuckDB can replay it; this aggregate
+  * produces the SAME estimate from the same hash column, which is exactly
+  * what its oracle checks.
+  *
+  * Input: a pre-hashed key column (64-bit values already scrambled into
+  * [0, 2^32), e.g. SketchQueries' cross-engine polynomial hash). The
+  * buffer keeps the k smallest DISTINCT hash values (a TreeSet, trimmed
+  * after every insert, so memory is O(k) regardless of input size).
+  * Estimate: exact buffer size when fewer than k distinct hashes exist
+  * (KMV exact mode), else (k-1) * 2^32 / (h_k + 1).
+  */
+case class KmvSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k >= 2, s"KMV needs k >= 2, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "kmv_distinct_est"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      // skip values that cannot enter the bottom-k: O(log k) containment
+      // probe instead of insert+trim churn on a saturated buffer
+      if (buf.size < k || h < buf.last()) {
+        buf.add(h)
+        if (buf.size > k) buf.remove(buf.last())
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) {
+      val h = it.next()
+      if (b1.size < k || h < b1.last()) {
+        b1.add(h)
+        if (b1.size > k) b1.remove(b1.last())
+      }
+    }
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.size < k) buf.size.toDouble
+    else (k - 1).toDouble * 4294967296.0 / (buf.last().longValue() + 1).toDouble
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) out.writeLong(it.next().longValue())
+    out.flush()
+    bytes.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSketchAgg =
+    copy(child = newChildren.head)
+}
+
+/** Column-API entry point (mirrors VectorFunctions). */
+object SketchFunctions {
+  /** KMV distinct-count estimate of a pre-hashed long column, as a native
+    * one-pass mergeable aggregate. The expression requires LongType input
+    * (no implicit cast) — hash first. */
+  def kmvDistinctEst(hashed: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KmvSketchAgg(ExpressionUtils.expression(hashed), k)
+        .toAggregateExpression())
+}

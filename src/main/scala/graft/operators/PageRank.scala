@@ -38,13 +38,15 @@ object PageRank {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint()
     val out = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
+    // degree-annotated edge list: join once, reuse every round (the rank
+    // join is the only per-round join left)
+    val eo = e.join(out, "src").localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     var rank = nodes.withColumn("r", lit(One))
     for (_ <- 1 to iters) {
-      val contrib = e.join(out, "src")
+      val contrib = eo
         .join(rank.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("r DIV outdeg").as("c"))
       rank = nodes

@@ -492,7 +492,113 @@ object StatsQueries extends QueryModule {
                AS outlier_pct
       FROM fin ORDER BY event_type"""))
 
+  // -- snapshot reconciliation (data diff): classify every key across two
+  //    table versions as added / removed / changed / unchanged and report
+  //    counts + the money delta per class — the CDC-validation companion
+  //    to the MERGE sink (S9): after an upsert lands, this is the query
+  //    that PROVES what changed. One full-outer join on the key, classes
+  //    from null-side and column comparison, cent-grid deltas. The two
+  //    snapshots here are derived deterministically from orders (modulus
+  //    carve-outs), so both engines see identical versions.
+  private val tableDiff = QueryDef(
+    "q_table_diff",
+    (s, dir) => {
+      val base = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      // old snapshot: keys ≡0 (mod 83) absent (they become "added");
+      // new snapshot: keys ≡0 (mod 89) deleted, keys ≡0 (mod 97) get a
+      // changed status
+      val oldS = base.filter(col("o_orderkey") % 83 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("old_status"), col("cents").as("old_c"))
+      val newS = base.filter(col("o_orderkey") % 89 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 97 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("new_status"), col("cents").as("new_c"))
+      oldS.join(newS, Seq("k"), "full_outer")
+        .withColumn("diff_class",
+          when(col("old_c").isNull, "added")
+            .when(col("new_c").isNull, "removed")
+            .when(col("old_status") =!= col("new_status") ||
+              col("old_c") =!= col("new_c"), "changed")
+            .otherwise("unchanged"))
+        .groupBy("diff_class")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("new_c"), lit(0L))
+            - coalesce(col("old_c"), lit(0L))).as("delta_cents"))
+        .select(col("diff_class"), col("n"),
+          dround(col("delta_cents") / 100.0, 2).as("price_delta"))
+        .orderBy("diff_class")
+    },
+    Some(s"""
+      WITH base AS (SELECT o_orderkey, o_orderstatus,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                    FROM orders),
+        old_s AS (SELECT o_orderkey AS k, o_orderstatus AS old_status,
+                    cents AS old_c
+                  FROM base WHERE o_orderkey % 83 <> 0),
+        new_s AS (SELECT o_orderkey AS k,
+                    CASE WHEN o_orderkey % 97 = 0 THEN 'X'
+                         ELSE o_orderstatus END AS new_status,
+                    cents AS new_c
+                  FROM base WHERE o_orderkey % 89 <> 0),
+        d AS (SELECT coalesce(o.k, n.k) AS k,
+                CASE WHEN o.old_c IS NULL THEN 'added'
+                     WHEN n.new_c IS NULL THEN 'removed'
+                     WHEN o.old_status <> n.new_status
+                       OR o.old_c <> n.new_c THEN 'changed'
+                     ELSE 'unchanged' END AS diff_class,
+                coalesce(n.new_c, 0) - coalesce(o.old_c, 0) AS delta
+              FROM old_s o FULL OUTER JOIN new_s n ON o.k = n.k)
+      SELECT diff_class, count(*) AS n,
+             ${oround("CAST(sum(delta) AS BIGINT) / 100.0", 2)}
+               AS price_delta
+      FROM d GROUP BY diff_class ORDER BY diff_class"""))
+
+  // -- rank-transform (quantile) normalization: each user's mean event
+  //    value mapped to its within-type percent_rank — the distribution-
+  //    free feature normalizer. Means are exact (long cent sum ÷ count);
+  //    percent_rank's (rank-1)/(n-1) assigns tied means identical ranks in
+  //    both engines, so ties need no arbitrary ordering. Windows partition
+  //    by event_type over per-user AGGREGATES (one row per user×type) —
+  //    the facts never enter a window.
+  private val quantileNormalize = QueryDef(
+    "q_quantile_normalize",
+    (s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy("event_type", "user_id")
+        .agg((sum(expr("CAST(round(value * 100) AS BIGINT)"))
+          .cast("double") / count(lit(1))).as("mean_c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("mean_c").asc)
+      perUser
+        .withColumn("qn", percent_rank().over(w))
+        .filter(col("user_id") < 40)
+        .select(col("event_type"), col("user_id"),
+          dround(col("mean_c") / 100, 4).as("mean_value"),
+          dround(col("qn"), 6).as("qnorm"))
+        .orderBy("event_type", "user_id")
+    },
+    Some(s"""
+      WITH per_user AS (
+        SELECT event_type, user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / count(*) AS mean_c
+        FROM events GROUP BY event_type, user_id),
+        ranked AS (SELECT event_type, user_id, mean_c,
+                     percent_rank() OVER (PARTITION BY event_type
+                       ORDER BY mean_c ASC) AS qn
+                   FROM per_user)
+      SELECT event_type, user_id,
+             ${oround("mean_c / 100", 4)} AS mean_value,
+             ${oround("qn", 6)} AS qnorm
+      FROM ranked WHERE user_id < 40
+      ORDER BY event_type, user_id"""))
+
   override def queries: Seq[QueryDef] = Seq(
     semReliability, semBounds, upsertLastWins, dedupGate, pcaOlsCi,
-    bootstrapCi, tableProfile, madOutliers)
+    bootstrapCi, tableProfile, madOutliers, tableDiff, quantileNormalize)
 }

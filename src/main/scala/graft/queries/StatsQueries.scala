@@ -560,22 +560,41 @@ object StatsQueries extends QueryModule {
 
   // -- rank-transform (quantile) normalization: each user's mean event
   //    value mapped to its within-type percent_rank — the distribution-
-  //    free feature normalizer. Means are exact (long cent sum ÷ count);
-  //    percent_rank's (rank-1)/(n-1) assigns tied means identical ranks in
-  //    both engines, so ties need no arbitrary ordering. Windows partition
-  //    by event_type over per-user AGGREGATES (one row per user×type) —
-  //    the facts never enter a window.
+  //    free feature normalizer. A bare per-type window would funnel every
+  //    user of a type through ONE task at 100 TB, so the rank runs as the
+  //    bucketed two-pass prefix sum (ScorePipeline's percentile pattern):
+  //    rank within (type, dollar-bucket) in parallel + cumulative bucket
+  //    offsets (the only per-type window runs over ~100 BUCKET rows).
+  //    The DuckDB oracle uses plain percent_rank(), so the hash compare
+  //    PROVES the distributed formulation reproduces it exactly —
+  //    including tie semantics (means quantized to the 1e-4 grid; equal
+  //    means share a bucket and a within-bucket rank).
   private val quantileNormalize = QueryDef(
     "q_quantile_normalize",
     (s, dir) => {
-      val perUser = Tables.events(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val pu = Tables.events(s, dir)
         .groupBy("event_type", "user_id")
         .agg((sum(expr("CAST(round(value * 100) AS BIGINT)"))
           .cast("double") / count(lit(1))).as("mean_c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy(col("mean_c").asc)
-      perUser
-        .withColumn("qn", percent_rank().over(w))
+        .withColumn("qm", dround(col("mean_c"), 4))
+        .withColumn("bkt", floor(col("qm") / 100).cast("long"))
+        .persist()
+      val counts = pu.groupBy("event_type", "bkt")
+        .agg(count(lit(1)).as("bn"))
+      val offs = counts.withColumn("off", coalesce(
+          sum("bn").over(Window.partitionBy("event_type").orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("event_type", "bkt", "off")
+      val totals = counts.groupBy("event_type").agg(sum("bn").as("n"))
+      val wIn = Window.partitionBy("event_type", "bkt")
+        .orderBy(col("qm").asc)
+      pu.withColumn("rin", rank().over(wIn))
+        .join(broadcast(offs), Seq("event_type", "bkt"))
+        .join(broadcast(totals), Seq("event_type"))
+        .withColumn("qn", when(col("n") === 1, lit(0.0))
+          .otherwise((col("off") + col("rin") - 1).cast("double")
+            / (col("n") - 1)))
         .filter(col("user_id") < 40)
         .select(col("event_type"), col("user_id"),
           dround(col("mean_c") / 100, 4).as("mean_value"),
@@ -590,7 +609,7 @@ object StatsQueries extends QueryModule {
         FROM events GROUP BY event_type, user_id),
         ranked AS (SELECT event_type, user_id, mean_c,
                      percent_rank() OVER (PARTITION BY event_type
-                       ORDER BY mean_c ASC) AS qn
+                       ORDER BY ${oround("mean_c", 4)} ASC) AS qn
                    FROM per_user)
       SELECT event_type, user_id,
              ${oround("mean_c / 100", 4)} AS mean_value,

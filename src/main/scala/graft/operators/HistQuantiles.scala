@@ -40,7 +40,11 @@ object HistQuantiles {
     */
   def quantiles(df: DataFrame, gridCol: Column, probes: Seq[Double],
       descale: Column => Column = identity): DataFrame = {
+    // nulls are excluded up front (quantile_cont/percentile semantics):
+    // unfiltered, a null grid value would form its own histogram group and
+    // sort first in the window, shifting every cumulative rank
     val hist = df.select(gridCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
       .groupBy("v").agg(count(lit(1)).as("m"))
       .withColumn("bkt", expr(s"v div $BucketWidth"))
     // two-pass prefix sum: intra-bucket running count (partitioned window)
@@ -48,7 +52,11 @@ object HistQuantiles {
     val wIn = Window.partitionBy("bkt").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val intra = hist.withColumn("cum_in", sum("m").over(wIn))
-    val wOff = Window.orderBy("bkt")
+    // constant partition key: this window runs over ~#buckets AGGREGATE
+    // rows (bounded cardinality by construction), and the explicit
+    // single-partition spec keeps WindowExec from logging the
+    // "No Partition Defined" warning that flags genuinely unbounded sites
+    val wOff = Window.partitionBy(lit(0)).orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
     val off = hist.groupBy("bkt").agg(sum("m").as("bm"))
       .withColumn("boff", coalesce(sum("bm").over(wOff), lit(0L)))

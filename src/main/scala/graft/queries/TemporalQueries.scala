@@ -133,10 +133,16 @@ object TemporalQueries extends QueryModule {
       val fact = ev.withColumn("salt", pmod(hash(col("event_id")), lit(Salts)))
       val joined = fact.hint("shuffle_hash")
         .join(salted, Seq("event_type", "salt"))
+      // mean_abs_dev on the 1e-4 integer grid: a raw avg() of doubles is
+      // summation-order-dependent at the ulp level (same hazard class the
+      // sector mean in ScorePipeline closes) — quantize each |dev|, sum as
+      // longs (order-free), divide once; identical arithmetic in DuckDB
       joined.groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          dround(avg(abs(col("value") - col("type_mean"))), 4)
-            .as("mean_abs_dev"),
+          dround(
+            sum(floor(abs(col("value") - col("type_mean")) * 1e4 + 0.5)
+              .cast("long")).cast("double") / lit(1e4) / count(lit(1)),
+            4).as("mean_abs_dev"),
           dround(first("type_mean"), 4).as("type_mean"))
         .orderBy("event_type")
     },
@@ -148,9 +154,9 @@ object TemporalQueries extends QueryModule {
         j AS (SELECT e.event_type, e.value, ts.type_mean
               FROM events e JOIN ts ON e.event_type = ts.event_type)
       SELECT event_type, count(*) AS n,
-             (CASE WHEN avg(abs(value - type_mean)) >= 0
-                THEN floor(avg(abs(value - type_mean)) * 1e4 + 0.5)
-                ELSE ceil(avg(abs(value - type_mean)) * 1e4 - 0.5) END / 1e4)
+             (CASE WHEN (CAST(sum(CAST(floor(abs(value - type_mean) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 / count(*)) >= 0
+                THEN floor((CAST(sum(CAST(floor(abs(value - type_mean) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 / count(*)) * 1e4 + 0.5)
+                ELSE ceil((CAST(sum(CAST(floor(abs(value - type_mean) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 / count(*)) * 1e4 - 0.5) END / 1e4)
                AS mean_abs_dev,
              (CASE WHEN min(type_mean) >= 0
                 THEN floor(min(type_mean) * 1e4 + 0.5)
@@ -165,12 +171,19 @@ object TemporalQueries extends QueryModule {
   //    (cohort, week-offset) cell, how many of the cohort's users were
   //    active. Two aggregations and one join, ALL keyed on user/cohort —
   //    the canonical product-analytics matrix with no global operation
-  //    anywhere. Integer week arithmetic on epoch-µs (identical in DuckDB).
+  //    anywhere. Week arithmetic is pure integer FLOOR division: Spark's
+  //    `div` truncates toward zero while DuckDB's `//` floors, so the
+  //    truncating quotient is corrected by one when the remainder is
+  //    nonzero and negative — events before the 2024-01-01 epoch land in
+  //    week -1 in BOTH engines, not 0 vs -1.
   private val cohortRetention = QueryDef(
     "q_cohort_retention",
     (s, dir) => {
       val ev = Tables.events(s, dir)
-        .withColumn("week", ((col("ts_us") - EpochUs) / WeekUs).cast("long"))
+        .withColumn("week", expr(
+          s"""(ts_us - $EpochUs) div $WeekUs
+              - (CASE WHEN (ts_us - $EpochUs) % $WeekUs != 0
+                           AND ts_us < $EpochUs THEN 1 ELSE 0 END)"""))
       val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
       val active = ev.select("user_id", "week").distinct()
       active.join(cohort, "user_id")
@@ -291,7 +304,9 @@ object TemporalQueries extends QueryModule {
       val wk = Tables.orders(s, dir)
         .groupBy(date_trunc("week", col("o_orderdate")).as("wk"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-      val w = Window.orderBy("wk")
+      // lit(0) partition key: the window runs over ~#weeks aggregate rows
+      // (bounded); explicit spec silences WindowExec's no-partition warning
+      val w = Window.partitionBy(lit(0)).orderBy("wk")
       wk.withColumn("prev", lag("cents", 1).over(w))
         .filter(col("prev").isNotNull && col("prev") =!= 0)
         .select(date_format(col("wk"), "yyyy-MM-dd").as("week_start"),

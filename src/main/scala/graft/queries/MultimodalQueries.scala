@@ -240,6 +240,78 @@ object MultimodalQueries extends QueryModule {
              ${oround("f1", 4)} AS f1, ${oround("f2", 4)} AS f2
       FROM u ORDER BY doc_id"""))
 
+  /** Typed row for the resize stage: one row per pooled cell. */
+  final case class PooledCell(doc_id: Long, cell: Long, pooled: Double)
+
+  private val PoolF = 5 // 15×15 → 3×3 mean-pool, 5×5 blocks
+
+  /** REAL image resize: decode the BMP (the same real decoder as
+    * q_multimodal_decode_real), then mean-pool the 15×15 pixel grid to
+    * 3×3 — the downsample step of a training-data image pipeline
+    * (decode → resize → feature), on genuine decoded pixels. Pooled value
+    * = mean of (b+g+r) over the 5×5 block (exact integer sum ÷ 75, so
+    * both engines agree bit-for-bit). Unlike the order-invariant means in
+    * the decode query, pooling is POSITION-SENSITIVE: a decoder that
+    * flips row order or mislays padding moves bytes between blocks and
+    * the hash gate fails. */
+  private def resizeReal(item: MediaText): Iterator[PooledCell] = {
+    import graft.multimodal.MediaCodecs
+    val tb = item.text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def cyc(k: Int): Int = tb(k % tb.length) & 0xff
+    val data = Array.tabulate[Byte](ImgW * ImgH * 3)(k => cyc(k).toByte)
+    val img = MediaCodecs.decodeBmp(MediaCodecs.encodeBmp(ImgW, ImgH, data))
+    val cells = ImgW / PoolF
+    Iterator.tabulate(cells * cells) { c =>
+      val cy = c / cells
+      val cx = c % cells
+      var sum = 0L
+      var dy = 0
+      while (dy < PoolF) {
+        var dx = 0
+        while (dx < PoolF) {
+          val (b, g, r) = img.pixels(cy * PoolF + dy)(cx * PoolF + dx)
+          sum += b + g + r
+          dx += 1
+        }
+        dy += 1
+      }
+      PooledCell(item.doc_id, c.toLong, sum.toDouble / (PoolF * PoolF * 3))
+    }
+  }
+
+  private val resizeReal_ = QueryDef(
+    "q_multimodal_resize",
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val items = Tables.documents(s, dir)
+        .filter(col("doc_id") % 2 === 0) // the image half of the corpus
+        .select(col("doc_id"), lit("image").as("modality"), col("text"))
+        .as[MediaText]
+      items.mapPartitions(_.flatMap(resizeReal))(Encoders.product[PooledCell])
+        .toDF()
+        .select(col("doc_id"), col("cell"),
+          dround(col("pooled"), 4).as("pooled"))
+        .orderBy("doc_id", "cell")
+    },
+    // replay: cell c covers pixels (5·(c÷3)+dy, 5·(c mod 3)+dx); pixel
+    // (y,x) channel ch is payload byte ((y·15+x)·3+ch) = text byte cyclic.
+    // j enumerates (dy, dx, ch) as j = (dy·5+dx)·3+ch.
+    Some(s"""
+      WITH cells AS (SELECT unnest(generate_series(0, 8)) AS cell),
+        px AS (
+          SELECT d.doc_id, c.cell,
+                 list_transform(generate_series(0, ${PoolF * PoolF * 3 - 1}),
+                   j -> ord(substr(d.text, CAST((
+                     (((c.cell // 3) * $PoolF + (j // ${PoolF * 3})) * $ImgW
+                       + (c.cell % 3) * $PoolF + ((j % ${PoolF * 3}) // 3)) * 3
+                     + j % 3) % d.n_chars + 1 AS INT), 1))) AS bs
+          FROM documents d CROSS JOIN cells c
+          WHERE d.doc_id % 2 = 0)
+      SELECT doc_id, CAST(cell AS BIGINT) AS cell,
+             ${oround(s"CAST(list_sum(bs) AS DOUBLE) / ${PoolF * PoolF * 3}", 4)}
+               AS pooled
+      FROM px ORDER BY doc_id, cell"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(payloadStats, frameFeatures, decodePipeline, decodeReal_)
+    Seq(payloadStats, frameFeatures, decodePipeline, decodeReal_, resizeReal_)
 }

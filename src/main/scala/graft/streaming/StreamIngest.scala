@@ -51,6 +51,118 @@ object StreamIngest {
         ()
       }
 
+  /** Bloom-gated variant of [[dedupedForeachBatch]] — the 100 TB shape of
+    * exact cross-run idempotency. The plain gate re-scans the accumulated
+    * store's hash column EVERY micro-batch, so per-batch cost grows with
+    * corpus age; here a persisted Bloom filter (BloomFilterAgg bytes +
+    * an 8-byte store-row-count stamp) screens the batch first:
+    * filter-negative rows are DEFINITELY new (no false negatives) and skip
+    * the store scan entirely, and only the positive slice — true dupes
+    * plus the ~1e-3 FP tail — anti-joins the store. For a mostly-new
+    * stream (the crawl/ingest norm) the per-batch store read drops from
+    * O(corpus) to O(dupes + FP·batch).
+    *
+    * Crash safety: the STORE is the source of truth and the filter is a
+    * derived accelerator. Batch commit order is append-store-then-write-
+    * filter; the filter's stamp is the store row count it covers. A crash
+    * between the two leaves stamp < store count, which the next batch
+    * detects (parquet count() is a metadata read) and repairs by
+    * rebuilding the filter from the store in one column scan — so a stale
+    * filter can never cause a false "definitely new". The filter write
+    * itself is tmp+rename (atomic on one filesystem). */
+  def bloomGatedForeachBatch(stream: DataFrame, storePath: String,
+      filterPath: String, checkpoint: String, orderCol: String,
+      numBits: Int = 1 << 23, numHashes: Int = 5): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.graft.BloomFunctions
+        val inBatch = Upsert.dedupInBatch(batch.toDF(), "content_hash",
+            Seq(col(orderCol).asc))
+          .withColumn("_kh", xxhash64(col("content_hash")))
+        val store =
+          try Some(spark.read.parquet(storePath))
+          catch { case _: Throwable => None }
+        val fresh = store match {
+          case None => inBatch // first batch: nothing seen yet
+          case Some(st) =>
+            val filter = loadOrRebuildFilter(
+              spark, st, filterPath, numBits, numHashes)
+            val probed = inBatch.withColumn("_maybe",
+              BloomFunctions.bloomMightContain(lit(filter), col("_kh")))
+            val definitelyNew = probed.filter(!col("_maybe")).drop("_maybe")
+            val verified = Upsert.dedupGate(
+              probed.filter(col("_maybe")).drop("_maybe"),
+              st, "content_hash")
+            definitelyNew.unionByName(verified)
+        }
+        fresh.cache() // tiny (one micro-batch); consumed twice just below
+        try {
+          fresh.drop("_kh").write.mode("append").parquet(storePath)
+          val priorBits = store.map(_ => currentFilterBits(filterPath))
+          val addBits = fresh.agg(BloomFunctions
+              .bloomBuild(col("_kh"), numBits, numHashes).as("f"))
+            .head().getAs[Array[Byte]]("f")
+          val merged = priorBits match {
+            case Some(p) if p.length == addBits.length =>
+              val m = addBits.clone()
+              var i = 8; while (i < m.length) { m(i) = (m(i) | p(i)).toByte; i += 1 }
+              m
+            case _ => addBits
+          }
+          writeFilter(filterPath, merged,
+            spark.read.parquet(storePath).count())
+        } finally fresh.unpersist()
+        ()
+      }
+
+  /** Read the persisted filter if its stamp covers the store's current row
+    * count; otherwise rebuild from the store (one hash-column scan). */
+  private[streaming] def loadOrRebuildFilter(spark: org.apache.spark.sql.SparkSession,
+      store: DataFrame, filterPath: String,
+      numBits: Int, numHashes: Int): Array[Byte] = {
+    import org.apache.spark.sql.graft.BloomFunctions
+    val p = java.nio.file.Paths.get(filterPath)
+    val storeCount = store.count() // parquet metadata read
+    val cached =
+      if (java.nio.file.Files.exists(p)) {
+        val all = java.nio.file.Files.readAllBytes(p)
+        val stamp = java.nio.ByteBuffer.wrap(all, all.length - 8, 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+        if (stamp == storeCount) Some(java.util.Arrays.copyOf(all, all.length - 8))
+        else None // stale (lost update / concurrent writer): rebuild
+      } else None
+    cached.getOrElse {
+      val rebuilt = store
+        .select(xxhash64(col("content_hash")).as("_kh"))
+        .agg(BloomFunctions.bloomBuild(col("_kh"), numBits, numHashes).as("f"))
+        .head().getAs[Array[Byte]]("f")
+      writeFilter(filterPath, rebuilt, storeCount)
+      rebuilt
+    }
+  }
+
+  private def currentFilterBits(filterPath: String): Array[Byte] = {
+    val all = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(filterPath))
+    java.util.Arrays.copyOf(all, all.length - 8)
+  }
+
+  /** tmp + atomic rename; layout [bloom bytes][8B LE store-count stamp]. */
+  private def writeFilter(filterPath: String, bits: Array[Byte],
+      stamp: Long): Unit = {
+    val out = java.nio.ByteBuffer.allocate(bits.length + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(bits).putLong(stamp)
+    val target = java.nio.file.Paths.get(filterPath)
+    val tmp = java.nio.file.Paths.get(filterPath + ".tmp")
+    java.nio.file.Files.write(tmp, out.array())
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Stream-static enrichment: join each micro-batch against a broadcast
     * dimension frame (the reference hydrates company metadata per collected
     * signal — company_service.py joins on ticker). The static side is

@@ -695,8 +695,83 @@ $rounds,
       WHERE dedup_key NOT IN (SELECT dedup_key FROM seen)
       GROUP BY lang ORDER BY lang"""))
 
+  // -- cross-document duplicated-n-gram mass (the substring-level dedup
+  //    signal of Lee et al. 2022, "Deduplicating Training Data Makes
+  //    Language Models Better"): for each doc, the fraction of its
+  //    distinct 3-grams that also occur in at least one OTHER distinct
+  //    content. Complements q_doc_repetition (WITHIN-doc Gopher gate) and
+  //    q_passage_dedup (per-passage inventory): this is the per-DOC
+  //    filterable signal — a doc that is mostly corpus-shared boilerplate
+  //    scores near 1 even when no single document near-duplicates it.
+  //
+  //    Exact-dedup-first as always: identical replicas would mark every
+  //    gram shared; the signal is defined over distinct contents. Linear
+  //    shape: explode → gram doc-frequency groupBy → equi-join back →
+  //    per-doc integer counts; no pairwise step. At 100 TB the join key
+  //    is the 64-bit gram hash, not the string (string keeps the oracle
+  //    twin 1:1), and the ratio comes from two exact long sums — no
+  //    float summation order anywhere.
+  private val crossDupMass = QueryDef(
+    "q_cross_dup_mass",
+    (s, dir) => {
+      val c = Tables.documents(s, dir)
+        .groupBy(sha2(col("text"), 256).as("ckey"))
+        .agg(min("doc_id").as("doc_id"), min("lang").as("lang"),
+          min("text").as("text"))
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("grams", expr(
+          """CASE WHEN size(toks) >= 3
+                THEN array_distinct(transform(sequence(0, size(toks) - 3),
+                                    i -> concat_ws(' ', slice(toks, i + 1, 3))))
+                ELSE array() END"""))
+      val dg = c.select(col("doc_id"), col("lang"),
+        explode(col("grams")).as("gram"))
+      // doc-frequency per gram over distinct contents; dg rows are unique
+      // per (doc, gram) by construction, so count(*) IS the doc frequency
+      val docFreq = dg.groupBy("gram")
+        .agg(count(lit(1)).as("gram_df"))
+      val perDoc = dg.join(docFreq, "gram")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("tot"),
+          sum(when(col("gram_df") >= 2, 1L).otherwise(0L)).as("dup"))
+      perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("dup").as("dup_grams"),
+          sum("tot").as("total_grams"),
+          sum(when(col("dup") * 2 >= col("tot"), 1L).otherwise(0L))
+            .as("n_mostly_dup"))
+        .withColumn("dup_mass",
+          dround(col("dup_grams").cast("double") / col("total_grams"), 4))
+        .select("lang", "n_docs", "dup_grams", "total_grams", "dup_mass",
+          "n_mostly_dup")
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH c AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang,
+                   min(text) AS text
+                 FROM documents GROUP BY sha256(text)),
+        g AS (SELECT doc_id, lang,
+                CASE WHEN len(toks) >= 3
+                     THEN list_distinct(list_transform(
+                            generate_series(1, len(toks) - 2),
+                            i -> array_to_string(toks[i:i+2], ' ')))
+                     ELSE [] END AS grams
+              FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                    FROM c)),
+        e AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
+        f AS (SELECT gram, count(*) AS gram_df FROM e GROUP BY gram),
+        pd AS (SELECT e.doc_id, e.lang, count(*) AS tot,
+                 CAST(sum(CASE WHEN f.gram_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup
+               FROM e JOIN f USING (gram) GROUP BY e.doc_id, e.lang)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(dup) AS BIGINT) AS dup_grams,
+             CAST(sum(tot) AS BIGINT) AS total_grams,
+             ${oround("CAST(sum(dup) AS DOUBLE) / sum(tot)", 4)} AS dup_mass,
+             CAST(sum(CASE WHEN dup * 2 >= tot THEN 1 ELSE 0 END) AS BIGINT) AS n_mostly_dup
+      FROM pd GROUP BY lang ORDER BY lang"""))
+
   override def queries: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, minhashBandedR2, simhash, neardupClusters,
     ngramJaccard, embeddingNearDup, contamination, passageDedup,
-    fuzzyNeardupJoin, bloomDedupGate)
+    fuzzyNeardupJoin, bloomDedupGate, crossDupMass)
 }

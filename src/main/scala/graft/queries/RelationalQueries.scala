@@ -929,6 +929,51 @@ object RelationalQueries extends QueryModule {
       FROM filled WHERE side = 1
       ORDER BY user_id, event_id"""))
 
+  // -- the SAME as-of semantics through the native tier-(c) operator
+  //    (org.apache.spark.sql.graft.AsOfJoinExec: custom LogicalPlan +
+  //    SparkStrategy + sort-merge SparkPlan with O(1) merge state — one
+  //    buffered candidate right row — instead of the composition's
+  //    unioned window frame). Certified by the identical oracle as
+  //    q_asof_join: the hash gate proves the physical operator computes
+  //    the window composition's exact row set.
+  private val asofNative = QueryDef(
+    "q_asof_native",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_us").as("click_ts"), col("value").as("click_value"))
+      org.apache.spark.sql.graft.AsOfJoinNative.asOf(
+          purchases, clicks, "user_id", "ts_us", "click_ts", "click_id")
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("click_id").as("asof_click_id"),
+          graft.queries.Det.dround(col("click_value"), 2).as("asof_click_value"))
+        .orderBy("user_id", "event_id")
+    },
+    Some(s"""
+      WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, 0 AS side,
+                   event_id AS tie, event_id AS v_id, value AS v_val,
+                   NULL::BIGINT AS l_event_id
+                 FROM events WHERE event_type = 'click'),
+        l AS (SELECT user_id, epoch_us(ts) AS ts_us, 1 AS side,
+                9223372036854775807 AS tie, NULL::BIGINT AS v_id,
+                NULL::DOUBLE AS v_val, event_id AS l_event_id
+              FROM events WHERE event_type = 'purchase'),
+        u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+        filled AS (SELECT *,
+                 last_value(v_id IGNORE NULLS) OVER w AS asof_click_id,
+                 last_value(v_val IGNORE NULLS) OVER w AS asof_val
+               FROM u
+               WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts_us ASC, side ASC, tie ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT user_id, l_event_id AS event_id, ts_us, asof_click_id,
+             ${Det.oround("asof_val", 2)} AS asof_click_value
+      FROM filled WHERE side = 1
+      ORDER BY user_id, event_id"""))
+
   // -- range (band) join (beyond parity): events bucketed into value bands
   //    via the bucketized equi-join (graft.operators.RangeJoin) instead of
   //    a nested-loop theta join
@@ -969,5 +1014,5 @@ object RelationalQueries extends QueryModule {
     pivotEventCounts, jsonMetaAvg, tumblingWindow, runningTotal,
     nationRevenueShare, orderGaps,
     unionEvidence, setOps, acctbalBands, rollupSuppliers, groupingSetsAgg,
-    shippingPriority, regionVolume, asofJoin, rangeJoin)
+    shippingPriority, regionVolume, asofJoin, asofNative, rangeJoin)
 }

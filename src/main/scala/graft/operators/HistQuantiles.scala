@@ -93,4 +93,42 @@ object HistQuantiles {
         descale(col("lo").cast("double")
           + col("frac") * (col("hi") - col("lo")).cast("double")).as("value"))
   }
+
+  /** Per-GROUP exact `quantile_cont` of an integral-grid column — one row
+    * per group: (groupCol, value). Same histogram idea, but here every
+    * window PARTITIONS BY the group: per-group distinct-value frames run
+    * in parallel across the cluster, so there is no global funnel to
+    * bucket away — the grouping column IS the scale-correct partitioning.
+    * Shuffle traffic is distinct (group, value) pairs, never rows. */
+  def groupedQuantile(df: DataFrame, groupCol: String, gridCol: Column,
+      q: Double, descale: Column => Column = identity): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile fraction out of range: $q")
+    val hist = df.select(col(groupCol).as("g"), gridCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("g", "v").agg(count(lit(1)).as("m"))
+    val wCum = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("g")
+    val cum = hist
+      .withColumn("cum_hi", sum("m").over(wCum))
+      .withColumn("cum_lo", col("cum_hi") - col("m"))
+      .withColumn("n", sum("m").over(wAll))
+      // quantile_cont: pos = q(n−1); order stats k+1 and k+2 (1-based),
+      // the latter clamped for n=1 / integral pos at the top end
+      .withColumn("pos", lit(q) * (col("n") - lit(1L)).cast("double"))
+      .withColumn("k", floor(col("pos")).cast("long"))
+      .withColumn("frac", col("pos") - col("k").cast("double"))
+      .withColumn("r_lo", col("k") + lit(1L))
+      .withColumn("r_hi", least(col("k") + lit(2L), col("n")))
+    val stats = cum.groupBy("g")
+      .agg(
+        min(when(col("r_lo") > col("cum_lo") && col("r_lo") <= col("cum_hi"),
+          col("v"))).as("v_lo"),
+        min(when(col("r_hi") > col("cum_lo") && col("r_hi") <= col("cum_hi"),
+          col("v"))).as("v_hi"),
+        first("frac").as("frac")) // frac is a pure function of n: per-group constant
+    stats.select(col("g").as(groupCol),
+      descale(col("v_lo").cast("double")
+        + col("frac") * (col("v_hi") - col("v_lo")).cast("double")).as("value"))
+  }
 }

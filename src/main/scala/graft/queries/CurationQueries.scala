@@ -222,6 +222,42 @@ object CurationQueries extends QueryModule {
       FROM k GROUP BY 1 ORDER BY 1"""
     })
 
+  // -- per-language adaptive quality gate (the CCNet shape, Wenzek et al.
+  //    2019: bucket each language's corpus by a per-language score
+  //    quantile instead of one global threshold). The cutoff is the
+  //    per-lang p25 computed by HistQuantiles.groupedQuantile — histogram
+  //    windows PARTITIONED BY lang, shuffle traffic = distinct (lang,
+  //    value) pairs — then broadcast back for the keep/drop count. Here
+  //    the gate scores on n_chars (an exact integer, so cutoff
+  //    interpolation a + 0.25·(b−a) is bit-identical cross-engine);
+  //    production plugs in the per-doc LM score (q_unigram_logprob) with
+  //    grid quantization, same plan shape.
+  private val langQualityGate = QueryDef(
+    "q_lang_quality_gate",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+      val cuts = graft.operators.HistQuantiles
+        .groupedQuantile(d, "lang", col("n_chars"), 0.25)
+        .withColumnRenamed("value", "cut")
+      d.join(broadcast(cuts), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          dround(min(col("cut")), 4).as("p25_cut"),
+          sum(when(col("n_chars").cast("double") >= col("cut"), 1L)
+            .otherwise(0L)).as("n_kept"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH cuts AS (SELECT lang, quantile_cont(n_chars, 0.25) AS cut
+                    FROM documents GROUP BY lang)
+      SELECT d.lang, count(*) AS n_docs,
+             ${oround("min(c.cut)", 4)} AS p25_cut,
+             CAST(sum(CASE WHEN d.n_chars >= c.cut THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM documents d JOIN cuts c ON d.lang = c.lang
+      GROUP BY d.lang ORDER BY d.lang"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(sourceCaps, stratifiedSample, tokenShards, zorderQuadrants)
+    Seq(sourceCaps, stratifiedSample, tokenShards, zorderQuadrants,
+      langQualityGate)
 }

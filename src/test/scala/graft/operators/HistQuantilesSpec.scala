@@ -52,4 +52,25 @@ class HistQuantilesSpec extends SparkSpec {
       .collect().head.getDouble(1)
     assert(got === 2.0)
   }
+
+  test("groupedQuantile matches the per-group reference, incl. " +
+      "single-row groups and nulls, any partitioning") {
+    val rows = (0 until 3000).map { i =>
+      val h = (i.toLong * 69069 + 12345) % 4294967296L
+      val g = s"g${h % 7}"
+      (g, (h / 7) % 5000L)
+    } ++ Seq(("solo", 42L))
+    val byGroup = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for (parts <- Seq(1, 8, 32)) {
+      val df = rows.toDF("g", "v").repartition(parts)
+        .unionByName(Seq(("g0", null.asInstanceOf[java.lang.Long]))
+          .toDF("g", "v")) // null grid values are excluded, not ranked
+      val got = HistQuantiles.groupedQuantile(df, "g", col("v"), 0.25)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      byGroup.foreach { case (g, vs) =>
+        assert(math.abs(got(g) - reference(vs, 0.25)) < 1e-9,
+          s"group $g parts $parts: ${got(g)} vs ${reference(vs, 0.25)}")
+      }
+    }
+  }
 }

@@ -85,6 +85,24 @@ class BloomFilterSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("type"))
   }
 
+  test("grouped: each group builds its own independent filter") {
+    val rows = (0 until 4).flatMap { g =>
+      hashed(g * 100000, 500).map(h => (g, h))
+    }
+    val filters = rows.toDF("g", "h").repartition(8).groupBy("g")
+      .agg(BloomFunctions.bloomBuild(col("h"), NumBits, NumHashes).as("f"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]]("f")).toMap
+    (0 until 4).foreach { g =>
+      val own = hashed(g * 100000, 500)
+      assert(own.forall(h => BloomBits.mightContain(filters(g), h)),
+        s"group $g misses own keys")
+      // keys of OTHER groups mostly probe negative (FP-rate bounded)
+      val other = hashed(((g + 1) % 4) * 100000, 500)
+      val fps = other.count(h => BloomBits.mightContain(filters(g), h))
+      assert(fps < 25, s"group $g: $fps cross-group positives")
+    }
+  }
+
   test("interpreted eval agrees with codegen (BloomBits is the single " +
       "probe-schedule source)") {
     val f = build(hashed(0, 1000), 2)

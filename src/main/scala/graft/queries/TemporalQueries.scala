@@ -432,8 +432,52 @@ object TemporalQueries extends QueryModule {
                  " (acc, x) -> acc / 2 + x / 2) / 100", 6)} AS ewma
       FROM fr WHERE rn = 1 ORDER BY user_id"""))
 
+  // -- TWAP (time-weighted average): per user, the duration-weighted mean
+  //    of `value` held between consecutive events — the financial/sensor
+  //    aggregate where a value "holds" until superseded (the batch twin of
+  //    the as-of family's point-in-time semantics). Window is partitioned
+  //    by user (embarrassingly parallel); arithmetic is EXACT integers:
+  //    cents (≤1e5) × µs gaps summed per user stay ≤ ~6e18 over the
+  //    two-year fixture span, inside Long under ANSI mode, and the single
+  //    final division of two exact longs is bit-identical cross-engine.
+  private val twapValue = QueryDef(
+    "q_twap_value",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .withColumn("next_ts", lead("ts_us", 1).over(w))
+        .filter(col("next_ts").isNotNull)
+        .withColumn("dur", col("next_ts") - col("ts_us"))
+      ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum("dur").as("held_us"),
+          sum(col("c") * col("dur")).as("wsum"))
+        .filter(col("held_us") > 0)
+        .select(col("user_id"), col("n_gaps"), col("held_us"),
+          dround(col("wsum").cast("double") / col("held_us") / 100.0, 4)
+            .as("twap"))
+        .orderBy("user_id")
+    },
+    Some(s"""
+      WITH g AS (SELECT user_id,
+                   CAST(round(value * 100) AS BIGINT) AS c,
+                   lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts) ASC, event_id ASC)
+                     - epoch_us(ts) AS dur
+                 FROM events),
+        pu AS (SELECT user_id, count(*) AS n_gaps,
+                 CAST(sum(dur) AS BIGINT) AS held_us,
+                 CAST(sum(c * dur) AS BIGINT) AS wsum
+               FROM g WHERE dur IS NOT NULL GROUP BY user_id)
+      SELECT user_id, n_gaps, held_us,
+             ${oround("CAST(wsum AS DOUBLE) / held_us / 100.0", 4)} AS twap
+      FROM pu WHERE held_us > 0 ORDER BY user_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(slidingSpend, clickAttribution, saltedSkewJoin,
       cohortRetention, funnelStages, eventTransitions, weeklyRevenueWow,
-      skewProfile, ewmaValue)
+      skewProfile, ewmaValue, twapValue)
 }

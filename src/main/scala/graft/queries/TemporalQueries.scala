@@ -476,8 +476,59 @@ object TemporalQueries extends QueryModule {
              ${oround("CAST(wsum AS DOUBLE) / held_us / 100.0", 4)} AS twap
       FROM pu WHERE held_us > 0 ORDER BY user_id"""))
 
+  // -- interval-union coverage (sweep line): each event opens a 30-minute
+  //    activity interval [ts, ts+30min); per user, the total time covered
+  //    by the UNION of those intervals (overlaps merged) and the count of
+  //    merged islands. The classic sweep: sort by start, carry the running
+  //    max of interval ends (cummax window), clip each interval's
+  //    contribution to what extends past that horizon. All integer µs
+  //    arithmetic on PARTITIONED windows — per-user sweeps run in
+  //    parallel, nothing global anywhere, exact cross-engine.
+  private val IntervalUs = 30L * 60L * 1000000L
+
+  private val intervalCoverage = QueryDef(
+    "q_interval_coverage",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      // horizon BEFORE this row: furthest end among preceding intervals
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("end_us", col("ts_us") + lit(IntervalUs))
+        .withColumn("horizon", max("end_us").over(wPrev))
+        .withColumn("covered",
+          greatest(lit(0L),
+            col("end_us") - greatest(col("ts_us"),
+              coalesce(col("horizon"), col("ts_us")))))
+        .withColumn("island_start",
+          when(col("horizon").isNull ||
+            col("ts_us") >= col("horizon"), 1L).otherwise(0L))
+      ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum("covered").as("covered_us"),
+          sum("island_start").as("n_islands"))
+        .orderBy("user_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   epoch_us(ts) + $IntervalUs AS end_us
+                 FROM events),
+        sw AS (SELECT user_id, ts_us, end_us,
+                 max(end_us) OVER (PARTITION BY user_id
+                   ORDER BY ts_us ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS horizon
+               FROM e)
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(greatest(0, end_us - greatest(ts_us,
+               coalesce(horizon, ts_us)))) AS BIGINT) AS covered_us,
+             CAST(sum(CASE WHEN horizon IS NULL OR ts_us >= horizon
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_islands
+      FROM sw GROUP BY user_id ORDER BY user_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(slidingSpend, clickAttribution, saltedSkewJoin,
       cohortRetention, funnelStages, eventTransitions, weeklyRevenueWow,
-      skewProfile, ewmaValue, twapValue)
+      skewProfile, ewmaValue, twapValue, intervalCoverage)
 }

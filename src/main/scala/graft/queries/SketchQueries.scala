@@ -395,7 +395,55 @@ object SketchQueries extends QueryModule {
            FROM lineitem"""
     }.mkString("", "\n      UNION ALL\n      ", "\n      ORDER BY p")))
 
+  // -- sketch ROLLUP (the Druid/BigQuery theta-sketch-column pattern):
+  //    aggregate a KMV partial per DAY once (KmvSketchBinaryAgg → a
+  //    binary column you could store), then answer WEEKLY distinct-user
+  //    questions by merging the 7 daily partials (KmvMergeAgg) — the raw
+  //    rows are never re-scanned for the coarser window. At 100 TB this
+  //    is the only affordable repeated-distinct shape: the daily sketch
+  //    table is ~K longs per bucket, and any window (week, month, ad-hoc
+  //    range) merges in O(buckets × K). Merging same-k partials is
+  //    EXACT w.r.t. the direct sketch of the unioned input (bottom-k of
+  //    a union = bottom-k of per-part bottom-k's — asserted bit-for-bit
+  //    in KmvSketchAggSpec), so certification mirrors
+  //    q_table_profile_hll: the exact weekly countDistinct rides along
+  //    and an integer flag proves every weekly estimate lands inside the
+  //    KMV 3σ band; the oracle emits the same exact counts with flag 1.
+  private val SketchRollupK = 256
+  private val KmvBand = 3.0 / math.sqrt(SketchRollupK - 2) // 3σ ≈ 18.8%
+
+  private val sketchRollup = QueryDef(
+    "q_sketch_rollup",
+    (s, dir) => {
+      import org.apache.spark.sql.graft.SketchFunctions
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_us"))
+        .withColumn("day", expr("ts_us div 86400000000"))
+        .withColumn("week", expr("day div 7"))
+        // engine-internal scramble into the KMV hash domain [0, 2^32);
+        // never crosses the oracle boundary (the oracle checks exact
+        // counts + the band flag, not the sketch)
+        .withColumn("h", pmod(xxhash64(col("user_id")), lit(4294967296L)))
+      val daily = ev.groupBy("week", "day")
+        .agg(SketchFunctions.kmvSketchPartial(col("h"), SketchRollupK).as("sk"))
+      val weeklyEst = daily.groupBy("week")
+        .agg(SketchFunctions.kmvMergeEst(col("sk"), SketchRollupK).as("est"))
+      val weeklyExact = ev.groupBy("week")
+        .agg(countDistinct("user_id").as("n_exact"))
+      weeklyExact.join(weeklyEst, "week")
+        .select(col("week"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <=
+            greatest(lit(3.0), lit(KmvBand) * col("n_exact")))
+            .cast("long").as("within_bounds"))
+        .orderBy("week")
+    },
+    Some("""
+      SELECT (epoch_us(ts) // 86400000000) // 7 AS week,
+             count(DISTINCT user_id) AS n_exact,
+             CAST(1 AS BIGINT) AS within_bounds
+      FROM events GROUP BY 1 ORDER BY week"""))
+
   override def queries: Seq[QueryDef] =
     Seq(kmvDistinct, thetaSetops, approxQuantiles, cmsHeavyHitters,
-      kmvNativeAgg)
+      kmvNativeAgg, sketchRollup)
 }

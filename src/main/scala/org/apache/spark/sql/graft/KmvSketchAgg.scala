@@ -114,6 +114,161 @@ case class KmvSketchAgg(
     copy(child = newChildren.head)
 }
 
+/** Shared KMV buffer codec + fold logic for the partial/merge pair below:
+  * serialized form is [int n][n × long hash, ascending] — a portable
+  * sketch PARTIAL that can live in a table column and merge later. */
+object KmvBuffers {
+  def insert(buf: java.util.TreeSet[java.lang.Long], h: Long, k: Int): Unit = {
+    if (buf.size < k || h < buf.last()) {
+      buf.add(h)
+      if (buf.size > k) buf.remove(buf.last())
+    }
+  }
+
+  def estimate(buf: java.util.TreeSet[java.lang.Long], k: Int): Double =
+    if (buf.size < k) buf.size.toDouble
+    else (k - 1).toDouble * 4294967296.0 / (buf.last().longValue() + 1).toDouble
+
+  def toBytes(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) out.writeLong(it.next().longValue())
+    out.flush()
+    bytes.toByteArray
+  }
+
+  def fromBytes(b: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(b))
+    val n = in.readInt()
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(in.readLong()); i += 1 }
+    buf
+  }
+}
+
+/** KMV sketch PARTIAL as a value: same fold as [[KmvSketchAgg]] but the
+  * result is the serialized bottom-k buffer (BinaryType), not the
+  * estimate. This is the warehouse sketch-rollup shape (theta-sketch
+  * columns in Druid/BigQuery): aggregate once per fine bucket (day,
+  * partition, source), STORE the partial, and answer any coarser window
+  * later by merging partials with [[KmvMergeAgg]] — no re-scan of the
+  * raw rows, ever. */
+case class KmvSketchBinaryAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with ExpectsInputTypes {
+
+  require(k >= 2, s"KMV needs k >= 2, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "kmv_sketch_partial"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) KmvBuffers.insert(buf, v.asInstanceOf[Long], k)
+    buf
+  }
+
+  override def merge(
+      b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) KmvBuffers.insert(b1, it.next().longValue(), k)
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    KmvBuffers.toBytes(buf)
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    KmvBuffers.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    KmvBuffers.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchBinaryAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchBinaryAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSketchBinaryAgg =
+    copy(child = newChildren.head)
+}
+
+/** Merge stored KMV partials (BinaryType column of [[KmvSketchBinaryAgg]]
+  * outputs) into one estimate — the query-time half of the sketch
+  * rollup. Merging partials built with k' >= k is exact w.r.t. a direct
+  * k-sketch of the unioned input (bottom-k of a union = bottom-k of the
+  * per-part bottom-k's when every part kept at least k). */
+case class KmvMergeAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with ExpectsInputTypes {
+
+  require(k >= 2, s"KMV needs k >= 2, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.BinaryType)
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "kmv_merge_est"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val it = KmvBuffers.fromBytes(v.asInstanceOf[Array[Byte]]).iterator()
+      while (it.hasNext) KmvBuffers.insert(buf, it.next().longValue(), k)
+    }
+    buf
+  }
+
+  override def merge(
+      b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) KmvBuffers.insert(b1, it.next().longValue(), k)
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    KmvBuffers.estimate(buf, k)
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    KmvBuffers.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    KmvBuffers.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvMergeAgg =
+    copy(child = newChildren.head)
+}
+
 /** Column-API entry point (mirrors VectorFunctions). */
 object SketchFunctions {
   /** KMV distinct-count estimate of a pre-hashed long column, as a native
@@ -122,5 +277,18 @@ object SketchFunctions {
   def kmvDistinctEst(hashed: Column, k: Int): Column =
     ExpressionUtils.column(
       KmvSketchAgg(ExpressionUtils.expression(hashed), k)
+        .toAggregateExpression())
+
+  /** KMV sketch partial (serialized bottom-k buffer) — store per fine
+    * bucket, merge later with [[kmvMergeEst]]. */
+  def kmvSketchPartial(hashed: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KmvSketchBinaryAgg(ExpressionUtils.expression(hashed), k)
+        .toAggregateExpression())
+
+  /** Merge stored KMV partials into a distinct-count estimate. */
+  def kmvMergeEst(partial: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KmvMergeAgg(ExpressionUtils.expression(partial), k)
         .toAggregateExpression())
 }

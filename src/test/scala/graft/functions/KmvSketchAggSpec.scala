@@ -49,6 +49,24 @@ class KmvSketchAggSpec extends SparkSpec {
     assert(e === 10.0)
   }
 
+  test("rollup: merged per-part partials == direct sketch of the union " +
+      "(bit-exact), estimate tracks truth") {
+    val a = hashed(8000, 3000)
+    val b = hashed(9000, 2500).map(h => (h * 48271) % 4294967296L)
+    val k = 128
+    // direct estimate over the union
+    val direct = (a ++ b).toDF("h").repartition(8)
+      .agg(SketchFunctions.kmvDistinctEst(col("h"), k)).head().getDouble(0)
+    // rollup: one stored partial per part, merged at query time
+    val partials = Seq((0, a), (1, b)).flatMap { case (p, hs) => hs.map((p, _)) }
+      .toDF("part", "h").repartition(8)
+      .groupBy("part")
+      .agg(SketchFunctions.kmvSketchPartial(col("h"), k).as("sk"))
+    val merged = partials.agg(SketchFunctions.kmvMergeEst(col("sk"), k))
+      .head().getDouble(0)
+    assert(merged === direct)
+  }
+
   test("grouped: each group gets its own buffer") {
     val rows = (0 until 4).flatMap { g =>
       hashed(500, 100 * (g + 1)).map(h => (g, h))

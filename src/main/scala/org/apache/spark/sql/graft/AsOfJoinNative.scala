@@ -165,9 +165,14 @@ object AsOfJoinNative {
     * dropped from the output (USING-join style); other right column names
     * must not collide with left's (rename first, as with any join). */
   def asOf(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, tiebreak: String): DataFrame = {
+      leftTs: String, rightTs: String, tiebreak: String,
+      selfRegister: Boolean = true): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+    // deployments that install GraftExtensions via spark.sql.extensions
+    // pass selfRegister = false: the strategy is already injected and the
+    // session stays unmutated (GraftExtensionsSpec proves that path)
+    if (selfRegister &&
+        !spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }

@@ -80,6 +80,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDotRegistration)
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 

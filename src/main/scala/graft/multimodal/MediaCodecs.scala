@@ -102,9 +102,15 @@ object MediaCodecs {
     require(bpp == 24, s"unsupported bpp $bpp (only 24-bit)")
     require(compression == 0, s"unsupported compression $compression")
     require(width > 0 && height > 0, "unsupported dimensions")
+    // size checks in Long: a hostile header (width ~ 2^30) overflows the
+    // 32-bit products to negative, which would pass the require and turn
+    // "throws on malformed" into a multi-GB allocation bomb
     val pad = bmpRowPad(width)
-    val rowBytes = width * 3 + pad
-    require(payload.length >= offBits + rowBytes * height, "pixel array truncated")
+    val rowBytesL = width.toLong * 3 + pad
+    require(offBits >= 0 &&
+      payload.length.toLong >= offBits.toLong + rowBytesL * height,
+      "pixel array truncated")
+    val rowBytes = rowBytesL.toInt // safe: bounded by payload.length above
     val px = Array.ofDim[(Int, Int, Int)](height, width)
     var y = 0
     while (y < height) {

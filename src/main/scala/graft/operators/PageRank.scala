@@ -37,6 +37,9 @@ object PageRank {
     * Returns (node, r) with r in 1e-9 units. Every node that appears as a
     * src or dst participates; sink nodes keep the 0.15 floor. */
   def ranks(edges: DataFrame, iters: Int, checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
     // materialize the loop-invariant inputs ONCE — without this, every
     // round's plan re-derives the edge list from its upstream joins
     // (measured 7.7 s -> 2.6 s on the sf0.1 purchase graph)

@@ -81,86 +81,142 @@ object StreamIngest {
         val inBatch = Upsert.dedupInBatch(batch.toDF(), "content_hash",
             Seq(col(orderCol).asc))
           .withColumn("_kh", xxhash64(col("content_hash")))
+        // existence is a filesystem fact, not an exception pattern: a
+        // transient READ failure on an existing store must fail the batch
+        // (retried by the engine), never silently disable dedup
         val store =
-          try Some(spark.read.parquet(storePath))
-          catch { case _: Throwable => None }
-        val fresh = store match {
-          case None => inBatch // first batch: nothing seen yet
+          if (pathExists(spark, storePath)) Some(spark.read.parquet(storePath))
+          else None
+        val (fresh, priorBits) = store match {
+          case None => (inBatch, None) // first batch: nothing seen yet
           case Some(st) =>
+            // loadOrRebuildFilter guarantees the returned bits match
+            // (numBits, numHashes) and cover the current store count, so
+            // the post-append OR below can never mix filter geometries
             val filter = loadOrRebuildFilter(
               spark, st, filterPath, numBits, numHashes)
-            val probed = inBatch.withColumn("_maybe",
-              BloomFunctions.bloomMightContain(lit(filter), col("_kh")))
+            // broadcast the 1-row filter, not a per-task literal (the
+            // lesson measured in q_bloom_dedup_gate: a lit() filter rides
+            // in every task binary)
+            val fdf = spark.createDataset(Seq(filter))(
+              org.apache.spark.sql.Encoders.BINARY).toDF("_bloom_f")
+            val probed = inBatch.crossJoin(broadcast(fdf))
+              .withColumn("_maybe",
+                BloomFunctions.bloomMightContain(col("_bloom_f"), col("_kh")))
+              .drop("_bloom_f")
             val definitelyNew = probed.filter(!col("_maybe")).drop("_maybe")
             val verified = Upsert.dedupGate(
               probed.filter(col("_maybe")).drop("_maybe"),
               st, "content_hash")
-            definitelyNew.unionByName(verified)
+            (definitelyNew.unionByName(verified), Some(filter))
         }
         fresh.cache() // tiny (one micro-batch); consumed twice just below
         try {
           fresh.drop("_kh").write.mode("append").parquet(storePath)
-          val priorBits = store.map(_ => currentFilterBits(filterPath))
           val addBits = fresh.agg(BloomFunctions
               .bloomBuild(col("_kh"), numBits, numHashes).as("f"))
             .head().getAs[Array[Byte]]("f")
+          // same geometry by construction — plain bitwise OR
           val merged = priorBits match {
-            case Some(p) if p.length == addBits.length =>
+            case Some(p) =>
               val m = addBits.clone()
               var i = 8; while (i < m.length) { m(i) = (m(i) | p(i)).toByte; i += 1 }
               m
-            case _ => addBits
+            case None => addBits
           }
-          writeFilter(filterPath, merged,
+          writeFilter(spark, filterPath, merged,
             spark.read.parquet(storePath).count())
         } finally fresh.unpersist()
         ()
       }
 
-  /** Read the persisted filter if its stamp covers the store's current row
-    * count; otherwise rebuild from the store (one hash-column scan). */
+  /** Read the persisted filter if it is well-formed (length, geometry
+    * header) AND its stamp covers the store's current row count;
+    * otherwise rebuild from the store (one hash-column scan). Truncated
+    * or geometry-mismatched files fall through to the rebuild — never to
+    * an exception, and never to trusting a filter whose bits don't cover
+    * the store. */
   private[streaming] def loadOrRebuildFilter(spark: org.apache.spark.sql.SparkSession,
       store: DataFrame, filterPath: String,
       numBits: Int, numHashes: Int): Array[Byte] = {
-    import org.apache.spark.sql.graft.BloomFunctions
-    val p = java.nio.file.Paths.get(filterPath)
+    import org.apache.spark.sql.graft.{BloomBits, BloomFunctions}
     val storeCount = store.count() // parquet metadata read
-    val cached =
-      if (java.nio.file.Files.exists(p)) {
-        val all = java.nio.file.Files.readAllBytes(p)
+    val expectedLen = 8 + (numBits >>> 3) + 8 // header + bits + stamp
+    val cached = readFilterBytes(spark, filterPath) match {
+      case Some(all) if all.length == expectedLen &&
+          BloomBits.readIntLE(all, 0) == numBits &&
+          BloomBits.readIntLE(all, 4) == numHashes =>
         val stamp = java.nio.ByteBuffer.wrap(all, all.length - 8, 8)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
         if (stamp == storeCount) Some(java.util.Arrays.copyOf(all, all.length - 8))
         else None // stale (lost update / concurrent writer): rebuild
-      } else None
+      case _ => None // missing, truncated, or different geometry: rebuild
+    }
     cached.getOrElse {
       val rebuilt = store
         .select(xxhash64(col("content_hash")).as("_kh"))
         .agg(BloomFunctions.bloomBuild(col("_kh"), numBits, numHashes).as("f"))
         .head().getAs[Array[Byte]]("f")
-      writeFilter(filterPath, rebuilt, storeCount)
+      writeFilter(spark, filterPath, rebuilt, storeCount)
       rebuilt
     }
   }
 
-  private def currentFilterBits(filterPath: String): Array[Byte] = {
-    val all = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(filterPath))
-    java.util.Arrays.copyOf(all, all.length - 8)
+  // -- filter persistence goes through Hadoop FileSystem like every other
+  //    path in the pipeline, so the gate works on hdfs:// and s3a:// too,
+  //    not only the driver's local disk
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+      path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** tmp + atomic rename; layout [bloom bytes][8B LE store-count stamp]. */
-  private def writeFilter(filterPath: String, bits: Array[Byte],
-      stamp: Long): Unit = {
+  private def pathExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val (fs, p) = hadoopFs(spark, path)
+    fs.exists(p)
+  }
+
+  private def readFilterBytes(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Array[Byte]] = {
+    val (fs, p) = hadoopFs(spark, path)
+    if (!fs.exists(p)) None
+    else {
+      // the filter is DERIVED state: an unreadable file (truncation,
+      // checksum mismatch after external corruption) must route to the
+      // rebuild path, never fail the batch — unlike the STORE read above,
+      // whose failures must propagate
+      try {
+        val in = fs.open(p)
+        try {
+          val len = fs.getFileStatus(p).getLen
+          if (len > Int.MaxValue) None
+          else {
+            val buf = new Array[Byte](len.toInt)
+            in.readFully(0, buf)
+            Some(buf)
+          }
+        } finally in.close()
+      } catch { case _: java.io.IOException => None }
+    }
+  }
+
+  /** tmp + rename (atomic on HDFS/local; best-effort on object stores);
+    * layout [bloom bytes][8B LE store-count stamp]. */
+  private def writeFilter(spark: org.apache.spark.sql.SparkSession,
+      filterPath: String, bits: Array[Byte], stamp: Long): Unit = {
     val out = java.nio.ByteBuffer.allocate(bits.length + 8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put(bits).putLong(stamp)
-    val target = java.nio.file.Paths.get(filterPath)
-    val tmp = java.nio.file.Paths.get(filterPath + ".tmp")
-    java.nio.file.Files.write(tmp, out.array())
-    java.nio.file.Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val (fs, target) = hadoopFs(spark, filterPath)
+    val tmp = new org.apache.hadoop.fs.Path(filterPath + ".tmp")
+    val os = fs.create(tmp, true)
+    try os.write(out.array()) finally os.close()
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) {
+      throw new java.io.IOException(s"rename $tmp -> $target failed")
+    }
   }
 
   /** Stream-static enrichment: join each micro-batch against a broadcast

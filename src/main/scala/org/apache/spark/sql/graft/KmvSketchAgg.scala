@@ -52,19 +52,14 @@ case class KmvSketchAgg(
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
 
+  // the fold/estimate/codec all route through KmvBuffers — ONE source of
+  // truth shared with the partial/merge pair, so the documented bit-exact
+  // agreement between the three aggregates cannot silently diverge
   override def update(
       buf: java.util.TreeSet[java.lang.Long],
       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = v.asInstanceOf[Long]
-      // skip values that cannot enter the bottom-k: O(log k) containment
-      // probe instead of insert+trim churn on a saturated buffer
-      if (buf.size < k || h < buf.last()) {
-        buf.add(h)
-        if (buf.size > k) buf.remove(buf.last())
-      }
-    }
+    if (v != null) KmvBuffers.insert(buf, v.asInstanceOf[Long], k)
     buf
   }
 
@@ -72,38 +67,18 @@ case class KmvSketchAgg(
       b1: java.util.TreeSet[java.lang.Long],
       b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
     val it = b2.iterator()
-    while (it.hasNext) {
-      val h = it.next()
-      if (b1.size < k || h < b1.last()) {
-        b1.add(h)
-        if (b1.size > k) b1.remove(b1.last())
-      }
-    }
+    while (it.hasNext) KmvBuffers.insert(b1, it.next().longValue(), k)
     b1
   }
 
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
-    if (buf.size < k) buf.size.toDouble
-    else (k - 1).toDouble * 4294967296.0 / (buf.last().longValue() + 1).toDouble
+    KmvBuffers.estimate(buf, k)
 
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-    val bytes = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bytes)
-    out.writeInt(buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) out.writeLong(it.next().longValue())
-    out.flush()
-    bytes.toByteArray
-  }
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    KmvBuffers.toBytes(buf)
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
-    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val buf = new java.util.TreeSet[java.lang.Long]()
-    var i = 0
-    while (i < n) { buf.add(in.readLong()); i += 1 }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    KmvBuffers.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
     copy(mutableAggBufferOffset = newOffset)

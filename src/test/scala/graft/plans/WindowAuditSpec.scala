@@ -28,6 +28,35 @@ class WindowAuditSpec extends SparkSpec {
         s"WindowGroupLimitExec(limit=${w.limit})"
     }
 
+  /** The pmod(col, 1) key silences the warning but still hashes every row
+    * to ONE partition — it is a claim ("this frame is bounded"), not a
+    * fix. So the claim is audited too: every query whose plan carries a
+    * constant-partition window must be on this list, where each entry
+    * names the bounded frame that justifies it. A new query reaching for
+    * the pmod trick fails the suite until a human adds it HERE with its
+    * bound — the trick cannot silently hide a genuinely unbounded funnel. */
+  private val BoundedGlobalWindowQueries = Map(
+    "q_quantity_quantiles" -> "histogram buckets (≤ #distinct grid values / 16384)",
+    "q_approx_quantile_bounds" -> "histogram buckets",
+    "q_composite_scores" -> "score-grid buckets (two-pass percentile)",
+    "q_full_scores" -> "score-grid buckets (two-pass percentile)",
+    "q_quantile_normalize" -> "rank buckets",
+    "q_weekly_revenue_wow" -> "calendar weeks (~350 aggregate rows)",
+    "q_order_gaps" -> "distinct order dates (aggregate rows)",
+    "q_vocab_encode" -> "vocabulary ids (V rows)",
+    "q_token_shards" -> "shard-packing prefix buckets",
+    "q_theta_setops" -> "K sketch rows",
+    "q_kmv_distinct" -> "K sketch rows")
+
+  private def constantKeyWindows(plan: SparkPlan): Seq[String] =
+    plan.collect {
+      case w: WindowExec if w.partitionSpec.exists(_.sql.contains("pmod")) =>
+        s"WindowExec(${w.windowExpression.map(_.sql).mkString(", ")})"
+      case w: WindowGroupLimitExec
+          if w.partitionSpec.exists(_.sql.contains("pmod")) =>
+        s"WindowGroupLimitExec(limit=${w.limit})"
+    }
+
   test("no registered query plans an unpartitioned window") {
     val bad = graft.queries.Registry.all.flatMap { q =>
       val plan = q.build(spark, sfDir).queryExecution.sparkPlan
@@ -35,5 +64,19 @@ class WindowAuditSpec extends SparkSpec {
     }
     assert(bad.isEmpty,
       s"unpartitioned windows found (single-task funnels):\n${bad.mkString("\n")}")
+  }
+
+  test("every constant-partition (pmod) window is declared with its bound") {
+    val undeclared = graft.queries.Registry.all.flatMap { q =>
+      val plan = q.build(spark, sfDir).queryExecution.sparkPlan
+      if (constantKeyWindows(plan).nonEmpty &&
+          !BoundedGlobalWindowQueries.contains(q.name)) {
+        Seq(s"${q.name}: ${constantKeyWindows(plan).mkString("; ")}")
+      } else Nil
+    }
+    assert(undeclared.isEmpty,
+      "constant-partition windows without a declared bound — add to " +
+        s"BoundedGlobalWindowQueries with the frame's bound, or partition " +
+        s"properly:\n${undeclared.mkString("\n")}")
   }
 }

@@ -11,7 +11,7 @@ import java.nio.file.{Files, Paths}
 class StreamBloomGateSpec extends SparkSpec {
   import spark.implicits._
 
-  private def runBatches(dir: String)(
+  private def runBatches(dir: String, numBits: Int = 1 << 10)(
       batches: Seq[Seq[(Long, String)]]): Unit = {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
@@ -19,7 +19,7 @@ class StreamBloomGateSpec extends SparkSpec {
       mem.toDF().toDF("id", "payload"), Seq("payload"))
     val q = StreamIngest.bloomGatedForeachBatch(
       stream, s"$dir/store", s"$dir/filter.bloom", s"$dir/ckpt-${batches.size}-${System.identityHashCode(batches)}", "id",
-      numBits = 1 << 10, numHashes = 5).start()
+      numBits = numBits, numHashes = 5).start()
     batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
     q.stop()
   }
@@ -62,6 +62,23 @@ class StreamBloomGateSpec extends SparkSpec {
     assert(stored.count() === 3) // a, b (original), e — dup still dropped
     assert(stored.filter($"payload" === "b").select("id").as[Long]
       .collect().toSeq === Seq(2L))
+  }
+
+  test("restart with a different filter geometry (numBits) rebuilds " +
+      "instead of trusting or OR-ing mismatched bits") {
+    val dir = Files.createTempDirectory("graft-bloomgeom").toString
+    runBatches(dir, numBits = 1 << 10)(Seq(Seq((1L, "a"), (2L, "b"))))
+    // restart the pipeline with a larger filter: the old-geometry file
+    // must be detected (header check) and rebuilt from the store, so the
+    // store duplicate "b" is still dropped
+    runBatches(dir, numBits = 1 << 12)(Seq(Seq((9L, "b"), (10L, "z"))))
+    val stored = spark.read.parquet(s"$dir/store")
+    assert(stored.count() === 3) // a, b(original), z
+    assert(stored.filter($"payload" === "b").select("id").as[Long]
+      .collect().toSeq === Seq(2L))
+    // and the persisted filter now carries the NEW geometry
+    val f = Files.readAllBytes(Paths.get(s"$dir/filter.bloom"))
+    assert(org.apache.spark.sql.graft.BloomBits.readIntLE(f, 0) === (1 << 12))
   }
 
   test("loadOrRebuildFilter round-trips: fresh rebuild equals the " +

@@ -527,8 +527,54 @@ object TemporalQueries extends QueryModule {
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_islands
       FROM sw GROUP BY user_id ORDER BY user_id"""))
 
+  // -- OHLC bars: per (user, week) open/high/low/close of `value` — the
+  //    canonical downsampling aggregate for time series. Open/close are
+  //    positional (first/last by (ts, event_id)) and resolved via
+  //    row_number over PARTITIONED windows + conditional aggregation —
+  //    identical tie semantics in both engines, no arg_min/arg_max
+  //    cross-engine comparator quirks. All values on the exact cent grid.
+  private val ohlcBars = QueryDef(
+    "q_ohlc_bars",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .withColumn("week", expr("(ts_us div 86400000000) div 7"))
+        .filter(col("user_id") < 500)
+      val wAsc = Window.partitionBy("user_id", "week")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val wDesc = Window.partitionBy("user_id", "week")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      ev.withColumn("rn_a", row_number().over(wAsc))
+        .withColumn("rn_d", row_number().over(wDesc))
+        .groupBy("user_id", "week")
+        .agg(count(lit(1)).as("n"),
+          (max(when(col("rn_a") === 1, col("c"))) / 100.0).as("open"),
+          (max("c") / 100.0).as("high"),
+          (min("c") / 100.0).as("low"),
+          (max(when(col("rn_d") === 1, col("c"))) / 100.0).as("close"))
+        .orderBy("user_id", "week")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   CAST(round(value * 100) AS BIGINT) AS c,
+                   (epoch_us(ts) // 86400000000) // 7 AS week
+                 FROM events WHERE user_id < 500),
+        r AS (SELECT *,
+                row_number() OVER (PARTITION BY user_id, week
+                  ORDER BY ts_us ASC, event_id ASC) AS rn_a,
+                row_number() OVER (PARTITION BY user_id, week
+                  ORDER BY ts_us DESC, event_id DESC) AS rn_d
+              FROM e)
+      SELECT user_id, week, count(*) AS n,
+             max(CASE WHEN rn_a = 1 THEN c END) / 100.0 AS open,
+             max(c) / 100.0 AS high,
+             min(c) / 100.0 AS low,
+             max(CASE WHEN rn_d = 1 THEN c END) / 100.0 AS close
+      FROM r GROUP BY user_id, week ORDER BY user_id, week"""))
+
   override def queries: Seq[QueryDef] =
     Seq(slidingSpend, clickAttribution, saltedSkewJoin,
       cohortRetention, funnelStages, eventTransitions, weeklyRevenueWow,
-      skewProfile, ewmaValue, twapValue, intervalCoverage)
+      skewProfile, ewmaValue, twapValue, intervalCoverage, ohlcBars)
 }

@@ -974,6 +974,52 @@ object RelationalQueries extends QueryModule {
       FROM filled WHERE side = 1
       ORDER BY user_id, event_id"""))
 
+  // -- incremental aggregate maintenance (materialized-view refresh): a
+  //    per-user aggregate STATE table (n, sum, min, max — all mergeable)
+  //    folded batch-by-batch via full-outer merge of partial aggregates,
+  //    instead of re-aggregating history. This is the warehouse rollup-
+  //    maintenance pattern: each refresh aggregates ONLY the new batch
+  //    (map-side combined) and merges O(|keys|) state rows; avg derives
+  //    from (sum, n) at read time — never stored, since averages don't
+  //    merge. The oracle certifies the invariant that justifies the whole
+  //    pattern: folded state ≡ direct aggregation over all the data.
+  private val incrementalAgg = QueryDef(
+    "q_incremental_agg",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("user_id").agg(count(lit(1)).as("n"),
+          sum("c").as("sum_c"), min("c").as("min_c"), max("c").as("max_c"))
+      def mergeState(state: org.apache.spark.sql.DataFrame,
+          batch: org.apache.spark.sql.DataFrame) =
+        state.as("s").join(batch.as("b"), Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("s.n"), lit(0L)) + coalesce(col("b.n"), lit(0L))).as("n"),
+            (coalesce(col("s.sum_c"), lit(0L)) + coalesce(col("b.sum_c"), lit(0L))).as("sum_c"),
+            least(coalesce(col("s.min_c"), col("b.min_c")),
+              coalesce(col("b.min_c"), col("s.min_c"))).as("min_c"),
+            greatest(coalesce(col("s.max_c"), col("b.max_c")),
+              coalesce(col("b.max_c"), col("s.max_c"))).as("max_c"))
+      // three refresh cycles over disjoint batch slices
+      val state = (0 until 3).map(i => partial(ev.filter(col("event_id") % 3 === i)))
+        .reduce(mergeState)
+      state.select(col("user_id"), col("n"),
+          (col("sum_c") / 100.0).as("sum_value"),
+          (col("min_c") / 100.0).as("min_value"),
+          (col("max_c") / 100.0).as("max_value"),
+          dround(col("sum_c").cast("double") / col("n") / 100.0, 4).as("avg_value"))
+        .orderBy("user_id")
+    },
+    Some(s"""
+      SELECT user_id, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value,
+             min(CAST(round(value * 100) AS BIGINT)) / 100.0 AS min_value,
+             max(CAST(round(value * 100) AS BIGINT)) / 100.0 AS max_value,
+             ${Det.oround("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0", 4)} AS avg_value
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
   // -- range (band) join (beyond parity): events bucketed into value bands
   //    via the bucketized equi-join (graft.operators.RangeJoin) instead of
   //    a nested-loop theta join
@@ -1014,5 +1060,6 @@ object RelationalQueries extends QueryModule {
     pivotEventCounts, jsonMetaAvg, tumblingWindow, runningTotal,
     nationRevenueShare, orderGaps,
     unionEvidence, setOps, acctbalBands, rollupSuppliers, groupingSetsAgg,
-    shippingPriority, regionVolume, asofJoin, asofNative, rangeJoin)
+    shippingPriority, regionVolume, asofJoin, asofNative, rangeJoin,
+    incrementalAgg)
 }

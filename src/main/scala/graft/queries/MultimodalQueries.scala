@@ -312,6 +312,65 @@ object MultimodalQueries extends QueryModule {
                AS pooled
       FROM px ORDER BY doc_id, cell"""))
 
+  /** One row per audio doc: sign-change count over the REAL decoded
+    * sample stream. */
+  final case class ZcrRow(doc_id: Long, n_samples: Long, n_crossings: Long)
+
+  /** Zero-crossing rate over genuinely decoded WAV samples — the
+    * position-SENSITIVE audio twin of the resize query: RMS/peak are
+    * order-invariant, but a crossing count depends on consecutive-sample
+    * ADJACENCY, so a decoder that drops/reorders/sign-flips any sample
+    * moves the count and fails the hash gate. A crossing is a strict
+    * sign change (product < 0, integer compare — zeros never count,
+    * identically in both engines). */
+  private def zcrReal(item: MediaText): ZcrRow = {
+    import graft.multimodal.MediaCodecs
+    val tb = item.text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def cyc(k: Int): Int = tb(k % tb.length) & 0xff
+    val samples = Array.tabulate[Short](NSamples)(k => ((cyc(k) - 128) * 256).toShort)
+    val wav = MediaCodecs.decodeWav(MediaCodecs.encodeWav(SampleRate, samples))
+    var crossings = 0L
+    var i = 1
+    while (i < wav.samples.length) {
+      if (wav.samples(i - 1).toLong * wav.samples(i) < 0) crossings += 1
+      i += 1
+    }
+    ZcrRow(item.doc_id, wav.samples.length.toLong, crossings)
+  }
+
+  private val zcrAudio = QueryDef(
+    "q_zcr_audio",
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val items = Tables.documents(s, dir)
+        .filter(col("doc_id") % 2 === 1) // the audio half of the corpus
+        .select(col("doc_id"), lit("audio").as("modality"), col("text"))
+        .as[MediaText]
+      items.mapPartitions(_.map(zcrReal))(Encoders.product[ZcrRow])
+        .toDF()
+        .select(col("doc_id"), col("n_samples"), col("n_crossings"),
+          dround(col("n_crossings").cast("double") / (col("n_samples") - 1), 6)
+            .as("zcr"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH aud AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, ${NSamples - 1}),
+                 k -> (ord(substr(text, CAST((k % n_chars) + 1 AS INT), 1)) - 128) * 256) AS s
+        FROM documents WHERE doc_id % 2 = 1),
+      cr AS (
+        SELECT doc_id, CAST($NSamples AS BIGINT) AS n_samples,
+               CAST(list_sum(list_transform(generate_series(2, $NSamples),
+                 k -> CASE WHEN CAST(s[CAST(k AS INT) - 1] AS BIGINT)
+                                * s[CAST(k AS INT)] < 0
+                           THEN 1 ELSE 0 END)) AS BIGINT) AS n_crossings
+        FROM aud)
+      SELECT doc_id, n_samples, n_crossings,
+             ${oround(s"CAST(n_crossings AS DOUBLE) / ($NSamples - 1)", 6)} AS zcr
+      FROM cr ORDER BY doc_id"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(payloadStats, frameFeatures, decodePipeline, decodeReal_, resizeReal_)
+    Seq(payloadStats, frameFeatures, decodePipeline, decodeReal_, resizeReal_,
+      zcrAudio)
 }

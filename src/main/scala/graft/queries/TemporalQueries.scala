@@ -573,8 +573,47 @@ object TemporalQueries extends QueryModule {
              max(CASE WHEN rn_d = 1 THEN c END) / 100.0 AS close
       FROM r GROUP BY user_id, week ORDER BY user_id, week"""))
 
+  // -- activity streaks (gaps-and-islands): per user, consecutive-day
+  //    runs of activity via the classic day − row_number() island key —
+  //    consecutive days share a constant difference, a gap shifts it.
+  //    Pure integer arithmetic over PARTITIONED windows; the calendar-day
+  //    twin of q_interval_coverage's µs sweep line.
+  private val activityStreaks = QueryDef(
+    "q_activity_streaks",
+    (s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val islands = days
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"))
+      islands.groupBy("user_id")
+        .agg(count(lit(1)).as("n_streaks"),
+          max("len").as("longest_streak"),
+          sum("len").as("active_days"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH days AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) // 86400000000 AS day
+                    FROM events),
+        isl AS (SELECT user_id,
+                  day - row_number() OVER (PARTITION BY user_id
+                    ORDER BY day) AS grp,
+                  day
+                FROM days),
+        g AS (SELECT user_id, grp, count(*) AS len
+              FROM isl GROUP BY user_id, grp)
+      SELECT user_id, count(*) AS n_streaks,
+             CAST(max(len) AS BIGINT) AS longest_streak,
+             CAST(sum(len) AS BIGINT) AS active_days
+      FROM g GROUP BY user_id ORDER BY user_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(slidingSpend, clickAttribution, saltedSkewJoin,
       cohortRetention, funnelStages, eventTransitions, weeklyRevenueWow,
-      skewProfile, ewmaValue, twapValue, intervalCoverage, ohlcBars)
+      skewProfile, ewmaValue, twapValue, intervalCoverage, ohlcBars,
+      activityStreaks)
 }

@@ -77,36 +77,37 @@ object DedupQueries extends QueryModule {
       // persist: the shingle-set table feeds three consumers (band minhash +
       // both sides of the candidate-pair join) — cache beats recomputing the
       // split/transform scan 3× (5k rows/MBs at sf0.1; at 100 TB this is a
-      // checkpoint to storage instead)
+      // checkpoint to storage instead). withCached unpersists in finally.
       val d = shingled(collapseExactDups(Tables.documents(s, dir)))
         .select(col("doc_id"), col("shingles"))
-        .persist()
-      // One codegen'd sha2 per shingle; the 4 band hashes are disjoint
-      // 64-bit substrings of the single 256-bit digest. The groupBy
-      // partial-aggregates map-side, so the shuffle carries only one
-      // 4-signature row per doc — the 100 TB-safe LSH shape.
-      val sh = d.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-        .withColumn("h", sha2(col("shingle"), 256))
-      val sigCols = (0 until 4).map(b => min(substring(col("h"), 1 + 16 * b, 16)).as(s"mh$b"))
-      val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      val bands = sigs.select(col("doc_id"),
-        posexplode(array((0 until 4).map(b => col(s"mh$b")): _*)).as(Seq("band", "mh")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-      val sets = d.select(col("doc_id"), col("shingles"))
-      val jac = cand
-        .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sa"), "id_a")
-        .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sb"), "id_b")
-        .withColumn("jaccard",
-          size(array_intersect(col("sa"), col("sb"))).cast("double")
-            / size(array_union(col("sa"), col("sb"))))
-      jac.agg(count(lit(1)).as("n_candidate_pairs"),
-          sum(when(col("jaccard") >= 0.2, 1).otherwise(0)).as("n_near_dups"),
-          dround(avg("jaccard"), 4).as("avg_jaccard"),
-          dround(max("jaccard"), 4).as("max_jaccard"))
+      Cached.withCached(d) {
+        // One codegen'd sha2 per shingle; the 4 band hashes are disjoint
+        // 64-bit substrings of the single 256-bit digest. The groupBy
+        // partial-aggregates map-side, so the shuffle carries only one
+        // 4-signature row per doc — the 100 TB-safe LSH shape.
+        val sh = d.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+          .withColumn("h", sha2(col("shingle"), 256))
+        val sigCols = (0 until 4).map(b => min(substring(col("h"), 1 + 16 * b, 16)).as(s"mh$b"))
+        val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        val bands = sigs.select(col("doc_id"),
+          posexplode(array((0 until 4).map(b => col(s"mh$b")): _*)).as(Seq("band", "mh")))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        val sets = d.select(col("doc_id"), col("shingles"))
+        val jac = cand
+          .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sa"), "id_a")
+          .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sb"), "id_b")
+          .withColumn("jaccard",
+            size(array_intersect(col("sa"), col("sb"))).cast("double")
+              / size(array_union(col("sa"), col("sb"))))
+        jac.agg(count(lit(1)).as("n_candidate_pairs"),
+            sum(when(col("jaccard") >= 0.2, 1).otherwise(0)).as("n_near_dups"),
+            dround(avg("jaccard"), 4).as("avg_jaccard"),
+            dround(max("jaccard"), 4).as("max_jaccard"))
+      }
     },
     Some(s"""
       WITH d0 AS (SELECT min(doc_id) AS doc_id, min(text) AS text
@@ -149,34 +150,35 @@ object DedupQueries extends QueryModule {
     (s, dir) => {
       val d = shingled(collapseExactDups(Tables.documents(s, dir)))
         .select(col("doc_id"), col("shingles"))
-        .persist()
-      val sh = d.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-        .withColumn("h", sha2(col("shingle"), 256))
-      // 8 row-minhashes = 8 disjoint 8-char substrings of one digest
-      val rowCols = (0 until 8).map(k =>
-        min(substring(col("h"), 1 + 8 * k, 8)).as(s"mh$k"))
-      val sigs = sh.groupBy("doc_id").agg(rowCols.head, rowCols.tail: _*)
-      val bands = sigs.select(col("doc_id"),
-        posexplode(array((0 until 4).map(b =>
-          concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
-          .as(Seq("band", "bk")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-      val sets = d.select(col("doc_id"), col("shingles"))
-      val jac = cand
-        .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sa"), "id_a")
-        .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sb"), "id_b")
-        .withColumn("jaccard",
-          size(array_intersect(col("sa"), col("sb"))).cast("double")
-            / size(array_union(col("sa"), col("sb"))))
-      jac.agg(count(lit(1)).as("n_candidate_pairs"),
-          coalesce(sum(when(col("jaccard") >= 0.2, 1L).otherwise(0L)), lit(0L))
-            .as("n_near_dups"),
-          coalesce(dround(avg("jaccard"), 4), lit(0.0)).as("avg_jaccard"),
-          coalesce(dround(max("jaccard"), 4), lit(0.0)).as("max_jaccard"))
+      Cached.withCached(d) {
+        val sh = d.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+          .withColumn("h", sha2(col("shingle"), 256))
+        // 8 row-minhashes = 8 disjoint 8-char substrings of one digest
+        val rowCols = (0 until 8).map(k =>
+          min(substring(col("h"), 1 + 8 * k, 8)).as(s"mh$k"))
+        val sigs = sh.groupBy("doc_id").agg(rowCols.head, rowCols.tail: _*)
+        val bands = sigs.select(col("doc_id"),
+          posexplode(array((0 until 4).map(b =>
+            concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
+            .as(Seq("band", "bk")))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        val sets = d.select(col("doc_id"), col("shingles"))
+        val jac = cand
+          .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sa"), "id_a")
+          .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sb"), "id_b")
+          .withColumn("jaccard",
+            size(array_intersect(col("sa"), col("sb"))).cast("double")
+              / size(array_union(col("sa"), col("sb"))))
+        jac.agg(count(lit(1)).as("n_candidate_pairs"),
+            coalesce(sum(when(col("jaccard") >= 0.2, 1L).otherwise(0L)), lit(0L))
+              .as("n_near_dups"),
+            coalesce(dround(avg("jaccard"), 4), lit(0.0)).as("avg_jaccard"),
+            coalesce(dround(max("jaccard"), 4), lit(0.0)).as("max_jaccard"))
+      }
     },
     Some(s"""
       WITH d0 AS (SELECT min(doc_id) AS doc_id, min(text) AS text
@@ -277,18 +279,20 @@ object DedupQueries extends QueryModule {
   private val simhash = QueryDef(
     "q_simhash_hamming",
     (s, dir) => {
-      val sims = simhashFrame(s, dir).persist()
-      val near = bandedNearPairs(sims)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_within_3"),
-          dround(avg("hamming"), 4).as("avg_hamming_near"),
-          min("hamming").as("min_hamming_near"))
-      sims.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-        .join(near, Seq("lang"), "left")
-        .select(col("lang"), col("n_docs"),
-          coalesce(col("n_within_3"), lit(0L)).as("n_within_3"),
-          col("avg_hamming_near"), col("min_hamming_near"))
-        .orderBy("lang")
+      val sims = simhashFrame(s, dir)
+      Cached.withCached(sims) {
+        val near = bandedNearPairs(sims)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_within_3"),
+            dround(avg("hamming"), 4).as("avg_hamming_near"),
+            min("hamming").as("min_hamming_near"))
+        sims.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .join(near, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"),
+            coalesce(col("n_within_3"), lit(0L)).as("n_within_3"),
+            col("avg_hamming_near"), col("min_hamming_near"))
+          .orderBy("lang")
+      }
     },
     Some {
       s"""
@@ -322,19 +326,21 @@ object DedupQueries extends QueryModule {
   private val neardupClusters = QueryDef(
     "q_neardup_clusters",
     (s, dir) => {
-      val sims = simhashFrame(s, dir).persist()
-      val comp = graft.operators.ConnectedComponents.run(
-        sims.select(col("doc_id").as("id")),
-        bandedNearPairs(sims).select(col("id_a").as("src"), col("id_b").as("dst")))
-      val sized = comp.groupBy("comp").agg(count(lit(1)).as("sz"))
-      sims.join(comp, sims("doc_id") === comp("id"))
-        .join(sized, "comp")
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct("comp").as("n_clusters"),
-          sum(when(col("sz") >= 2, 1).otherwise(0)).as("n_dup_docs"),
-          max("sz").as("max_cluster_size"))
-        .orderBy("lang")
+      val sims = simhashFrame(s, dir)
+      Cached.withCached(sims) {
+        val comp = graft.operators.ConnectedComponents.run(
+          sims.select(col("doc_id").as("id")),
+          bandedNearPairs(sims).select(col("id_a").as("src"), col("id_b").as("dst")))
+        val sized = comp.groupBy("comp").agg(count(lit(1)).as("sz"))
+        sims.join(comp, sims("doc_id") === comp("id"))
+          .join(sized, "comp")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("comp").as("n_clusters"),
+            sum(when(col("sz") >= 2, 1).otherwise(0)).as("n_dup_docs"),
+            max("sz").as("max_cluster_size"))
+          .orderBy("lang")
+      }
     },
     Some {
       // Label propagation UNROLLED instead of WITH RECURSIVE transitive
@@ -663,25 +669,44 @@ $rounds,
       // aggregate — not a literal: a lit(bytes) filter rides in EVERY
       // task binary (measured 7 MiB task broadcasts), while the
       // broadcast-join block ships once per executor and scales to the
-      // 64 MiB filter a 10^9-key corpus needs. Fully lazy too — no
-      // driver-side collect; ReuseExchange dedups the build across the
-      // two consuming branches below.
+      // 64 MiB filter a 10^9-key corpus needs. Persisted + materialized
+      // ONCE (round 5 measured the lazy version building the filter
+      // twice — ReuseExchange does NOT dedup the two consuming
+      // branches), unpersisted in finally.
       val filterDf = seen.agg(
         BloomFunctions.bloomBuild(col("kh"), BloomNumBits, BloomNumHashes)
           .as("bloom_f"))
-      val probed = incoming.crossJoin(broadcast(filterDf))
-        .withColumn("maybe_seen",
-          BloomFunctions.bloomMightContain(col("bloom_f"), col("kh")))
-        .drop("bloom_f")
-      val definitelyNew = probed.filter(!col("maybe_seen"))
-      val verifiedNew = graft.sources.Upsert.dedupGate(
-        probed.filter(col("maybe_seen")), seen, "dedup_key")
-      definitelyNew.select("doc_id", "lang", "dedup_key")
-        .unionByName(verifiedNew.select("doc_id", "lang", "dedup_key"))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_new"),
-          countDistinct("dedup_key").as("n_new_distinct"))
-        .orderBy("lang")
+      Cached.withCached(filterDf) {
+        // The probe is the JOIN CONDITION against the 1-row filter frame,
+        // not a projected column: the 1 MiB binary stays on the broadcast
+        // build side of the BNLJ and never enters an output row. Round 5
+        // shipped it as a `withColumn(...).drop(...)` ride-along and every
+        // probed row materialized a reference to (under spill, a copy of)
+        // the array — the 68×-at-sf1 outlier of BENCH_r05.json.
+        def probe(f: org.apache.spark.sql.DataFrame) =
+          BloomFunctions.bloomMightContain(f("bloom_f"), incoming("kh"))
+        val fAnti = broadcast(filterDf)
+        val fSemi = broadcast(filterDf)
+        // left_anti vs the filter row: no match ⇔ probe false ⇔ the key is
+        // DEFINITELY unseen (Bloom has no false negatives) — skip the join.
+        val definitelyNew = incoming.join(fAnti, probe(fAnti), "left_anti")
+        // left_semi: probe true ⇔ true dupe or FP-tail — pay the exact
+        // left_anti verify join against `seen` for just this slice.
+        val verifiedNew = graft.sources.Upsert.dedupGate(
+          incoming.join(fSemi, probe(fSemi), "left_semi"), seen, "dedup_key")
+        definitelyNew.select("doc_id", "lang", "dedup_key", "kh")
+          .unionByName(verifiedNew.select("doc_id", "lang", "dedup_key", "kh"))
+          .groupBy("lang")
+          // distinct over the 64-bit kh, not the 64-char sha2 string (the
+          // round-4 exact-countDistinct lesson: string-keyed distinct
+          // shuffles 8× the bytes). kh = xxhash64(dedup_key) is 1:1 with
+          // the oracle's count(DISTINCT dedup_key) up to a 64-bit
+          // collision among ~3e5 keys at sf1 (P ≈ 2e-9, below any other
+          // nondeterminism source in the gate).
+          .agg(count(lit(1)).as("n_new"),
+            countDistinct("kh").as("n_new_distinct"))
+          .orderBy("lang")
+      }
     },
     Some("""
       WITH d AS (SELECT doc_id, lang,

@@ -233,31 +233,32 @@ object EmbeddingQueries extends QueryModule {
         .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         .withColumn("nrm", vecNorm(col("vecd")))
         .select(col("vec_id"), col("vecd"), col("nrm"))
-        .persist()
-      def nearest(vs: org.apache.spark.sql.DataFrame,
-          cents: org.apache.spark.sql.DataFrame) = {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)
-        vs.crossJoin(broadcast(cents))
-          .withColumn("sim", cosine(col("vecd"), col("cv"), col("nrm"), col("cn")))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("cent_id").as("cell"), col("sim"),
-            col("vecd"), col("nrm"))
+      Cached.withCached(e) {
+        def nearest(vs: org.apache.spark.sql.DataFrame,
+            cents: org.apache.spark.sql.DataFrame) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)
+          vs.crossJoin(broadcast(cents))
+            .withColumn("sim", cosine(col("vecd"), col("cv"), col("nrm"), col("cn")))
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("vec_id"), col("cent_id").as("cell"), col("sim"),
+              col("vecd"), col("nrm"))
+        }
+        val cents0 = e.filter(col("vec_id") < NCells)
+          .select(col("vec_id").as("cent_id"), col("vecd").as("cv"), col("nrm").as("cn"))
+        val cells0 = nearest(e, cents0)
+        val cents1 = cells0
+          .select(col("cell"), posexplode(col("vecd")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos").agg(avg("x").as("m"))
+          .groupBy("cell")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+            .as("cv"))
+          .select(col("cell").as("cent_id"), col("cv"), vecNorm(col("cv")).as("cn"))
+        nearest(e, cents1)
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_vectors"), dround(avg("sim"), 4).as("mean_sim"))
+          .orderBy("cell")
       }
-      val cents0 = e.filter(col("vec_id") < NCells)
-        .select(col("vec_id").as("cent_id"), col("vecd").as("cv"), col("nrm").as("cn"))
-      val cells0 = nearest(e, cents0)
-      val cents1 = cells0
-        .select(col("cell"), posexplode(col("vecd")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg("x").as("m"))
-        .groupBy("cell")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-          .as("cv"))
-        .select(col("cell").as("cent_id"), col("cv"), vecNorm(col("cv")).as("cn"))
-      nearest(e, cents1)
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n_vectors"), dround(avg("sim"), 4).as("mean_sim"))
-        .orderBy("cell")
     },
     Some(s"""
       WITH e AS (SELECT vec_id,

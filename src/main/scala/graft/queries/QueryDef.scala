@@ -54,6 +54,31 @@ object Det {
   }
 }
 
+/** Persist hygiene for lazy query builders (round-5 verdict: seven
+  * builders persisted a shared intermediate and never unpersisted it —
+  * builders can't know when the runner's last action fires, so the caches
+  * outlived their query and churned the storage pool across the one-JVM
+  * 124-query sweep, the most plausible cause of the q_bloom_dedup_gate /
+  * q_weighted_sample outliers).
+  *
+  * The wrapper makes the builder eager so try/finally works: persist the
+  * inputs, materialize each ONCE (so multi-branch consumers share one
+  * compute instead of racing the cache fill), run the body to a small
+  * final result pinned by an eager localCheckpoint, then unpersist in
+  * `finally`. Post-return residue is only the KB-scale checkpointed
+  * result blocks, freed on GC. Bench times `build()` + the action
+  * together, so eagerness doesn't move cost out of the timed region.
+  */
+object Cached {
+  def withCached(inputs: DataFrame*)(body: => DataFrame): DataFrame = {
+    inputs.foreach(_.persist())
+    try {
+      inputs.foreach(_.count())
+      body.localCheckpoint(true)
+    } finally inputs.foreach(_.unpersist())
+  }
+}
+
 /** DuckDB twin of `graft.stats.SemConfidence.reliability`: mean of the VALID
   * pairwise correlations (0.50 fallback when none), with BOTH avg_r and rho
   * clamped to [0, 0.99] — sem_confidence.py:349-362. `wideRel` must expose

@@ -630,27 +630,28 @@ object StatsQueries extends QueryModule {
           .cast("double") / count(lit(1))).as("mean_c"))
         .withColumn("qm", dround(col("mean_c"), 4))
         .withColumn("bkt", floor(col("qm") / 100).cast("long"))
-        .persist()
-      val counts = pu.groupBy("event_type", "bkt")
-        .agg(count(lit(1)).as("bn"))
-      val offs = counts.withColumn("off", coalesce(
-          sum("bn").over(Window.partitionBy("event_type").orderBy("bkt")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("event_type", "bkt", "off")
-      val totals = counts.groupBy("event_type").agg(sum("bn").as("n"))
-      val wIn = Window.partitionBy("event_type", "bkt")
-        .orderBy(col("qm").asc)
-      pu.withColumn("rin", rank().over(wIn))
-        .join(broadcast(offs), Seq("event_type", "bkt"))
-        .join(broadcast(totals), Seq("event_type"))
-        .withColumn("qn", when(col("n") === 1, lit(0.0))
-          .otherwise((col("off") + col("rin") - 1).cast("double")
-            / (col("n") - 1)))
-        .filter(col("user_id") < 40)
-        .select(col("event_type"), col("user_id"),
-          dround(col("mean_c") / 100, 4).as("mean_value"),
-          dround(col("qn"), 6).as("qnorm"))
-        .orderBy("event_type", "user_id")
+      Cached.withCached(pu) {
+        val counts = pu.groupBy("event_type", "bkt")
+          .agg(count(lit(1)).as("bn"))
+        val offs = counts.withColumn("off", coalesce(
+            sum("bn").over(Window.partitionBy("event_type").orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("event_type", "bkt", "off")
+        val totals = counts.groupBy("event_type").agg(sum("bn").as("n"))
+        val wIn = Window.partitionBy("event_type", "bkt")
+          .orderBy(col("qm").asc)
+        pu.withColumn("rin", rank().over(wIn))
+          .join(broadcast(offs), Seq("event_type", "bkt"))
+          .join(broadcast(totals), Seq("event_type"))
+          .withColumn("qn", when(col("n") === 1, lit(0.0))
+            .otherwise((col("off") + col("rin") - 1).cast("double")
+              / (col("n") - 1)))
+          .filter(col("user_id") < 40)
+          .select(col("event_type"), col("user_id"),
+            dround(col("mean_c") / 100, 4).as("mean_value"),
+            dround(col("qn"), 6).as("qnorm"))
+          .orderBy("event_type", "user_id")
+      }
     },
     Some(s"""
       WITH per_user AS (

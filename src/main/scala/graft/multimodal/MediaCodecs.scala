@@ -174,7 +174,13 @@ object MediaCodecs {
       val id = new String(payload.slice(pos, pos + 4), "US-ASCII")
       val size = le32(payload, pos + 4)
       val body = pos + 8
-      require(size >= 0 && body + size <= payload.length, s"chunk $id truncated")
+      // Long math, mirroring the BMP guard: a hostile declared size near
+      // Int.MaxValue would overflow `body + size` to negative, pass an
+      // Int-arithmetic check, and the data branch would then attempt a
+      // ~2 GB allocation / out-of-bounds reads. After this require, all
+      // Int arithmetic below is overflow-safe (body + size ≤ length).
+      require(size >= 0 && body.toLong + size <= payload.length,
+        s"chunk $id truncated")
       id match {
         case "fmt " =>
           require(size >= 16, "fmt chunk too small")

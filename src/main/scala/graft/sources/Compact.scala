@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.spark_partition_id
 
 /** Small-files compaction for an append-only parquet store — the
   * maintenance half of every streaming ingest (each micro-batch append
@@ -39,7 +38,18 @@ object Compact {
           !st.getPath.getName.startsWith(".")
       }
 
+    // Flat-directory stores only: a Hive-partitioned layout would list 0
+    // top-level bytes (forcing a single-task rewrite) and the rewrite
+    // would silently discard the partition directories. Fail loudly
+    // instead of corrupting layout; partition-preserving compaction is a
+    // per-partition-directory call of this same function.
+    val subdirs = fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
+    require(subdirs.isEmpty,
+      s"compactStore handles flat parquet directories only; $storePath has " +
+        s"partition subdirectories: ${subdirs.map(_.getPath.getName).take(3).mkString(", ")}")
     val before = dataFiles(path)
+    require(before.nonEmpty, s"compactStore: no data files under $storePath")
     val totalBytes = before.map(_.getLen).sum
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
@@ -51,9 +61,13 @@ object Compact {
     // mergeSchema: an append-only store accretes columns over time; a
     // compaction read using one file's schema would silently DROP the
     // evolved columns from every rewritten row
+    // No explicit sort: round-robin repartition already local-sorts rows
+    // before distributing (spark.sql.execution.sortBeforeRepartition,
+    // default true) exactly so task retries redistribute identically.
+    // (A sortWithinPartitions(spark_partition_id()) here — constant
+    // within every partition — imposed no ordering at all.)
     spark.read.option("mergeSchema", "true").parquet(storePath)
       .repartition(parts)
-      .sortWithinPartitions(spark_partition_id()) // stable file contents
       .write.parquet(tmp.toString)
 
     // swap: live → trash, tmp → live, drop trash

@@ -41,12 +41,17 @@ object StreamIngest {
         val spark = batch.sparkSession
         val inBatch = Upsert.dedupInBatch(batch.toDF(), "content_hash",
           Seq(col(orderCol).asc))
-        val seen =
-          try spark.read.parquet(storePath).select("content_hash")
-          catch { case _: Throwable => spark.emptyDataFrame.withColumn("content_hash", lit("")) }
+        // existence is a filesystem fact, not an exception pattern (same
+        // contract as bloomGatedForeachBatch): a transient READ failure on
+        // an EXISTING store must fail the batch so the engine retries it —
+        // swallowing it would silently disable cross-run dedup and append
+        // duplicates permanently
         val fresh =
-          if (seen.isEmpty) inBatch
-          else Upsert.dedupGate(inBatch, seen, "content_hash")
+          if (pathExists(spark, storePath))
+            Upsert.dedupGate(inBatch,
+              spark.read.parquet(storePath).select("content_hash"),
+              "content_hash")
+          else inBatch // first batch: nothing seen yet
         fresh.write.mode("append").parquet(storePath)
         ()
       }

@@ -75,10 +75,10 @@ case class KmvSketchAgg(
     KmvBuffers.estimate(buf, k)
 
   override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
-    KmvBuffers.toBytes(buf)
+    KmvBuffers.toBytes(buf, k)
 
   override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
-    KmvBuffers.fromBytes(bytes)
+    KmvBuffers.fromBytes(bytes)._2 // shuffle-internal: same operator, same k
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -90,8 +90,13 @@ case class KmvSketchAgg(
 }
 
 /** Shared KMV buffer codec + fold logic for the partial/merge pair below:
-  * serialized form is [int n][n × long hash, ascending] — a portable
-  * sketch PARTIAL that can live in a table column and merge later. */
+  * serialized form is [int k][int n][n × long hash, ascending] — a
+  * portable sketch PARTIAL that can live in a table column and merge
+  * later. The header records the k the partial was built with — the same
+  * self-describing-header principle as BloomFilterAgg — so build- and
+  * merge-site parameters cannot drift: a partial trimmed to k' < k has
+  * DISCARDED hashes a k-merge needs, and merging it would yield a
+  * silently biased estimate. */
 object KmvBuffers {
   def insert(buf: java.util.TreeSet[java.lang.Long], h: Long, k: Int): Unit = {
     if (buf.size < k || h < buf.last()) {
@@ -104,9 +109,10 @@ object KmvBuffers {
     if (buf.size < k) buf.size.toDouble
     else (k - 1).toDouble * 4294967296.0 / (buf.last().longValue() + 1).toDouble
 
-  def toBytes(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+  def toBytes(buf: java.util.TreeSet[java.lang.Long], k: Int): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
+    out.writeInt(k)
     out.writeInt(buf.size)
     val it = buf.iterator()
     while (it.hasNext) out.writeLong(it.next().longValue())
@@ -114,13 +120,15 @@ object KmvBuffers {
     bytes.toByteArray
   }
 
-  def fromBytes(b: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+  /** Returns (k the partial was built with, buffer). */
+  def fromBytes(b: Array[Byte]): (Int, java.util.TreeSet[java.lang.Long]) = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(b))
+    val kp = in.readInt()
     val n = in.readInt()
     val buf = new java.util.TreeSet[java.lang.Long]()
     var i = 0
     while (i < n) { buf.add(in.readLong()); i += 1 }
-    buf
+    (kp, buf)
   }
 }
 
@@ -167,12 +175,12 @@ case class KmvSketchBinaryAgg(
   }
 
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
-    KmvBuffers.toBytes(buf)
+    KmvBuffers.toBytes(buf, k)
 
   override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
-    KmvBuffers.toBytes(buf)
+    KmvBuffers.toBytes(buf, k)
   override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
-    KmvBuffers.fromBytes(bytes)
+    KmvBuffers.fromBytes(bytes)._2 // shuffle-internal: same operator, same k
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchBinaryAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -213,7 +221,14 @@ case class KmvMergeAgg(
       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val it = KmvBuffers.fromBytes(v.asInstanceOf[Array[Byte]]).iterator()
+      val (kp, part) = KmvBuffers.fromBytes(v.asInstanceOf[Array[Byte]])
+      // a partial trimmed below this merge's k has discarded hashes the
+      // bottom-k of the union may need — merging it is silently biased,
+      // so fail loudly (header principle, see KmvBuffers)
+      require(kp >= k,
+        s"kmv_merge_est(k=$k) fed a partial built with k=$kp < $k — " +
+          "rebuild the stored partials with k >= the merge k")
+      val it = part.iterator()
       while (it.hasNext) KmvBuffers.insert(buf, it.next().longValue(), k)
     }
     buf
@@ -231,9 +246,9 @@ case class KmvMergeAgg(
     KmvBuffers.estimate(buf, k)
 
   override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
-    KmvBuffers.toBytes(buf)
+    KmvBuffers.toBytes(buf, k)
   override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
-    KmvBuffers.fromBytes(bytes)
+    KmvBuffers.fromBytes(bytes)._2 // shuffle-internal: same operator, same k
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeAgg =
     copy(mutableAggBufferOffset = newOffset)

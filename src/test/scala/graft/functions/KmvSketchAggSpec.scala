@@ -67,6 +67,24 @@ class KmvSketchAggSpec extends SparkSpec {
     assert(merged === direct)
   }
 
+  test("merge rejects partials built with a smaller k (header check)") {
+    val hs = hashed(5000, 2000)
+    // partial trimmed to k=32 has discarded hashes a k=128 merge needs
+    val partials = hs.toDF("h")
+      .agg(SketchFunctions.kmvSketchPartial(col("h"), 32).as("sk"))
+    val ex = intercept[Exception] {
+      partials.agg(SketchFunctions.kmvMergeEst(col("sk"), 128)).head()
+    }
+    assert(ex.getMessage != null)
+    // the compatible direction (k' >= merge k) still works and is exact
+    val ok = hs.toDF("h")
+      .agg(SketchFunctions.kmvSketchPartial(col("h"), 128).as("sk"))
+      .agg(SketchFunctions.kmvMergeEst(col("sk"), 32)).head().getDouble(0)
+    val direct = hs.toDF("h")
+      .agg(SketchFunctions.kmvDistinctEst(col("h"), 32)).head().getDouble(0)
+    assert(ok === direct)
+  }
+
   test("grouped: each group gets its own buffer") {
     val rows = (0 until 4).flatMap { g =>
       hashed(500, 100 * (g + 1)).map(h => (g, h))

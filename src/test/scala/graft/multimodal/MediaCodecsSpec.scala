@@ -108,4 +108,23 @@ class MediaCodecsSpec extends AnyFunSuite {
       MediaCodecs.decodeWav(noData)
     }.getMessage.contains("data chunk"))
   }
+
+  test("WAV rejects a declared chunk size that overflows Int arithmetic") {
+    // data-chunk size 0x7ffffff0: body + size overflows Int to negative,
+    // which an Int-arithmetic bounds check would PASS — and the decoder
+    // would then attempt a ~2 GB allocation. The Long-math guard must
+    // reject it as truncated instead (same class as the BMP dimension
+    // guard).
+    val p = MediaCodecs.encodeWav(8000, Array[Short](1, 2, 3))
+    val hostile = p.clone()
+    val dataAt = p.indexOfSlice("data".getBytes("US-ASCII"))
+    assert(dataAt > 0)
+    hostile(dataAt + 4) = 0xf0.toByte
+    hostile(dataAt + 5) = 0xff.toByte
+    hostile(dataAt + 6) = 0xff.toByte
+    hostile(dataAt + 7) = 0x7f.toByte
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodeWav(hostile)
+    }.getMessage.contains("truncated"))
+  }
 }

@@ -105,6 +105,7 @@ object OracleSem {
 object Registry {
   def modules: Seq[QueryModule] = Seq(
     RelationalQueries,
+    ServingQueries,
     ScoringQueries,
     SignalQueries,
     StatsQueries,

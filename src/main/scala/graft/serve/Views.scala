@@ -23,6 +23,15 @@ object Views {
       ORDER BY final_score DESC, entity_id ASC""")
   }
 
+  /** The full GET /scoring/results response shape (scoring.py:224-241 +
+    * the _parse_breakdown nested parse :85-161), registered as a view:
+    * window-latest per company + dimension_breakdown_json → nested struct
+    * + band + top-N by composite. Oracle-certified end to end as
+    * q_serving_results (ServingQueries). */
+  def registerServingResults(spark: SparkSession, dir: String): Unit =
+    graft.queries.ServingQueries.queries.find(_.name == "q_serving_results").get
+      .build(spark, dir).createOrReplaceTempView("serving_results")
+
   /** W1 latest-per-key over an append-history table (the serving read for
     * a store with one row per (entity, run)). */
   def latestPerEntity(history: DataFrame, entityCol: String,

@@ -14,6 +14,23 @@ class ViewsSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM org_air_scores").head().getLong(0) > 0)
   }
 
+  test("registerServingResults exposes the certified REST read as a view") {
+    Views.registerServingResults(spark, "/root/testdata/sf0.001")
+    val rows = spark.sql(
+      """SELECT company_id, dimension, composite_score, score_band,
+                raw_score, sector_weight, weighted_score
+         FROM serving_results""").collect()
+    assert(rows.nonEmpty && rows.length % 3 == 0) // 3 dimensions per company
+    // response ordering: composite DESC with deterministic ties
+    val comps = rows.map(_.getAs[Double]("composite_score"))
+    assert(comps.sameElements(comps.sortBy(-(_: Double))))
+    // weighted = raw × weight, surviving the JSON round-trip
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("raw_score") * r.getAs[Double]("sector_weight")
+        - r.getAs[Double]("weighted_score")) < 1e-9)
+    }
+  }
+
   test("latestPerEntity picks the newest row per entity") {
     val hist = Seq((1L, 10L, "old"), (1L, 20L, "new"), (2L, 5L, "only"))
       .toDF("entity_id", "run_ts", "v")

@@ -51,15 +51,23 @@ object IngestPipeline {
     htmls.unionByName(pdfs)
   }
 
+  /** Parsed text frame (entity_id, filing_type, text) → named sections
+    * (F13) — the shared seam between the HTML-only path below and the
+    * binaryFile route through [[parseFilings]]. */
+  def sectionsOf(parsed: DataFrame): Dataset[SectionRow] = {
+    import parsed.sparkSession.implicits._
+    parsed.select(col("entity_id"), col("filing_type"), col("text"))
+      .as[(Long, String, String)].flatMap { case (e, ft, text) =>
+        SectionExtractor.extract(text).map { case (k, t) => SectionRow(e, ft, k, t) }
+      }
+  }
+
   /** HTML → cleaned text → named sections (F11 + F13). */
   def extractSections(raw: Dataset[RawFiling]): Dataset[SectionRow] = {
-    import raw.sparkSession.implicits._
     val cleaned = raw.toDF()
       .withColumn("text", HtmlText.htmlToText(col("html")))
       .select(col("entity_id"), col("filing_type"), col("text"))
-    cleaned.as[(Long, String, String)].flatMap { case (e, ft, text) =>
-      SectionExtractor.extract(text).map { case (k, t) => SectionRow(e, ft, k, t) }
-    }
+    sectionsOf(cleaned)
   }
 
   /** Sections → overlapping chunks with content-derived ids (F14 + F17). */
@@ -82,11 +90,14 @@ object IngestPipeline {
     val chunks = chunkSections(extractSections(raw)).toDF()
     val deduped = Upsert.dedupInBatch(chunks, "content_hash",
       Seq(col("chunk_id").asc))
-    val seen =
-      try spark.read.parquet(storePath).select("content_hash")
-      catch { case _: Throwable => null }
-    val fresh = if (seen == null) deduped
-      else Upsert.dedupGate(deduped, seen, "content_hash")
+    // pathExists, not try/catch: a transient read failure on an EXISTING
+    // store must fail the run (idempotent re-ingest retries), never
+    // silently disable cross-run dedup
+    val fresh =
+      if (Upsert.pathExists(spark, storePath))
+        Upsert.dedupGate(deduped,
+          spark.read.parquet(storePath).select("content_hash"), "content_hash")
+      else deduped
     fresh.write.mode("append").parquet(storePath)
     spark.read.parquet(storePath)
   }

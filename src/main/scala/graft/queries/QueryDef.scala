@@ -106,6 +106,7 @@ object Registry {
   def modules: Seq[QueryModule] = Seq(
     RelationalQueries,
     ServingQueries,
+    PipelineQueries,
     ScoringQueries,
     SignalQueries,
     StatsQueries,

@@ -35,6 +35,15 @@ object Upsert {
   def dedupGate(incoming: DataFrame, seen: DataFrame, hashCol: String): DataFrame =
     incoming.join(seen.select(hashCol).distinct(), Seq(hashCol), "left_anti")
 
+  /** Existence is a filesystem fact, not an exception pattern: callers
+    * gating dedup on "does the store exist yet" must use this, never a
+    * catch-all around the read — a transient read failure on an EXISTING
+    * store would silently disable dedup (see StreamIngest). */
+  def pathExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** In-batch first-wins dedup on a hash with a deterministic tie order. */
   def dedupInBatch(df: DataFrame, hashCol: String, orderCols: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(col(hashCol)).orderBy(orderCols: _*)

@@ -9,9 +9,10 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args.drop(1) // in order; repeats allowed (warm-run timing)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

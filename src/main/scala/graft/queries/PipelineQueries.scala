@@ -36,12 +36,22 @@ object PipelineQueries extends QueryModule {
       // fixture text: letters and single spaces only — no digits (so no
       // spoofed section headings), no PDF string delimiters, and byte
       // length == char length in both engines
+      // fixture corpus: a deterministic 50% slice (doc_id % 4 <= 1 keeps
+      // both even and odd ids, so the seen/incoming dedup halves stay
+      // populated), with mostly-small repeat factors plus a 1-in-16 5×
+      // boost so the >6500-char hard-split chunk path is still exercised
+      // — sized so the demo stays a few seconds at sf1, not a synthetic
+      // multi-GB corpus (the volume path is certified by the dedicated
+      // dedup/chunk queries)
       val base = Tables.documents(s, dir)
+        .filter(col("doc_id") % 4 <= 1)
         .withColumn("san", trim(regexp_replace(
           regexp_replace(col("text"), "[^a-zA-Z ]", ""), " +", " ")))
         .filter(length(col("san")) >= 20)
-        .withColumn("a", trim(expr("repeat(concat(san, ' '), CAST(doc_id % 30 + 1 AS INT))")))
-        .withColumn("b", trim(expr("repeat(concat(san, ' '), CAST(doc_id % 13 + 1 AS INT))")))
+        .withColumn("a", trim(expr(
+          "repeat(concat(san, ' '), CAST((doc_id % 8 + 1) * " +
+            "(CASE WHEN doc_id % 16 = 1 THEN 5 ELSE 1 END) AS INT))")))
+        .withColumn("b", trim(expr("repeat(concat(san, ' '), CAST(doc_id % 5 + 1 AS INT))")))
         .withColumn("kind", when(col("doc_id") % 5 === 0, "pdf").otherwise("html"))
       // real HTML bytes: tags + a style block the parser must strip
       val htmlRaw = base.filter(col("kind") === "html")
@@ -73,10 +83,15 @@ object PipelineQueries extends QueryModule {
           lit("10-K").as("filing_type"), col("file_hint"),
           encode(col("payload"), "UTF-8").as("content")))
       // --- the REAL pipeline: decode → sections → chunks ---
+      // every stage is consumed by both its per-stage count AND the next
+      // stage, so the whole chain is cached stage by stage (withCached
+      // materializes in order: parse runs once, section-extract once,
+      // chunking once) and unpersisted in finally
+      import s.implicits._
       val parsed = graft.pipeline.IngestPipeline.parseFilings(raw)
       val sections = graft.pipeline.IngestPipeline.sectionsOf(parsed).toDF()
       val chunks = graft.pipeline.IngestPipeline.chunkSections(
-          graft.pipeline.IngestPipeline.sectionsOf(parsed)).toDF()
+          sections.as[graft.pipeline.IngestPipeline.SectionRow]).toDF()
         .select(col("entity_id"), col("section"), col("chunk_index"),
           col("content"), col("content_hash"))
         .withColumn("kind",
@@ -84,7 +99,7 @@ object PipelineQueries extends QueryModule {
         .withColumn("kh", xxhash64(col("content_hash")))
       def kindOf(df: DataFrame, c: String) =
         df.withColumn("kind", when(col(c) % 5 === 0, "pdf").otherwise("html"))
-      Cached.withCached(chunks) {
+      Cached.withCached(parsed, sections, chunks) {
         // S12 at the end of the lifecycle: bloom-gated exact dedup of the
         // odd-entity half against the even-entity "already indexed" half,
         // probe in the join condition (the q_bloom_dedup_gate shape)
@@ -131,12 +146,13 @@ object PipelineQueries extends QueryModule {
         SELECT doc_id,
                trim(regexp_replace(regexp_replace(text, '[^a-zA-Z ]', '', 'g'),
                     ' +', ' ', 'g')) AS san
-        FROM documents),
+        FROM documents WHERE doc_id % 4 <= 1),
       f AS (
         SELECT doc_id,
                CASE WHEN doc_id % 5 = 0 THEN 'pdf' ELSE 'html' END AS kind,
-               trim(repeat(san || ' ', CAST(doc_id % 30 + 1 AS INT))) AS a,
-               trim(repeat(san || ' ', CAST(doc_id % 13 + 1 AS INT))) AS b
+               trim(repeat(san || ' ', CAST((doc_id % 8 + 1) *
+                 (CASE WHEN doc_id % 16 = 1 THEN 5 ELSE 1 END) AS INT))) AS a,
+               trim(repeat(san || ' ', CAST(doc_id % 5 + 1 AS INT))) AS b
         FROM d WHERE length(san) >= 20),
       -- both decode paths normalize to the SAME filing text
       t AS (

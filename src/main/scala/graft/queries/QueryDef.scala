@@ -70,7 +70,23 @@ object Det {
   * together, so eagerness doesn't move cost out of the timed region.
   */
 object Cached {
+  private val audit = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = false
+  }
+
+  /** Build with [[withCached]] transparent — no persist, no checkpoint,
+    * nothing executed — so the FULL logical/physical plan of the body
+    * stays visible. For the fleet plan audits (PlanSpec/WindowAuditSpec/
+    * DumpPlans): an eager localCheckpoint truncates the returned plan to
+    * a `Scan ExistingRDD`, which would silently blind every audit on a
+    * wrapped query. */
+  def auditPlan[T](body: => T): T = {
+    audit.set(true)
+    try body finally audit.set(false)
+  }
+
   def withCached(inputs: DataFrame*)(body: => DataFrame): DataFrame = {
+    if (audit.get()) return body
     inputs.foreach(_.persist())
     try {
       inputs.foreach(_.count())

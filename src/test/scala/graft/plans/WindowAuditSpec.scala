@@ -59,7 +59,8 @@ class WindowAuditSpec extends SparkSpec {
 
   test("no registered query plans an unpartitioned window") {
     val bad = graft.queries.Registry.all.flatMap { q =>
-      val plan = q.build(spark, sfDir).queryExecution.sparkPlan
+      val plan = graft.queries.Cached.auditPlan(
+        q.build(spark, sfDir).queryExecution.sparkPlan)
       offendingWindows(plan).map(w => s"${q.name}: $w")
     }
     assert(bad.isEmpty,
@@ -68,7 +69,8 @@ class WindowAuditSpec extends SparkSpec {
 
   test("every constant-partition (pmod) window is declared with its bound") {
     val undeclared = graft.queries.Registry.all.flatMap { q =>
-      val plan = q.build(spark, sfDir).queryExecution.sparkPlan
+      val plan = graft.queries.Cached.auditPlan(
+        q.build(spark, sfDir).queryExecution.sparkPlan)
       if (constantKeyWindows(plan).nonEmpty &&
           !BoundedGlobalWindowQueries.contains(q.name)) {
         Seq(s"${q.name}: ${constantKeyWindows(plan).mkString("; ")}")

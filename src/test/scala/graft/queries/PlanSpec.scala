@@ -11,8 +11,11 @@ class PlanSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  // auditPlan: withCached-wrapped builders otherwise return an eagerly
+  // checkpointed Scan ExistingRDD, which would blind every assertion here
   private def physicalPlan(name: String): String =
-    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    Cached.auditPlan(
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString)
 
   test("q_filtered_revenue: predicates push into the parquet scan") {
     val plan = physicalPlan("q_filtered_revenue")
@@ -210,7 +213,8 @@ class PlanSpec extends SparkSpec {
     val offenders = Registry.all
       .filter(q => q.name != "q_neardup_clusters") // iterative: plan built per round
       .flatMap { q =>
-        val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
+        val plan = Cached.auditPlan(
+          q.build(spark, sfDir).queryExecution.executedPlan.toString)
         val bad = Seq("CartesianProduct", "BatchEvalPython", "ScalaUDF")
           .filter(plan.contains)
         if (bad.isEmpty) None else Some(s"${q.name}: ${bad.mkString(",")}")

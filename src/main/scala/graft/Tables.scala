@@ -34,7 +34,14 @@ object Tables {
     *
     * Generated scale-ups (GenScale's sf1) store ts as a plain µs TIMESTAMP
     * so DuckDB can run the oracle there directly — that branch only
-    * derives ts_us. */
+    * derives ts_us.
+    *
+    * Round 6: the driver's regenerated testdata stores ts as timestamp[us]
+    * WITHOUT timezone, which Spark reads as TIMESTAMP_NTZ and `unix_micros`
+    * rejects. Every graft session pins spark.sql.session.timeZone=UTC, so
+    * casting NTZ→TIMESTAMP is value-identity here and keeps the rest of the
+    * engine (and the DuckDB oracle, which sees a naive µs timestamp either
+    * way) unchanged. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
@@ -42,6 +49,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts_us", expr("ts div 1000L"))
           .withColumn("ts", timestamp_micros(col("ts_us")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_us", unix_micros(col("ts")))
       case _ =>
         raw.withColumn("ts_us", unix_micros(col("ts")))
     }

@@ -17,18 +17,35 @@ import Det.{dround, oround}
   */
 object DedupQueries extends QueryModule {
 
-  /** Adds a distinct 2-token `shingles` array from `text` (the near-dup
-    * unit shared by MinHash, contamination, and the banding spec). Short
-    * docs (<2 tokens) yield an empty set — without the guard Spark's
-    * sequence(0, -1) descends and slice(toks, 0, 2) throws, while the
-    * DuckDB twin's generate_series(1, 0) is silently empty. */
+  /** Adds a distinct `shingles` array of [[ShingleW]]-token windows from
+    * `text` (the near-dup unit shared by the MinHash family and the banding
+    * spec). Short docs (<W tokens) yield an empty set — without the guard
+    * Spark's sequence(0, -k) descends and slice throws, while the DuckDB
+    * twin's empty generate_series is silently empty.
+    *
+    * W=5 (round 6, was 2): Broder-style w-shingling needs windows long
+    * enough that individual shingles are RARE. The round-6 corpus has a
+    * ~31-token vocabulary, so 2-token shingles span only ~931 distinct
+    * values and every shingle appears in ~240 docs — the doc set holding
+    * the globally-minimal shingle hash IS a minhash bucket, so every band
+    * bucket held ~290 docs and candidate mass hit 1.3M pairs (42 s at
+    * sf0.1). With 5-token windows the shingle space is ~31^5 and observed
+    * shingles are near-unique, which restores the rare-feature premise
+    * minhash needs. Pair semantics stay "share a rare contiguous run",
+    * the standard near-dup definition at web scale. */
+  private val ShingleW = 5
   private def shingled(df: org.apache.spark.sql.DataFrame) = df
     .withColumn("toks", split(col("text"), " "))
     .withColumn("shingles", expr(
-      """CASE WHEN size(toks) >= 2
-              THEN array_distinct(transform(sequence(0, size(toks) - 2),
-                                  i -> concat_ws(' ', slice(toks, i + 1, 2))))
+      s"""CASE WHEN size(toks) >= $ShingleW
+              THEN array_distinct(transform(sequence(0, size(toks) - $ShingleW),
+                                  i -> concat_ws(' ', slice(toks, i + 1, $ShingleW))))
               ELSE array() END"""))
+
+  /** DuckDB twin of [[shingled]]'s shingle expression. */
+  private def oracleShingles: String =
+    s"""list_distinct(list_transform(generate_series(1, len(toks) - ${ShingleW - 1}),
+                     i -> array_to_string(toks[i:i+${ShingleW - 1}], ' ')))"""
 
   /** Exact-dedup-first: one representative (min doc_id / text) per distinct
     * content — identical docs share every LSH signature, so candidate mass
@@ -71,6 +88,8 @@ object DedupQueries extends QueryModule {
   //    duplicates to one representative (cheap hash groupBy, the ingest
   //    gate's key) BEFORE signatures is the standard production shape:
   //    near-dup search only ever runs over distinct contents.
+  private val MaxBucket = 256
+
   private val minhashLsh = QueryDef(
     "q_minhash_lsh_neardup",
     (s, dir) => {
@@ -91,7 +110,18 @@ object DedupQueries extends QueryModule {
         val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
         val bands = sigs.select(col("doc_id"),
           posexplode(array((0 until 4).map(b => col(s"mh$b")): _*)).as(Seq("band", "mh")))
-        val cand = bands.as("a").join(bands.as("b"),
+        // STOP-BUCKET guard: a band bucket with more than MaxBucket docs is
+        // non-discriminative (a feature shared by that many docs carries no
+        // near-dup signal — the LSH analogue of a stopword) and its pair
+        // mass is quadratic in bucket size. Production LSH drops such
+        // buckets; the other 3 bands still vote for any genuinely-similar
+        // pair. Deterministic (bucket size is a fact of the data), and the
+        // oracle mirrors the same HAVING cap.
+        val okBuckets = bands.groupBy("band", "mh")
+          .agg(count(lit(1)).as("bc")).filter(col("bc") <= MaxBucket)
+          .select(col("band"), col("mh"))
+        val kept = bands.join(okBuckets, Seq("band", "mh"))
+        val cand = kept.as("a").join(kept.as("b"),
             col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -104,25 +134,27 @@ object DedupQueries extends QueryModule {
             size(array_intersect(col("sa"), col("sb"))).cast("double")
               / size(array_union(col("sa"), col("sb"))))
         jac.agg(count(lit(1)).as("n_candidate_pairs"),
-            sum(when(col("jaccard") >= 0.2, 1).otherwise(0)).as("n_near_dups"),
-            dround(avg("jaccard"), 4).as("avg_jaccard"),
-            dround(max("jaccard"), 4).as("max_jaccard"))
+            coalesce(sum(when(col("jaccard") >= 0.2, 1L).otherwise(0L)), lit(0L))
+              .as("n_near_dups"),
+            coalesce(dround(avg("jaccard"), 4), lit(0.0)).as("avg_jaccard"),
+            coalesce(dround(max("jaccard"), 4), lit(0.0)).as("max_jaccard"))
       }
     },
     Some(s"""
       WITH d0 AS (SELECT min(doc_id) AS doc_id, min(text) AS text
                   FROM documents GROUP BY sha256(text)),
-        d AS (SELECT doc_id,
-                   list_distinct(list_transform(generate_series(1, len(toks) - 1),
-                     i -> array_to_string(toks[i:i+1], ' '))) AS shingles
+        d AS (SELECT doc_id, $oracleShingles AS shingles
                  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d0)),
         sh AS (SELECT doc_id, sha256(unnest(shingles)) AS h FROM d),
         bands AS (SELECT doc_id, band,
                     min(substr(h, 1 + 16 * band, 16)) AS mh
                   FROM (SELECT doc_id, h, unnest([0, 1, 2, 3]) AS band FROM sh)
                   GROUP BY doc_id, band),
+        ok AS (SELECT band, mh FROM bands GROUP BY band, mh
+               HAVING count(*) <= $MaxBucket),
+        kept AS (SELECT bands.* FROM bands JOIN ok USING (band, mh)),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                 FROM bands a JOIN bands b
+                 FROM kept a JOIN kept b
                    ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
         jac AS (SELECT id_a, id_b,
                   CAST(len(list_filter(da.shingles, x -> list_contains(db.shingles, x))) AS DOUBLE)
@@ -131,9 +163,9 @@ object DedupQueries extends QueryModule {
                 FROM cand JOIN d da ON cand.id_a = da.doc_id
                           JOIN d db ON cand.id_b = db.doc_id)
       SELECT count(*) AS n_candidate_pairs,
-             CAST(sum(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
-             ${oround("avg(jaccard)", 4)} AS avg_jaccard,
-             ${oround("max(jaccard)", 4)} AS max_jaccard
+             CAST(coalesce(sum(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_near_dups,
+             coalesce(${oround("avg(jaccard)", 4)}, 0.0) AS avg_jaccard,
+             coalesce(${oround("max(jaccard)", 4)}, 0.0) AS max_jaccard
       FROM jac"""))
 
   // -- MinHash banding GENERALIZED to r>1 rows per band: 4 bands × 2 rows,
@@ -183,9 +215,7 @@ object DedupQueries extends QueryModule {
     Some(s"""
       WITH d0 AS (SELECT min(doc_id) AS doc_id, min(text) AS text
                   FROM documents GROUP BY sha256(text)),
-        d AS (SELECT doc_id,
-                   list_distinct(list_transform(generate_series(1, len(toks) - 1),
-                     i -> array_to_string(toks[i:i+1], ' '))) AS shingles
+        d AS (SELECT doc_id, $oracleShingles AS shingles
                  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d0)),
         sh AS (SELECT doc_id, sha256(unnest(shingles)) AS h FROM d),
         bands AS (SELECT doc_id, band,
@@ -232,20 +262,35 @@ object DedupQueries extends QueryModule {
     votes.select(col("doc_id"), col("lang"), simhashCol.as("simhash"))
   }
 
-  /** Banded candidate generation + exact verify: (lang, id_a, id_b, hamming)
-    * for every pair within hamming 3 — lossless by pigeonhole over the 4
-    * 4-bit chunks. */
-  private def bandedNearPairs(sims: org.apache.spark.sql.DataFrame) = {
-    val bands = sims.select(col("doc_id"), col("lang"), col("simhash"),
+  /** Histogram of DISTINCT simhash values per lang: (lang, simhash,
+    * vid = min doc_id carrying the value, c = doc count). The 16-bit hash
+    * space bounds this at 65,536 rows per lang REGARDLESS of corpus size —
+    * the reduction that makes the whole simhash family corpus-scale-free
+    * past one linear scan (round 6: the doc-level banded self-join went
+    * 13.9× super-linear on 10× data because replica-heavy corpora made
+    * doc-level buckets quadratic; value-level buckets cannot grow at all). */
+  private def simhashValues(sims: org.apache.spark.sql.DataFrame) =
+    sims.groupBy("lang", "simhash")
+      .agg(min("doc_id").as("vid"), count(lit(1)).as("c"))
+
+  /** Banded candidate generation + exact verify over distinct VALUES:
+    * (lang, va, vb, vid_a, vid_b, ca, cb, hamming) for every ordered value
+    * pair within hamming 3 — lossless by pigeonhole over the 4 4-bit
+    * chunks (pairs with hamming ≤ 3 agree on ≥1 chunk). Doc-level pair
+    * counts recover exactly as ca·cb (and C(c,2) within a value). */
+  private def valueNearPairs(vals: org.apache.spark.sql.DataFrame) = {
+    val bands = vals.select(col("lang"), col("simhash"), col("vid"), col("c"),
         explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("chunk", expr("(simhash >> (band * 4)) & 15"))
     bands.as("a").join(bands.as("b"),
         col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
-          col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.lang").as("lang"), col("a.doc_id").as("id_a"),
-        col("b.doc_id").as("id_b"),
+          col("a.chunk") === col("b.chunk") && col("a.simhash") < col("b.simhash"))
+      .select(col("a.lang").as("lang"),
+        col("a.simhash").as("va"), col("b.simhash").as("vb"),
+        col("a.vid").as("vid_a"), col("b.vid").as("vid_b"),
+        col("a.c").as("ca"), col("b.c").as("cb"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct() // a pair may agree on several chunks
+      .distinct() // a value pair may agree on several chunks
       .filter(col("hamming") <= 3)
   }
 
@@ -269,22 +314,32 @@ object DedupQueries extends QueryModule {
 
   /** Near-dup pairs at hamming ≤ 3 over the 16-bit SimHash.
     *
-    * Spark side is BANDED: the simhash splits into 4 × 4-bit chunks and
-    * candidates come from an equi-join on (lang, band, chunk) — by
-    * pigeonhole, two hashes within hamming 3 agree on ≥1 of 4 chunks, so
-    * banding finds EVERY near pair while generating only bucket-sized
-    * candidate sets (linear-ish at 100 TB, vs the all-pairs-per-lang join
-    * that is O(n²/|langs|)). The DuckDB oracle brute-forces ALL pairs:
-    * equality of the two proves the pigeonhole blocking lossless. */
+    * Spark side runs on the DISTINCT-VALUE histogram: docs collapse to
+    * (lang, simhash, count) — at most 65,536 rows per lang forever — and
+    * the 4×4-bit pigeonhole banding joins VALUES, not docs. Doc-level pair
+    * statistics recover exactly by multiplicity arithmetic: a value with c
+    * docs contributes C(c,2) hamming-0 pairs, a value pair (v,w) within
+    * hamming 3 contributes c_v·c_w pairs. Corpus size only affects the one
+    * linear scan that builds the histogram — a replica-heavy 10× corpus
+    * costs the same join as 1× (the round-6 fix for the 13.9× super-linear
+    * doc-level shape). The DuckDB oracle still brute-forces ALL doc pairs:
+    * agreement proves both the pigeonhole blocking and the multiplicity
+    * arithmetic lossless. */
   private val simhash = QueryDef(
     "q_simhash_hamming",
     (s, dir) => {
       val sims = simhashFrame(s, dir)
       Cached.withCached(sims) {
-        val near = bandedNearPairs(sims)
-          .groupBy("lang")
-          .agg(count(lit(1)).as("n_within_3"),
-            dround(avg("hamming"), 4).as("avg_hamming_near"),
+        val vals = simhashValues(sims)
+        val same = vals.filter(col("c") >= 2)
+          .select(col("lang"), lit(0).as("hamming"),
+            expr("(c * (c - 1)) div 2").as("cnt"))
+        val cross = valueNearPairs(vals)
+          .select(col("lang"), col("hamming"), (col("ca") * col("cb")).as("cnt"))
+        val near = same.unionByName(cross).groupBy("lang")
+          .agg(sum("cnt").cast("long").as("n_within_3"),
+            dround(sum(col("hamming") * col("cnt")).cast("double") / sum("cnt"), 4)
+              .as("avg_hamming_near"),
             min("hamming").as("min_hamming_near"))
         sims.groupBy("lang").agg(count(lit(1)).as("n_docs"))
           .join(near, Seq("lang"), "left")
@@ -328,16 +383,24 @@ object DedupQueries extends QueryModule {
     (s, dir) => {
       val sims = simhashFrame(s, dir)
       Cached.withCached(sims) {
+        // Components over the VALUE graph (node = distinct (lang, simhash),
+        // node id = min doc_id carrying it, weight = doc count): docs with
+        // equal simhash are hamming-0-connected, so they are by definition
+        // in their value's component — propagating labels over ≤65,536
+        // value nodes per lang instead of every doc keeps the iterative
+        // step corpus-scale-free; doc-level stats recover by weight.
+        val vals = simhashValues(sims)
         val comp = graft.operators.ConnectedComponents.run(
-          sims.select(col("doc_id").as("id")),
-          bandedNearPairs(sims).select(col("id_a").as("src"), col("id_b").as("dst")))
-        val sized = comp.groupBy("comp").agg(count(lit(1)).as("sz"))
-        sims.join(comp, sims("doc_id") === comp("id"))
-          .join(sized, "comp")
+          vals.select(col("vid").as("id")),
+          valueNearPairs(vals).select(col("vid_a").as("src"), col("vid_b").as("dst")))
+        val labeled = vals.join(comp, vals("vid") === comp("id"))
+        val sized = labeled.groupBy("comp").agg(sum("c").cast("long").as("sz"))
+        labeled.join(sized, "comp")
           .groupBy("lang")
-          .agg(count(lit(1)).as("n_docs"),
+          .agg(sum("c").cast("long").as("n_docs"),
             countDistinct("comp").as("n_clusters"),
-            sum(when(col("sz") >= 2, 1).otherwise(0)).as("n_dup_docs"),
+            sum(when(col("sz") >= 2, col("c")).otherwise(lit(0L))).cast("long")
+              .as("n_dup_docs"),
             max("sz").as("max_cluster_size"))
           .orderBy("lang")
       }
@@ -482,7 +545,7 @@ $rounds,
 
   // -- benchmark-contamination detection: flag training docs that overlap
   //    an evaluation set (docs 0-24 stand in for the benchmark) by ≥5
-  //    shared 2-token shingles. The benchmark shingle set is tiny by
+  //    shared ShingleW-token shingles. The benchmark shingle set is tiny by
   //    nature → broadcast; the corpus side is one scan + explode with
   //    map-side-combined per-doc match counts — the shape that lets a
   //    100 TB corpus be swept against any eval suite without a shuffle of
@@ -508,9 +571,7 @@ $rounds,
         .orderBy("lang")
     },
     Some(s"""
-      WITH d AS (SELECT doc_id, lang,
-                   list_distinct(list_transform(generate_series(1, len(toks) - 1),
-                     i -> array_to_string(toks[i:i+1], ' '))) AS shingles
+      WITH d AS (SELECT doc_id, lang, $oracleShingles AS shingles
                  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
                        FROM documents)),
         bench AS (SELECT DISTINCT unnest(shingles) AS sh FROM d WHERE doc_id < 25),

@@ -133,7 +133,8 @@ object Registry {
     SketchQueries,
     CurationQueries,
     TemporalQueries,
-    GraphQueries)
+    GraphQueries,
+    RetrievalQueries)
 
   lazy val all: Seq[QueryDef] = {
     val qs = modules.flatMap(_.queries)

@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import Det.{dround, oround}
+
+/** Retrieval + corpus-governance operators for the training-data pipeline:
+  * BM25 ranked retrieval over an inverted-index shape, a referential-
+  * integrity audit (expectations-style data-quality gate), and a
+  * SemDeDup-style semantic dedup pass over the embedding table.
+  *
+  * Reference anchor: the scoring engine retrieves evidence chunks by
+  * keyword relevance before scoring (pe-org-air-platform/app/scoring_engine/
+  * evidence_mapper.py keyword routing); BM25 is the standard public ranking
+  * function for that retrieval step, expressed here as pure relational
+  * algebra so Catalyst keeps every stage pushed-down and partial-aggregated.
+  */
+object RetrievalQueries extends QueryModule {
+
+  // ---------------------------------------------------------------------
+  // BM25 top-k retrieval.
+  //
+  // Shape: tokenize → per-(doc,term) tf + per-doc length (one explode +
+  // two partial aggs) → per-term document frequency (the "inverted index"
+  // posting stats) → equi-join the TINY query-term table (broadcast) on
+  // term → per-(query,doc) score → per-query top-k window.
+  //
+  // Scale: the corpus-side work is one linear explode and hash aggs keyed
+  // by (doc_id, term) / term — full map-side combine, no pairwise blowup.
+  // The query set broadcasts; the only shuffle of scored rows is keyed by
+  // (query_id, doc_id) into a WindowGroupLimit top-k, so the reducer sees
+  // candidate postings only, never the corpus. At 100 TB the posting
+  // stats (term → df) are a write-once side table; the per-term idf join
+  // stays an equi-join on the posting key.
+  //
+  // Determinism: the BM25 score is a SUM of per-term float contributions
+  // and float addition is not associative, so each contribution is
+  // quantized to an exact 1e-6 integer grid (floor) and summed as BIGINT —
+  // order-independent and bit-identical across engines and partitionings.
+  private val K1 = 1.2
+  private val B = 0.75
+  private val TopK = 10
+
+  private val bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "spark", 1 -> "join",
+    2 -> "stream", 2 -> "window", 2 -> "batch",
+    3 -> "filter", 3 -> "scan")
+
+  private val bm25 = QueryDef(
+    "q_bm25_topk",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("dl", size(col("toks")))
+      val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val qs = bm25Queries.toDF("query_id", "term")
+      val qterms = qs.select("term").distinct()
+      val scored = tf
+        .join(broadcast(qs), "term")
+        .join(broadcast(df_.join(broadcast(qterms), "term")), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("contrib", col("idf") * (col("tf") * lit(K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+        .withColumn("contrib_u", floor(col("contrib") * lit(1e6)).cast("long"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum("contrib_u").as("score_u"), count(lit(1)).as("n_terms_hit"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score_u").desc, col("doc_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms_hit"),
+          (col("score_u").cast("double") / lit(1e6)).as("bm25"))
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      val qvals = bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+               GROUP BY 1, 2),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        qs AS (SELECT * FROM (VALUES $qvals) AS t(query_id, term)),
+        scored AS (
+          SELECT qs.query_id, tf.doc_id,
+            CAST(sum(CAST(floor(
+              ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ${K1 + 1.0})
+              / (tf.tf + $K1 * (${1.0 - B} + $B * dl.dl / st.avgdl))
+              * 1e6) AS BIGINT)) AS BIGINT) AS score_u,
+            count(*) AS n_terms_hit
+          FROM tf
+          JOIN qs ON tf.term = qs.term
+          JOIN df ON tf.term = df.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN st
+          GROUP BY 1, 2),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_u DESC, doc_id ASC) AS rank
+               FROM scored)
+      SELECT query_id, rank, doc_id, n_terms_hit,
+             CAST(score_u AS DOUBLE) / 1e6 AS bm25
+      FROM rk WHERE rank <= $TopK ORDER BY query_id, rank"""
+    })
+
+  // ---------------------------------------------------------------------
+  // Referential-integrity audit (expectations-style data-quality gate):
+  // for every foreign-key edge of the star schema, report child rows,
+  // distinct child keys, and orphan keys (keys with no parent).
+  //
+  // Scale: orphan detection anti-joins the DISTINCT child keys (already
+  // reduced by a map-side-combinable agg) against the parent key set —
+  // never the raw fact rows — and AQE broadcasts the parent side for the
+  // dimension edges. Exact distinct on the key column is the audit's
+  // point (an approx count can't certify zero orphans); the distinct agg
+  // is keyed by the FK itself so it partial-aggregates before the shuffle.
+  private case class FkEdge(rel: String, child: String, key: String,
+      parent: String, pkey: String)
+
+  private val fkEdges = Seq(
+    FkEdge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    FkEdge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    FkEdge("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    FkEdge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    FkEdge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    FkEdge("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    FkEdge("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
+
+  private val fkIntegrity = QueryDef(
+    "q_fk_integrity",
+    (s, dir) => {
+      val frames = fkEdges.map { e =>
+        val child = Tables.load(s, dir, e.child)
+        val parent = Tables.load(s, dir, e.parent).select(col(e.pkey))
+        val keys = child.groupBy(col(e.key)).agg(count(lit(1)).as("n_rows"))
+        val orphans = keys.join(parent, keys(e.key) === parent(e.pkey), "left_anti")
+        val tot = keys.agg(sum("n_rows").cast("long").as("child_rows"),
+          count(lit(1)).as("distinct_keys"))
+        val orph = orphans.agg(coalesce(count(lit(1)), lit(0L)).as("orphan_keys"),
+          coalesce(sum("n_rows"), lit(0L)).cast("long").as("orphan_rows"))
+        tot.crossJoin(orph).select(lit(e.rel).as("rel"), col("child_rows"),
+          col("distinct_keys"), col("orphan_keys"), col("orphan_rows"))
+      }
+      frames.reduce(_ unionByName _).orderBy("rel")
+    },
+    Some {
+      val selects = fkEdges.map { e =>
+        s"""SELECT '${e.rel}' AS rel,
+             CAST((SELECT count(*) FROM ${e.child}) AS BIGINT) AS child_rows,
+             CAST((SELECT count(DISTINCT ${e.key}) FROM ${e.child}) AS BIGINT)
+               AS distinct_keys,
+             CAST((SELECT count(*) FROM
+                (SELECT DISTINCT ${e.key} FROM ${e.child}) c
+                WHERE NOT EXISTS (SELECT 1 FROM ${e.parent} p
+                                  WHERE p.${e.pkey} = c.${e.key})) AS BIGINT)
+               AS orphan_keys,
+             CAST((SELECT count(*) FROM ${e.child} c
+                WHERE NOT EXISTS (SELECT 1 FROM ${e.parent} p
+                                  WHERE p.${e.pkey} = c.${e.key})) AS BIGINT)
+               AS orphan_rows"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"$selects\n      ORDER BY rel"
+    })
+
+  // ---------------------------------------------------------------------
+  // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+  // cluster the embedding space, then WITHIN each cluster drop members
+  // whose cosine to the cluster representative exceeds a threshold —
+  // semantic near-duplicates collapse to one exemplar without any
+  // pairwise O(n²) comparison.
+  //
+  // Deterministic transcription for the oracle: centroids are the first K
+  // corpus vectors (same seeding as q_kmeans_refine/q_ann_ivf), the
+  // representative is the min-vec_id member of each cluster, and every
+  // cosine runs as the same index-ordered dot product in both engines.
+  //
+  // Scale: one broadcast-assign pass over the corpus (centroids are K
+  // rows), reps are K rows re-joined by broadcast, so the corpus is
+  // scanned twice and shuffled once (the per-cluster counts) — linear in
+  // corpus size, which is the entire point vs pairwise semantic dedup.
+  // On real (clustered) embeddings the threshold tightens toward ~0.9;
+  // the synthetic corpus is isotropic noise, so THRESH sits low enough to
+  // exercise both branches of the keep rule.
+  private val K = 8
+  private val Thresh = 0.10
+
+  private val semDedup = QueryDef(
+    "q_semdedup",
+    (s, dir) => {
+      import graft.functions.VectorFunctions.{cosine, vecNorm}
+      val e = Tables.embeddings(s, dir)
+        .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("nrm", vecNorm(col("vecd")))
+        .select(col("vec_id"), col("vecd"), col("nrm"))
+      val cents = e.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cent_id"), col("vecd").as("cv"), col("nrm").as("cn"))
+      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("sim", cosine(col("vecd"), col("cv"), col("nrm"), col("cn")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cent_id").as("cell"), col("vecd"), col("nrm"))
+      val reps = assigned.groupBy("cell").agg(min("vec_id").as("rep_id"))
+        .join(e.select(col("vec_id").as("rep_id"), col("vecd").as("rv"),
+          col("nrm").as("rn2")), "rep_id")
+      val judged = assigned.join(broadcast(reps), "cell")
+        .withColumn("cos_rep", cosine(col("vecd"), col("rv"), col("nrm"), col("rn2")))
+        .withColumn("kept", (col("vec_id") === col("rep_id")) ||
+          (col("cos_rep") <= lit(Thresh)))
+      judged.groupBy("cell")
+        .agg(min("rep_id").cast("long").as("rep_id"),
+          count(lit(1)).as("n_members"),
+          sum(when(col("kept"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).cast("long").as("n_dropped"),
+          dround(avg("cos_rep"), 4).as("mean_cos_rep"))
+        .orderBy("cell")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd,
+                   sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                 FROM embeddings),
+        c AS (SELECT vec_id AS cent_id, vecd AS cv, nrm AS cn FROM e
+              WHERE vec_id < $K),
+        a AS (SELECT vec_id, cent_id AS cell, vecd, nrm
+              FROM (SELECT e.vec_id, c.cent_id, e.vecd, e.nrm,
+                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                        list_sum(list_transform(list_zip(e.vecd, c.cv),
+                          x -> x[1] * x[2])) / (e.nrm * c.cn) DESC,
+                        c.cent_id ASC) AS rn
+                    FROM e CROSS JOIN c)
+              WHERE rn = 1),
+        reps AS (SELECT cell, min(vec_id) AS rep_id FROM a GROUP BY cell),
+        rv AS (SELECT reps.cell, reps.rep_id, e.vecd AS rv, e.nrm AS rn2
+               FROM reps JOIN e ON e.vec_id = reps.rep_id),
+        judged AS (SELECT a.cell, a.vec_id, rv.rep_id,
+                     list_sum(list_transform(list_zip(a.vecd, rv.rv),
+                       x -> x[1] * x[2])) / (a.nrm * rv.rn2) AS cos_rep,
+                     (a.vec_id = rv.rep_id OR
+                      list_sum(list_transform(list_zip(a.vecd, rv.rv),
+                        x -> x[1] * x[2])) / (a.nrm * rv.rn2) <= $Thresh) AS kept
+                   FROM a JOIN rv ON a.cell = rv.cell)
+      SELECT cell, CAST(min(rep_id) AS BIGINT) AS rep_id,
+             count(*) AS n_members,
+             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             ${oround("avg(cos_rep)", 4)} AS mean_cos_rep
+      FROM judged GROUP BY cell ORDER BY cell"""))
+
+  def queries: Seq[QueryDef] = Seq(bm25, fkIntegrity, semDedup)
+}

@@ -134,7 +134,8 @@ object Registry {
     CurationQueries,
     TemporalQueries,
     GraphQueries,
-    RetrievalQueries)
+    RetrievalQueries,
+    SelectionQueries)
 
   lazy val all: Seq[QueryDef] = {
     val qs = modules.flatMap(_.queries)

@@ -1,0 +1,380 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Training-data SELECTION operators — the "which documents go into the
+  * corpus" layer of an LLM data pipeline, complementing the dedup/quality
+  * modules:
+  *
+  *   - DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169):
+  *     rank raw documents by how target-like their n-gram distribution is.
+  *   - Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009):
+  *     fuse a lexical BM25 ranking with a dense embedding-cosine ranking.
+  *   - The BPE merge step (Sennrich et al. 2016): the adjacent-pair
+  *     frequency count at the heart of tokenizer training.
+  *   - Perplexity-bucketed stratification (CCNet-style, Wenzek et al. 2020):
+  *     bucket documents by unigram cross-entropy for quality-stratified
+  *     sampling.
+  *
+  * Reference anchor: the scoring engine selects and routes evidence by
+  * keyword relevance and quality (pe-org-air-platform/app/scoring_engine/
+  * evidence_mapper.py); these are the corpus-scale generalizations of that
+  * selection step, expressed as pure relational algebra.
+  *
+  * Determinism doctrine (shared with RetrievalQueries.q_bm25_topk): every
+  * per-term float (log-probability, log-ratio, BM25 contribution) is
+  * quantized ONCE to a 1e-6 integer grid, and all downstream accumulation
+  * is BIGINT arithmetic — order-independent, bit-identical across engines
+  * and partitionings. RRF needs no floats at all: floor(1e6/(k+rank)) is
+  * exact integer arithmetic end to end.
+  */
+object SelectionQueries extends QueryModule {
+
+  // ---------------------------------------------------------------------
+  // DSIR importance weighting: w(doc) = Σ_tokens log p_target(t)/p_raw(t),
+  // target = the English slice, raw = the full corpus, add-1 smoothing over
+  // the raw vocabulary.
+  //
+  // Scale: both LMs are vocabulary-sized aggregates (map-side combined
+  // before their shuffle); the per-term log-ratio is quantized once on the
+  // vocabulary table, and the per-doc weight is Σ tf·w_u over the (doc,
+  // term) tf table — one explode, two hash aggs, one equi-join on term
+  // that AQE broadcasts while the vocab is small and shuffles when it
+  // isn't (no forced broadcast: vocabulary grows with the corpus — the
+  // round-5 q_unigram_logprob lesson). Top-N selection is a
+  // TakeOrderedAndProject, never a full sort.
+  private val DsirTopN = 20
+
+  private val dsir = QueryDef(
+    "q_dsir_importance",
+    (s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+      val raw = tf.groupBy("term").agg(sum("tf").as("cnt_r"))
+      val tgt = tf.filter(col("lang") === "en")
+        .groupBy("term").agg(sum("tf").as("cnt_t"))
+      val totals = raw.agg(sum("cnt_r").cast("double").as("tot_r"),
+        count(lit(1)).cast("double").as("vocab"))
+        .crossJoin(tf.filter(col("lang") === "en")
+          .agg(sum("tf").cast("double").as("tot_t")))
+      // Per-TERM quantized log-ratio: ln evaluated once per vocab entry,
+      // then frozen to the 1e-6 grid before any per-doc accumulation.
+      val w = raw.join(tgt, Seq("term"), "left")
+        .crossJoin(broadcast(totals))
+        .withColumn("lr",
+          log((coalesce(col("cnt_t"), lit(0L)) + lit(1.0)) / (col("tot_t") + col("vocab"))) -
+          log((col("cnt_r") + lit(1.0)) / (col("tot_r") + col("vocab"))))
+        .select(col("term"), floor(col("lr") * lit(1e6)).cast("long").as("w_u"))
+      val scored = tf.join(w, "term")
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("tf") * col("w_u")).cast("long").as("wt_u"),
+          sum("tf").cast("long").as("n_toks"))
+      // Top-N first (TakeOrderedAndProject — per-partition heaps, never a
+      // global sort), THEN rank the ≤N survivors under the declared
+      // bounded single-partition window (see WindowAuditSpec).
+      val top = scored.orderBy(col("wt_u").desc, col("doc_id").asc).limit(DsirTopN)
+      val rk = Window.partitionBy(pmod(col("doc_id"), lit(1)))
+        .orderBy(col("wt_u").desc, col("doc_id").asc)
+      top.withColumn("rank", row_number().over(rk))
+        .select(col("rank"), col("doc_id"), col("lang"), col("n_toks"),
+          (col("wt_u").cast("double") / lit(1e6)).as("dsir_weight"))
+        .orderBy("rank")
+    },
+    Some(s"""
+      WITH tf AS (SELECT doc_id, lang, term, count(*) AS tf
+                  FROM (SELECT doc_id, lang,
+                          unnest(string_split(text, ' ')) AS term
+                        FROM documents)
+                  GROUP BY 1, 2, 3),
+        raw AS (SELECT term, sum(tf) AS cnt_r FROM tf GROUP BY term),
+        tgt AS (SELECT term, sum(tf) AS cnt_t FROM tf WHERE lang = 'en'
+                GROUP BY term),
+        tot AS (SELECT (SELECT CAST(sum(cnt_r) AS DOUBLE) FROM raw) AS tot_r,
+                       (SELECT CAST(count(*) AS DOUBLE) FROM raw) AS vocab,
+                       (SELECT CAST(sum(tf) AS DOUBLE) FROM tf
+                        WHERE lang = 'en') AS tot_t),
+        w AS (SELECT raw.term,
+                CAST(floor((ln((coalesce(tgt.cnt_t, 0) + 1.0) / (tot.tot_t + tot.vocab))
+                          - ln((raw.cnt_r + 1.0) / (tot.tot_r + tot.vocab))) * 1e6)
+                  AS BIGINT) AS w_u
+              FROM raw LEFT JOIN tgt ON raw.term = tgt.term CROSS JOIN tot),
+        scored AS (SELECT tf.doc_id, tf.lang,
+                     CAST(sum(tf.tf * w.w_u) AS BIGINT) AS wt_u,
+                     CAST(sum(tf.tf) AS BIGINT) AS n_toks
+                   FROM tf JOIN w ON tf.term = w.term
+                   GROUP BY 1, 2),
+        rk AS (SELECT *, row_number() OVER (ORDER BY wt_u DESC, doc_id ASC)
+                 AS rank FROM scored)
+      SELECT rank, doc_id, lang, n_toks,
+             CAST(wt_u AS DOUBLE) / 1e6 AS dsir_weight
+      FROM rk WHERE rank <= $DsirTopN ORDER BY rank"""))
+
+  // ---------------------------------------------------------------------
+  // Hybrid retrieval with reciprocal-rank fusion: for each query, rank the
+  // corpus lexically (BM25 over the query's terms) and densely (cosine of
+  // the document embedding to the query vector), then fuse with
+  // RRF(d) = Σ_retrievers 1/(k + rank_r(d)), k = 60.
+  //
+  // Scale: the lexical side is the BM25 shape (posting-stats aggregates +
+  // broadcast query terms — candidates only, never the corpus, reach the
+  // scoring reducer). The dense side here is the exact brute-force scan
+  // (correctness baseline); at 100 TB you swap in the IVF/LSH candidate
+  // generation (q_ann_ivf / q_ann_lsh_bucketed) and the fusion is
+  // unchanged — RRF only consumes (query, doc, rank) tuples. Fusion
+  // itself is integer arithmetic on two rank columns: floor(1e6/(60+r))
+  // summed as BIGINT, no floats anywhere.
+  private val RrfK = 60
+  private val RrfTopK = 10
+  private val hybridQueries: Seq[(Int, String)] = Seq(
+    1 -> "spark", 1 -> "shuffle",
+    2 -> "window", 2 -> "stream",
+    3 -> "hash", 3 -> "join")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  private val hybrid = QueryDef(
+    "q_hybrid_rrf",
+    (s, dir) => {
+      import graft.functions.VectorFunctions.{cosine, vecNorm}
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("dl", size(col("toks")))
+      val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val qs = hybridQueries.toDF("query_id", "term")
+      val lex = tf
+        .join(broadcast(qs), "term")
+        .join(broadcast(dfreq.join(broadcast(qs.select("term").distinct()), "term")), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib", log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+        .withColumn("contrib_u", floor(col("contrib") * lit(1e6)).cast("long"))
+        .groupBy("query_id", "doc_id").agg(sum("contrib_u").as("bm25_u"))
+        .withColumn("lex_rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("bm25_u").desc, col("doc_id").asc)))
+        .select(col("query_id"), col("doc_id"), col("lex_rank"))
+      val e = Tables.embeddings(s, dir)
+        .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("nrm", vecNorm(col("vecd")))
+      val qv = e.filter(col("vec_id").isin(hybridQueries.map(_._1).distinct: _*))
+        .select(col("vec_id").as("query_id"), col("vecd").as("qv"), col("nrm").as("qn"))
+      val dense = e.select(col("vec_id").as("doc_id"), col("vecd"), col("nrm"))
+        .crossJoin(broadcast(qv))
+        .withColumn("cos", cosine(col("vecd"), col("qv"), col("nrm"), col("qn")))
+        .withColumn("dense_rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("doc_id").asc)))
+        .select(col("query_id"), col("doc_id"), col("dense_rank"))
+      val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf_u",
+          coalesce(floor(lit(1e6) / (lit(RrfK) + col("lex_rank"))).cast("long"), lit(0L)) +
+          coalesce(floor(lit(1e6) / (lit(RrfK) + col("dense_rank"))).cast("long"), lit(0L)))
+      fused.withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("rrf_u").desc, col("doc_id").asc)))
+        .filter(col("rank") <= RrfTopK)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("lex_rank"), col("dense_rank"),
+          (col("rrf_u").cast("double") / lit(1e6)).as("rrf"))
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      val qvals = hybridQueries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      val qids = hybridQueries.map(_._1).distinct.mkString(", ")
+      s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY 1, 2),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        qs AS (SELECT * FROM (VALUES $qvals) AS t(query_id, term)),
+        lexs AS (SELECT qs.query_id, tf.doc_id,
+                   CAST(sum(CAST(floor(
+                     ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                     * (tf.tf * ${K1 + 1.0})
+                     / (tf.tf + $K1 * (${1.0 - B} + $B * dl.dl / st.avgdl))
+                     * 1e6) AS BIGINT)) AS BIGINT) AS bm25_u
+                 FROM tf JOIN qs ON tf.term = qs.term
+                 JOIN dfq ON tf.term = dfq.term
+                 JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+                 GROUP BY 1, 2),
+        lex AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY bm25_u DESC, doc_id ASC) AS lex_rank
+                FROM lexs),
+        e AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd,
+                sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              FROM embeddings),
+        qv AS (SELECT vec_id AS query_id, vecd AS qv, nrm AS qn FROM e
+               WHERE vec_id IN ($qids)),
+        dense AS (SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, doc_id ASC) AS dense_rank
+                  FROM (SELECT qv.query_id, e.vec_id AS doc_id,
+                          list_sum(list_transform(list_zip(e.vecd, qv.qv),
+                            x -> x[1] * x[2])) / (e.nrm * qv.qn) AS cos
+                        FROM e CROSS JOIN qv)),
+        fused AS (SELECT coalesce(lex.query_id, dense.query_id) AS query_id,
+                    coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+                    lex.lex_rank, dense.dense_rank,
+                    coalesce(CAST(floor(1e6 / ($RrfK + lex.lex_rank)) AS BIGINT), 0)
+                    + coalesce(CAST(floor(1e6 / ($RrfK + dense.dense_rank)) AS BIGINT), 0)
+                      AS rrf_u
+                  FROM lex FULL OUTER JOIN dense
+                    ON lex.query_id = dense.query_id AND lex.doc_id = dense.doc_id),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_u DESC, doc_id ASC) AS rank FROM fused)
+      SELECT query_id, rank, doc_id, lex_rank, dense_rank,
+             CAST(rrf_u AS DOUBLE) / 1e6 AS rrf
+      FROM rk WHERE rank <= $RrfTopK ORDER BY query_id, rank"""
+    })
+
+  // ---------------------------------------------------------------------
+  // BPE merge step: the adjacent-pair frequency count that tokenizer
+  // training iterates (count all adjacent symbol pairs, merge the most
+  // frequent, repeat). One iteration, word-level symbols, global top-20.
+  //
+  // Scale: pair generation is a linear per-doc transform (array HOF, no
+  // join); the count is a hash agg keyed by the pair string with full
+  // map-side combine, and the top-20 is TakeOrderedAndProject — the
+  // classic word-count shape, embarrassingly parallel at any corpus size.
+  private val BpeTopK = 20
+
+  private val bpeMerge = QueryDef(
+    "q_bpe_merge_step",
+    (s, dir) => {
+      val pairs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i + 1]))"
+        )).as("pair"))
+      val counted = pairs.groupBy("pair")
+        .agg(count(lit(1)).as("pair_count"))
+      // TakeOrdered top-K, then rank the ≤K survivors (bounded window,
+      // declared in WindowAuditSpec) — the pair vocabulary scales with
+      // the corpus, so a global rank over it would be a one-task funnel.
+      val top = counted.orderBy(col("pair_count").desc, col("pair").asc).limit(BpeTopK)
+      top.withColumn("rank", row_number().over(
+          Window.partitionBy(pmod(length(col("pair")), lit(1)))
+            .orderBy(col("pair_count").desc, col("pair").asc)))
+        .select(col("rank"), col("pair"), col("pair_count"))
+        .orderBy("rank")
+    },
+    Some(s"""
+      WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents
+                 WHERE len(string_split(text, ' ')) >= 2),
+        p AS (SELECT unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS pair FROM d),
+        c AS (SELECT pair, count(*) AS pair_count FROM p GROUP BY pair),
+        rk AS (SELECT *, row_number() OVER (ORDER BY pair_count DESC, pair ASC)
+                 AS rank FROM c)
+      SELECT rank, pair, pair_count FROM rk
+      WHERE rank <= $BpeTopK ORDER BY rank"""))
+
+  // ---------------------------------------------------------------------
+  // Perplexity-bucketed stratification: score every document by unigram
+  // cross-entropy under the corpus LM (add-1 smoothed), split into
+  // quartile strata at the exact 25/50/75 cross-entropy cut points, and
+  // report per-bucket population stats — the CCNet recipe for
+  // head/middle/tail quality strata.
+  //
+  // Scale: the LM is a vocabulary-sized agg; per-doc NLL is Σ tf·nll_u
+  // over the (doc, term) table (BIGINT accumulation of per-term quantized
+  // values — same doctrine as DSIR), and the per-doc mean is frozen to
+  // the integer grid `nll_sum_u div n_toks`, so the quartile cuts come
+  // from HistQuantiles' bucketed two-pass exact quantile — shuffle
+  // traffic is DISTINCT grid values, never documents, and no window ever
+  // sees a corpus-sized frame (vs ntile(4), which is a one-task global
+  // sort of every document). Bucket assignment is then three broadcast
+  // scalar comparisons.
+  private val ppxBuckets = QueryDef(
+    "q_perplexity_buckets",
+    (s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val lm = tf.groupBy("term").agg(sum("tf").as("cnt"))
+      val tot = lm.agg(sum("cnt").cast("double").as("n_tokens"),
+        count(lit(1)).cast("double").as("vocab"))
+      val nll = lm.crossJoin(broadcast(tot))
+        .select(col("term"), floor(
+          -log((col("cnt") + lit(1.0)) / (col("n_tokens") + col("vocab"))) * lit(1e6)
+        ).cast("long").as("nll_u"))
+      val perDoc = tf.join(nll, "term")
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * col("nll_u")).cast("long").as("nll_sum_u"),
+          sum("tf").cast("long").as("n_toks"))
+        .withColumn("avg_nll_u", expr("nll_sum_u div n_toks"))
+      val cuts = graft.operators.HistQuantiles
+        .quantiles(perDoc, col("avg_nll_u"), Seq(0.25, 0.5, 0.75))
+        .agg(max(when(col("q") === 0.25, col("value"))).as("q25"),
+          max(when(col("q") === 0.5, col("value"))).as("q50"),
+          max(when(col("q") === 0.75, col("value"))).as("q75"))
+      perDoc.crossJoin(broadcast(cuts))
+        .withColumn("bucket", lit(1)
+          + when(col("avg_nll_u") > col("q25"), 1).otherwise(0)
+          + when(col("avg_nll_u") > col("q50"), 1).otherwise(0)
+          + when(col("avg_nll_u") > col("q75"), 1).otherwise(0))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nll_sum_u").cast("long").as("nll_sum_u"),
+          sum("n_toks").cast("long").as("n_toks"),
+          min("avg_nll_u").cast("long").as("min_nll_u"),
+          max("avg_nll_u").cast("long").as("max_nll_u"))
+        .withColumn("mean_nll",
+          col("nll_sum_u").cast("double") / (col("n_toks") * lit(1e6)).cast("double"))
+        .select(col("bucket"), col("n_docs"), col("n_toks"),
+          col("mean_nll"),
+          (col("min_nll_u").cast("double") / lit(1e6)).as("min_nll"),
+          (col("max_nll_u").cast("double") / lit(1e6)).as("max_nll"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH tf AS (SELECT doc_id, term, count(*) AS tf
+                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                        FROM documents)
+                  GROUP BY 1, 2),
+        lm AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_tokens,
+                       CAST(count(*) AS DOUBLE) AS vocab FROM lm),
+        nll AS (SELECT term, CAST(floor(
+                  -ln((cnt + 1.0) / (tot.n_tokens + tot.vocab)) * 1e6) AS BIGINT)
+                  AS nll_u
+                FROM lm CROSS JOIN tot),
+        perdoc AS (SELECT tf.doc_id,
+                     CAST(sum(tf.tf * nll.nll_u) AS BIGINT) AS nll_sum_u,
+                     CAST(sum(tf.tf) AS BIGINT) AS n_toks,
+                     CAST(sum(tf.tf * nll.nll_u) AS BIGINT)
+                       // CAST(sum(tf.tf) AS BIGINT) AS avg_nll_u
+                   FROM tf JOIN nll ON tf.term = nll.term
+                   GROUP BY 1),
+        cuts AS (SELECT quantile_cont(avg_nll_u, 0.25) AS q25,
+                        quantile_cont(avg_nll_u, 0.50) AS q50,
+                        quantile_cont(avg_nll_u, 0.75) AS q75
+                 FROM perdoc),
+        bk AS (SELECT perdoc.*,
+                 1 + (CASE WHEN avg_nll_u > q25 THEN 1 ELSE 0 END)
+                   + (CASE WHEN avg_nll_u > q50 THEN 1 ELSE 0 END)
+                   + (CASE WHEN avg_nll_u > q75 THEN 1 ELSE 0 END) AS bucket
+               FROM perdoc CROSS JOIN cuts)
+      SELECT bucket, count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS n_toks,
+             CAST(sum(nll_sum_u) AS DOUBLE)
+               / CAST(sum(n_toks) * 1e6 AS DOUBLE) AS mean_nll,
+             CAST(min(avg_nll_u) AS DOUBLE) / 1e6 AS min_nll,
+             CAST(max(avg_nll_u) AS DOUBLE) / 1e6 AS max_nll
+      FROM bk GROUP BY bucket ORDER BY bucket"""))
+
+  def queries: Seq[QueryDef] = Seq(dsir, hybrid, bpeMerge, ppxBuckets)
+}

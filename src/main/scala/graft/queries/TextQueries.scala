@@ -175,35 +175,40 @@ object TextQueries extends QueryModule {
       val keyed = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           sha2(col("text"), 256).as("ckey"), col("text"))
-      // ONE scan+hash feeds both the doc side and the distinct side
-      Cached.withCached(keyed) {
-        val base = keyed.select("doc_id", "lang", "ckey")
-        val distinctTexts = keyed
-          .select("ckey", "text").dropDuplicates("ckey")
-          .withColumn("toks", split(col("text"), " "))
-          // size guard: sequence(0, -1) would be a DESCENDING array and
-          // slice(toks, 0, …) throws; <3-token docs must yield no shingles
-          // (the oracle's generate_series is empty there)
-          .withColumn("shingles", expr(
-            """CASE WHEN size(toks) >= 3
-                    THEN transform(sequence(0, size(toks) - 3),
-                                   i -> concat_ws(' ', slice(toks, i + 1, 3)))
-                    ELSE array() END"""))
-        val fpPerContent = distinctTexts
-          .select(col("ckey"),
-            size(array_distinct(col("shingles"))).cast("long").as("n_shingles"),
-            explode(col("shingles")).as("shingle"))
-          .withColumn("h", sha2(col("shingle"), 256))
-          .groupBy("ckey", "n_shingles")
-          .agg(min("h").as("fingerprint"))
-        base.join(fpPerContent, "ckey")
-          .groupBy("lang")
-          .agg(count(lit(1)).as("n_docs"),
-            countDistinct("fingerprint").as("n_distinct_fp"),
-            min("fingerprint").as("min_fp"),
-            dround(avg("n_shingles"), 4).as("avg_shingles"))
-          .orderBy("lang")
-      }
+      // No cache wrapper here, deliberately: the two consumers prune to
+      // disjoint column sets (the doc side never reads `text`), so the
+      // cost of persisting + materializing the whole frame exceeds the
+      // second pruned scan it saves (measured: wrapped 6.0 s vs direct
+      // 3.3 s warm at sf0.1; an explicit repartition before the explode
+      // was also tried and measured WORSE — the shingle phase is not
+      // partition-starved, the wrapper was the overhead).
+      val base = keyed.select("doc_id", "lang", "ckey")
+      val distinctTexts = keyed
+        .select("ckey", "text").dropDuplicates("ckey")
+        .withColumn("toks", split(col("text"), " "))
+        // size guard: sequence(0, -1) would be a DESCENDING array; <3-token
+        // docs must yield no shingles (the oracle's generate_series is
+        // empty there). Direct toks[i] indexing, not slice(): no per-
+        // shingle array allocation inside the interpreted lambda.
+        .withColumn("shingles", expr(
+          """CASE WHEN size(toks) >= 3
+                  THEN transform(sequence(0, size(toks) - 3),
+                                 i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))
+                  ELSE array() END"""))
+      val fpPerContent = distinctTexts
+        .select(col("ckey"),
+          size(array_distinct(col("shingles"))).cast("long").as("n_shingles"),
+          explode(col("shingles")).as("shingle"))
+        .withColumn("h", sha2(col("shingle"), 256))
+        .groupBy("ckey", "n_shingles")
+        .agg(min("h").as("fingerprint"))
+      base.join(fpPerContent, "ckey")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("fingerprint").as("n_distinct_fp"),
+          min("fingerprint").as("min_fp"),
+          dround(avg("n_shingles"), 4).as("avg_shingles"))
+        .orderBy("lang")
     },
     Some(s"""
       WITH base AS (SELECT doc_id, lang, sha256(text) AS ckey FROM documents),

@@ -54,4 +54,45 @@ object AsOfJoin {
       .select((lCols.map(col)
         ++ valueCols.map(c => col(s"_vs.$c").as(s"asof_$c"))): _*)
   }
+
+  /** As-of join with a STALENESS BOUND: like [[asOf]], but a match only
+    * qualifies when `leftTs - rightTs <= toleranceUs` — the "ignore
+    * quotes older than N" semantics of kdb's `wj`/pandas' `merge_asof
+    * (tolerance=...)`. This is the variant BASELINE.md names as the case
+    * a plain window cannot express *directly*; composed, it can: carry
+    * the matched right timestamp INSIDE the filled struct and null the
+    * whole match after the fill when it is too stale. Same single
+    * shuffle, same linear shape; also emits `asof_age_us` (null when no
+    * in-tolerance match) so callers can audit staleness.
+    */
+  def asOfTolerance(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      tiebreak: String, toleranceUs: Long): DataFrame = {
+    require(toleranceUs >= 0, s"negative tolerance: $toleranceUs")
+    val lCols = left.columns
+    val vStructType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_rts",
+        right.schema(rightTs).dataType) +: valueCols.map(c => right.schema(c)))
+    val rTagged = right.select(
+      (col(key) +: col(rightTs).as("_ts") +: lit(0).as("_side")
+        +: col(tiebreak).cast("long").as("_tie")
+        +: struct((col(rightTs).as("_rts") +: valueCols.map(col)): _*).as("_vs")
+        +: lCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val lTagged = left.select(
+      (col(key) +: col(leftTs).as("_ts") +: lit(1).as("_side")
+        +: lit(Long.MaxValue).as("_tie")
+        +: lit(null).cast(vStructType).as("_vs")
+        +: lCols.filterNot(_ == key).map(col)): _*)
+    val w = Window.partitionBy(key)
+      .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rTagged.unionByName(lTagged)
+      .withColumn("_vs", last(col("_vs"), ignoreNulls = true).over(w))
+    val fresh = col("_vs").isNotNull &&
+      (col("_ts") - col("_vs._rts")) <= lit(toleranceUs)
+    filled.filter(col("_side") === 1)
+      .select((lCols.map(col)
+        ++ valueCols.map(c => when(fresh, col(s"_vs.$c")).as(s"asof_$c"))
+        :+ when(fresh, col("_ts") - col("_vs._rts")).as("asof_age_us")): _*)
+  }
 }

@@ -974,6 +974,62 @@ object RelationalQueries extends QueryModule {
       FROM filled WHERE side = 1
       ORDER BY user_id, event_id"""))
 
+  // -- as-of join with a STALENESS BOUND (kdb wj / pandas merge_asof
+  //    tolerance semantics): the latest preceding click only counts when
+  //    it is at most 3 days old — the youngest preceding row is the only
+  //    candidate that can be fresh, so null-after-fill IS the tolerance
+  //    semantics, at the same single-shuffle linear shape as q_asof_join.
+  private val AsofTolUs = 3L * 24 * 3600 * 1000000
+  private val asofTolerance = QueryDef(
+    "q_asof_tolerance",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_us").as("click_ts"), col("value").as("click_value"))
+      graft.operators.AsOfJoin.asOfTolerance(purchases, clicks, "user_id",
+          "ts_us", "click_ts", Seq("click_id", "click_value"), "click_id",
+          AsofTolUs)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("asof_click_id"),
+          graft.queries.Det.dround(col("asof_click_value"), 2).as("asof_click_value"),
+          col("asof_age_us"))
+        .orderBy("user_id", "event_id")
+    },
+    Some(s"""
+      WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, 0 AS side,
+                   event_id AS tie, epoch_us(ts) AS v_ts, event_id AS v_id,
+                   value AS v_val, NULL::BIGINT AS l_event_id
+                 FROM events WHERE event_type = 'click'),
+        l AS (SELECT user_id, epoch_us(ts) AS ts_us, 1 AS side,
+                9223372036854775807 AS tie, NULL::BIGINT AS v_ts,
+                NULL::BIGINT AS v_id, NULL::DOUBLE AS v_val,
+                event_id AS l_event_id
+              FROM events WHERE event_type = 'purchase'),
+        u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+        filled AS (SELECT *,
+                 last_value(v_ts IGNORE NULLS) OVER w AS m_ts,
+                 last_value(v_id IGNORE NULLS) OVER w AS m_id,
+                 last_value(v_val IGNORE NULLS) OVER w AS m_val
+               FROM u
+               WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts_us ASC, side ASC, tie ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        gated AS (SELECT user_id, l_event_id AS event_id, ts_us,
+                    CASE WHEN m_ts IS NOT NULL AND ts_us - m_ts <= $AsofTolUs
+                         THEN m_id END AS asof_click_id,
+                    CASE WHEN m_ts IS NOT NULL AND ts_us - m_ts <= $AsofTolUs
+                         THEN m_val END AS asof_val,
+                    CASE WHEN m_ts IS NOT NULL AND ts_us - m_ts <= $AsofTolUs
+                         THEN ts_us - m_ts END AS asof_age_us
+                  FROM filled WHERE side = 1)
+      SELECT user_id, event_id, ts_us, asof_click_id,
+             ${Det.oround("asof_val", 2)} AS asof_click_value,
+             CAST(asof_age_us AS BIGINT) AS asof_age_us
+      FROM gated ORDER BY user_id, event_id"""))
+
   // -- incremental aggregate maintenance (materialized-view refresh): a
   //    per-user aggregate STATE table (n, sum, min, max — all mergeable)
   //    folded batch-by-batch via full-outer merge of partial aggregates,
@@ -1060,6 +1116,6 @@ object RelationalQueries extends QueryModule {
     pivotEventCounts, jsonMetaAvg, tumblingWindow, runningTotal,
     nationRevenueShare, orderGaps,
     unionEvidence, setOps, acctbalBands, rollupSuppliers, groupingSetsAgg,
-    shippingPriority, regionVolume, asofJoin, asofNative, rangeJoin,
+    shippingPriority, regionVolume, asofJoin, asofNative, asofTolerance, rangeJoin,
     incrementalAgg)
 }

@@ -42,4 +42,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() === left.count())
     assert(!out.select("k").as[String].collect().contains("c"))
   }
+
+  test("tolerance: stale latest match nulls out instead of falling back to an even older row") {
+    // lts=20 with tol=4: latest right is rts=15 (age 5, stale). The ts=10
+    // row is in no sense a better match — tolerance must null, not scan
+    // back. lts=20 with tol=5: rts=15 qualifies, age=5.
+    val strict = AsOfJoin.asOfTolerance(left, right, "k", "lts", "rts",
+      Seq("rid", "rv"), "rid", toleranceUs = 4L).orderBy("k", "lid").collect()
+    val loose = AsOfJoin.asOfTolerance(left, right, "k", "lts", "rts",
+      Seq("rid", "rv"), "rid", toleranceUs = 5L).orderBy("k", "lid").collect()
+    def rid(rows: Array[org.apache.spark.sql.Row], lid: Long): Option[Long] =
+      rows.find(_.getLong(2) == lid).flatMap(r =>
+        Option(r.getAs[java.lang.Long]("asof_rid")).map(_.toLong))
+    assert(rid(strict, 101L).isEmpty)          // age 5 > tol 4 → no match
+    assert(rid(loose, 101L).contains(3L))      // age 5 <= tol 5 → rts=15 row
+    assert(rid(strict, 100L).contains(2L))     // age 0 always fresh
+    val age = loose.find(_.getLong(2) == 101L).get.getAs[Long]("asof_age_us")
+    assert(age === 5L)
+    // zero-match rows still present with null age (left row count preserved)
+    assert(strict.length === left.count())
+  }
+
+  test("tolerance ≡ plain as-of followed by the staleness gate (differential)") {
+    val plain = AsOfJoin.asOf(left, right, "k", "lts", "rts", Seq("rid"), "rid")
+      .collect().map(r => (r.getString(0), r.getLong(2),
+        Option(r.getAs[java.lang.Long]("asof_rid")).map(_.toLong))).toSet
+    val tol = AsOfJoin.asOfTolerance(left, right, "k", "lts", "rts",
+      Seq("rid"), "rid", toleranceUs = Long.MaxValue)
+      .collect().map(r => (r.getString(0), r.getLong(2),
+        Option(r.getAs[java.lang.Long]("asof_rid")).map(_.toLong))).toSet
+    assert(plain == tol) // infinite tolerance degenerates to plain as-of
+  }
 }

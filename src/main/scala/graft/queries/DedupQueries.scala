@@ -856,8 +856,86 @@ $rounds,
              CAST(sum(CASE WHEN dup * 2 >= tot THEN 1 ELSE 0 END) AS BIGINT) AS n_mostly_dup
       FROM pd GROUP BY lang ORDER BY lang"""))
 
+  // -- entity resolution with a native Jaro-Winkler expression: dirty
+  //    aliases matched against the catalog's DISTINCT names under
+  //    first-letter + length-band blocking, accepted at similarity ≥
+  //    threshold, best candidate per alias. The scorer is the codegen'd
+  //    JaroWinkler Expression (org.apache.spark.sql.graft.JaroWinkler) —
+  //    a UDF here would box every candidate pair and break the codegen
+  //    span around the blocked join.
+  //
+  //    Scale: names collapse to DISTINCT values first (64 here; bounded
+  //    by catalog vocabulary, not row count); the alias side broadcasts;
+  //    blocking caps candidates per alias at (names sharing first letter
+  //    ∧ |len Δ| ≤ 2), so scoring work is |aliases| × bucket, never
+  //    |aliases| × |catalog|. Ranking is per-alias (partitioned window)
+  //    on the 1e-8 integer grid with a name tie-break.
+  private val JwThreshold = 0.85
+  private val erAliases = Seq(
+    "blu bolt", "hot gera", "large wiget", "new platee",
+    "cold anvill", "smal gizmo", "red widgit", "zzz qqq")
+
+  private val entityResolutionJw = QueryDef(
+    "q_entity_resolution_jw",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.TextSimilarity.jaroWinkler
+      val names = Tables.part(s, dir).select(col("p_name")).distinct()
+      val aliases = erAliases.toDF("alias")
+      val blocked = aliases.join(broadcast(names),
+        substring(col("alias"), 1, 1) === substring(col("p_name"), 1, 1) &&
+          abs(length(col("alias")) - length(col("p_name"))) <= 2,
+        "left")
+      val scored = blocked
+        .withColumn("jw_u",
+          floor(jaroWinkler(col("alias"), col("p_name")) * lit(1e8)).cast("long"))
+        .withColumn("cand", when(col("p_name").isNotNull, 1L).otherwise(0L))
+        .withColumn("hit", when(col("jw_u") >= (JwThreshold * 1e8).toLong, 1L)
+          .otherwise(0L))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("alias")
+        .orderBy(col("hit").desc, col("jw_u").desc, col("p_name").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .groupBy("alias")
+        .agg(
+          max(when(col("rn") === 1 && col("hit") === 1, col("p_name")))
+            .as("matched_name"),
+          max(when(col("rn") === 1 && col("hit") === 1,
+            col("jw_u").cast("double") / lit(1e8))).as("jw"),
+          sum("cand").cast("long").as("n_candidates"),
+          sum("hit").cast("long").as("n_accepted"))
+        .orderBy("alias")
+    },
+    Some {
+      val vals = erAliases.map(a => s"('$a')").mkString(", ")
+      s"""
+      WITH names AS (SELECT DISTINCT p_name FROM part),
+        al AS (SELECT * FROM (VALUES $vals) AS t(alias)),
+        blocked AS (
+          SELECT al.alias, names.p_name,
+                 CAST(floor(jaro_winkler_similarity(al.alias, names.p_name)
+                   * 1e8) AS BIGINT) AS jw_u
+          FROM al LEFT JOIN names
+            ON substr(al.alias, 1, 1) = substr(names.p_name, 1, 1)
+           AND abs(length(al.alias) - length(names.p_name)) <= 2),
+        flags AS (SELECT *,
+                    CASE WHEN p_name IS NOT NULL THEN 1 ELSE 0 END AS cand,
+                    CASE WHEN jw_u >= ${(JwThreshold * 1e8).toLong} THEN 1
+                         ELSE 0 END AS hit
+                  FROM blocked),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY alias
+                 ORDER BY hit DESC, jw_u DESC, p_name ASC) AS rn
+               FROM flags)
+      SELECT alias,
+             max(CASE WHEN rn = 1 AND hit = 1 THEN p_name END) AS matched_name,
+             max(CASE WHEN rn = 1 AND hit = 1
+                 THEN CAST(jw_u AS DOUBLE) / 1e8 END) AS jw,
+             CAST(sum(cand) AS BIGINT) AS n_candidates,
+             CAST(sum(hit) AS BIGINT) AS n_accepted
+      FROM rk GROUP BY alias ORDER BY alias"""
+    })
+
   override def queries: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, minhashBandedR2, simhash, neardupClusters,
     ngramJaccard, embeddingNearDup, contamination, passageDedup,
-    fuzzyNeardupJoin, bloomDedupGate, crossDupMass)
+    fuzzyNeardupJoin, bloomDedupGate, crossDupMass, entityResolutionJw)
 }

@@ -79,6 +79,7 @@ case class DotProduct(left: Expression, right: Expression)
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDotRegistration)
+    ext.injectFunction(GraftExtensions.jaroWinklerRegistration)
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
@@ -95,6 +96,15 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "vec_dot takes exactly 2 arguments")
       DotProduct(children.head, children(1))
+    })
+
+  val jaroWinklerRegistration: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "jaro_winkler takes exactly 2 arguments")
+      JaroWinkler(children.head, children(1))
     })
 }
 

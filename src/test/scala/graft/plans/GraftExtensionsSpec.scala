@@ -40,6 +40,14 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("jaro_winkler is a SQL function in an extensions-built session") {
+    withExtensionsSession { s =>
+      val got = s.sql("SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw")
+        .head().getDouble(0)
+      assert(math.abs(got - 0.9611111111) < 1e-9)
+    }
+  }
+
   test("Levenshtein prefilter rule fires from the extensions path") {
     withExtensionsSession { s =>
       // non-foldable columns (literals would constant-fold the filter away)

@@ -256,5 +256,47 @@ object RetrievalQueries extends QueryModule {
              ${oround("avg(cos_rep)", 4)} AS mean_cos_rep
       FROM judged GROUP BY cell ORDER BY cell"""))
 
-  def queries: Seq[QueryDef] = Seq(bm25, fkIntegrity, semDedup)
+  // ---------------------------------------------------------------------
+  // Incremental posting-stats maintenance — the inverted-index refresh
+  // behind BM25 at scale: per-term document frequency and total term
+  // frequency are MERGEABLE state (pure sums over disjoint doc batches),
+  // so each index refresh aggregates only the new batch (map-side
+  // combined) and full-outer-merges O(|vocab|) state rows — the index is
+  // never rebuilt from the raw corpus. Same invariant discipline as
+  // q_incremental_agg: the oracle computes the DIRECT aggregation over
+  // all documents, so the hash gate proves folded state ≡ full rebuild.
+  private val incrementalPostings = QueryDef(
+    "q_incremental_postings",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .groupBy("term").agg(count(lit(1)).as("doc_freq"),
+            sum("tf").as("tf_total"))
+      def mergeState(state: org.apache.spark.sql.DataFrame,
+          batch: org.apache.spark.sql.DataFrame) =
+        state.as("s").join(batch.as("b"), Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("s.doc_freq"), lit(0L))
+              + coalesce(col("b.doc_freq"), lit(0L))).as("doc_freq"),
+            (coalesce(col("s.tf_total"), lit(0L))
+              + coalesce(col("b.tf_total"), lit(0L))).as("tf_total"))
+      val state = (0 until 3)
+        .map(i => partial(docs.filter(col("doc_id") % 3 === i)))
+        .reduce(mergeState)
+      state.select(col("term"), col("doc_freq").cast("long").as("doc_freq"),
+          col("tf_total").cast("long").as("tf_total"))
+        .orderBy("term")
+    },
+    Some("""
+      WITH tf AS (SELECT doc_id, term, count(*) AS tf
+                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                        FROM documents)
+                  GROUP BY 1, 2)
+      SELECT term, count(*) AS doc_freq,
+             CAST(sum(tf) AS BIGINT) AS tf_total
+      FROM tf GROUP BY term ORDER BY term"""))
+
+  def queries: Seq[QueryDef] = Seq(bm25, fkIntegrity, semDedup, incrementalPostings)
 }

@@ -81,6 +81,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftExtensions.vecDotRegistration)
     ext.injectFunction(GraftExtensions.jaroWinklerRegistration)
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
+    ext.injectOptimizerRule(_ => JaroWinklerPrefilter)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -43,26 +43,31 @@ object GraphQueries extends QueryModule {
         .limit(10)
     },
     Some {
-      // unroll the same integer-grid rounds as CTEs
+      // unroll the same integer-grid rounds as CTEs. AS MATERIALIZED on
+      // every CTE the chain re-references (edges/outd/nodes ×Iters, and
+      // each round's frames): inlined, DuckDB re-executes the upstream
+      // subtree per reference — the 60M-row e0 join re-derives O(3^depth)
+      // times and the sf1 oracle ran >400 s; materialized it finishes in
+      // seconds with identical results (same fix as q_bfs_levels).
       val rounds = (1 to Iters).map { i =>
-        s"""c$i AS (SELECT e.dst AS node,
+        s"""c$i AS MATERIALIZED (SELECT e.dst AS node,
                  CAST(sum(r.r // o.outdeg) AS BIGINT) AS sc
                FROM edges e
                JOIN outd o ON e.src = o.src
                JOIN r${i - 1} r ON r.node = e.src
                GROUP BY e.dst),
-        r$i AS (SELECT n.node,
+        r$i AS MATERIALIZED (SELECT n.node,
                  150000000 + (coalesce(c.sc, CAST(0 AS BIGINT)) * 85) // 100
                    AS r
                FROM nodes n LEFT JOIN c$i c ON n.node = c.node)"""
       }.mkString(",\n        ")
       s"""
-      WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+      WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        edges AS (SELECT c AS src, p AS dst FROM e0
+        edges AS MATERIALIZED (SELECT c AS src, p AS dst FROM e0
                   UNION ALL SELECT p AS src, c AS dst FROM e0),
-        outd AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        outd AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
         r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
         $rounds
       SELECT (node - 1) // 2 AS s_suppkey,
@@ -142,5 +147,75 @@ object GraphQueries extends QueryModule {
                AS closure_rate
       FROM t"""))
 
-  override def queries: Seq[QueryDef] = Seq(pagerankSuppliers, triangleCount)
+  // -- multi-source BFS levels over the same symmetrized customer–supplier
+  //    purchase graph: min-hop distance from the first five suppliers,
+  //    reported as a per-level census. Level-synchronous frontier
+  //    expansion (graft.operators.BfsLevels): one min-dist shuffle per
+  //    round, exact integer distances, edge side materialized once — the
+  //    oracle unrolls the same rounds as CTEs (the PageRank discipline).
+  //    On the bipartite purchase graph every reachable node sits within
+  //    MaxHops of the seed set, so the census also certifies saturation.
+  private val MaxHops = 4
+  private val bfsLevels = QueryDef(
+    "q_bfs_levels",
+    (s, dir) => {
+      import s.implicits._
+      // NO distinct on the edge multiset, deliberately: duplicate edges
+      // cannot change a min-dist (BFS is idempotent over edge
+      // multiplicity), and the dedup shuffle of ~6M pairs costs more
+      // than the duplicate probes it saves (the purchase graph is barely
+      // duplicated). The oracle keeps its DISTINCT — same census either
+      // way, which the hash gate proves.
+      val e0 = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("p"))
+      val edges = e0.select(col("c").as("src"), col("p").as("dst"))
+        .union(e0.select(col("p").as("src"), col("c").as("dst")))
+      val seeds = (0L until 5L).map(k => 2 * k + 1).toDF("node")
+      val nodes = edges.select(col("src").as("node")).distinct()
+      val levels = graft.operators.BfsLevels.levels(edges, seeds, MaxHops)
+      val census = levels.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+      val unreached = nodes.join(levels, Seq("node"), "left_anti")
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_nodes"))
+        .select(lit(-1).as("dist"), col("n_nodes"))
+      census.unionByName(unreached)
+        .select(col("dist"), col("n_nodes").cast("long").as("n_nodes"))
+        .orderBy("dist")
+    },
+    Some {
+      // AS MATERIALIZED on every multiply-referenced CTE: each d_i is
+      // consumed twice (the union's two branches) and d_MaxHops twice
+      // more (census + NOT EXISTS) — inlined, DuckDB re-executes the
+      // whole upstream chain per reference and the sf1 oracle ran >25
+      // minutes; materialized it is 8.6 s (results identical).
+      val rounds = (1 to MaxHops).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+                 SELECT node, dist FROM d${i - 1}
+                 UNION ALL
+                 SELECT e.dst AS node, r.dist + 1 AS dist
+                 FROM edges e JOIN d${i - 1} r ON e.src = r.node)
+               GROUP BY node)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS MATERIALIZED (SELECT c AS src, p AS dst FROM e0
+                  UNION ALL SELECT p AS src, c AS dst FROM e0),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+        seeds(node) AS (VALUES (1), (3), (5), (7), (9)),
+        d0 AS (SELECT node, 0 AS dist FROM seeds),
+        $rounds,
+        census AS (SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+                   FROM d$MaxHops GROUP BY dist
+                   UNION ALL
+                   SELECT -1 AS dist, CAST(count(*) AS BIGINT) AS n_nodes
+                   FROM nodes n WHERE NOT EXISTS
+                     (SELECT 1 FROM d$MaxHops d WHERE d.node = n.node))
+      SELECT dist, n_nodes FROM census ORDER BY dist"""
+    })
+
+  override def queries: Seq[QueryDef] =
+    Seq(pagerankSuppliers, triangleCount, bfsLevels)
 }

@@ -934,8 +934,138 @@ $rounds,
       FROM rk GROUP BY alias ORDER BY alias"""
     })
 
+  // -- Exact-substring duplicated-SPAN removal (the trimming pass of Lee
+  //    et al. 2022 "Deduplicating Training Data Makes Language Models
+  //    Better" §4.1, ExactSubstr): any 8-token window whose content occurs
+  //    ≥2 times corpus-wide marks its token interval [i, i+7] as
+  //    duplicated; per doc the marked intervals MERGE (interval union) and
+  //    the union is the removable mass. Distinct from q_passage_dedup
+  //    (stride-4 window census) and q_cross_dup_mass (per-doc shared-gram
+  //    ratio): this computes what an ExactSubstr trimmer would actually
+  //    CUT — merged spans, their count, and the widest one.
+  //
+  //    Scale shape, all linear: (1) compute-per-distinct-content —
+  //    identical replicas share every window, so windows are built once
+  //    per distinct text and replica multiplicity m rides as a weight
+  //    (an m≥2 text is 100% covered by construction, which the math
+  //    reproduces for free: all its windows occur ≥m times); (2) window
+  //    occurrence counts are one hash agg keyed by window content (at
+  //    100 TB the key graduates to xxhash64(window) — string here keeps
+  //    the DuckDB twin 1:1); (3) the interval union is a gaps-and-islands
+  //    sweep with a running max-end, windowed BY DOC — never a global
+  //    window. No pairwise step anywhere.
+  private val SpanW = 8
+  private val dupSpanRemoval = QueryDef(
+    "q_dup_span_removal",
+    (s, dir) => {
+      val keyed = Tables.documents(s, dir)
+        .groupBy(sha2(col("text"), 256).as("ckey"), col("lang"))
+        .agg(min("text").as("text"), count(lit(1)).as("m"))
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("ntok", size(col("toks")).cast("long"))
+        .select("ckey", "lang", "m", "toks", "ntok")
+      Cached.withCached(keyed) {
+        // stride-1 8-token windows with their start position. The doc key
+        // is (ckey, lang), NOT ckey alone: the same text CAN appear under
+        // two languages, and a ckey-only key would emit duplicate
+        // (doc, position) rows — ties that two independent window sorts
+        // may order differently (measured at sf1: DuckDB's brk pass and
+        // iid pass disagreed on the tie order and split phantom islands).
+        // Unique keys make the sweep order total; no tie can exist.
+        val w = keyed.filter(col("ntok") >= SpanW)
+          .select(col("ckey"), col("lang"), col("m"), posexplode(expr(
+            s"""transform(sequence(0, int(ntok) - $SpanW),
+                          i -> concat_ws(' ', slice(toks, i + 1, $SpanW)))"""))
+            .as(Seq("s", "w")))
+        // corpus-wide occurrence count (per-position, replica-weighted)
+        val occ = w.groupBy("w").agg(sum("m").as("occ"))
+          .filter(col("occ") >= 2).select("w")
+        val dupPos = w.join(occ, Seq("w"), "left_semi")
+          .withColumn("e", col("s") + lit(SpanW - 1))
+        // interval union per doc: a window starts a new merged span when
+        // its start clears the running max end of everything before it
+        import org.apache.spark.sql.expressions.Window
+        val byDoc = Window.partitionBy("ckey", "lang").orderBy("s")
+        val prevMax = max("e").over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+        val spans = dupPos
+          .withColumn("brk",
+            when(prevMax.isNull || col("s") > prevMax + 1, 1L).otherwise(0L))
+          .withColumn("iid", sum("brk").over(
+            byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("ckey", "lang", "iid")
+          .agg(min("s").as("s0"), max("e").as("e1"))
+          .withColumn("len", col("e1") - col("s0") + 1L)
+        val perDoc = spans.groupBy("ckey", "lang")
+          .agg(sum("len").as("covered"), count(lit(1)).as("n_spans"),
+            max("len").as("max_span"))
+        keyed.join(perDoc, Seq("ckey", "lang"), "left_outer")
+          .na.fill(0L, Seq("covered", "n_spans", "max_span"))
+          .groupBy("lang")
+          .agg(sum("m").as("n_docs"),
+            sum(col("ntok") * col("m")).as("total_tokens"),
+            sum(col("covered") * col("m")).as("covered_tokens"),
+            sum(col("n_spans") * col("m")).as("n_spans"),
+            max("max_span").as("max_span"),
+            dround(sum(col("covered") * col("m")).cast("double")
+              / sum(col("ntok") * col("m")).cast("double"), 4)
+              .as("removal_rate"))
+          .orderBy("lang")
+      }
+    },
+    Some(s"""
+      WITH keyed AS MATERIALIZED (
+             SELECT sha256(text) AS ckey, lang, min(text) AS text,
+                    count(*) AS m
+             FROM documents GROUP BY 1, 2),
+        t AS MATERIALIZED (
+             SELECT ckey, lang, m, string_split(text, ' ') AS toks,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+             FROM keyed),
+        pos AS (SELECT ckey, lang, m, toks,
+                  unnest(generate_series(1, CAST(ntok AS INT) - ${SpanW - 1}))
+                    AS i
+                FROM t WHERE ntok >= $SpanW),
+        w AS MATERIALIZED (
+             SELECT ckey, lang, m, i - 1 AS s,
+                    array_to_string(toks[i:i+${SpanW - 1}], ' ') AS w
+             FROM pos),
+        dup AS (SELECT w FROM w GROUP BY w HAVING sum(m) >= 2),
+        dp AS (SELECT ckey, lang, s, s + ${SpanW - 1} AS e
+               FROM w WHERE w IN (SELECT w FROM dup)),
+        isl AS (SELECT ckey, lang, s, e,
+                  CASE WHEN max(e) OVER (PARTITION BY ckey, lang ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                    OR s > max(e) OVER (PARTITION BY ckey, lang ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS brk
+                FROM dp),
+        isl2 AS (SELECT ckey, lang, s, e,
+                   sum(brk) OVER (PARTITION BY ckey, lang ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+                 FROM isl),
+        spans AS (SELECT ckey, lang, iid, min(s) AS s0, max(e) AS e1,
+                    max(e) - min(s) + 1 AS len
+                  FROM isl2 GROUP BY 1, 2, 3),
+        perdoc AS MATERIALIZED (
+               SELECT ckey, lang, CAST(sum(len) AS BIGINT) AS covered,
+                      count(*) AS n_spans, CAST(max(len) AS BIGINT) AS max_span
+               FROM spans GROUP BY 1, 2)
+      SELECT t.lang, CAST(sum(m) AS BIGINT) AS n_docs,
+             CAST(sum(ntok * m) AS BIGINT) AS total_tokens,
+             CAST(sum(coalesce(covered, 0) * m) AS BIGINT) AS covered_tokens,
+             CAST(sum(coalesce(n_spans, 0) * m) AS BIGINT) AS n_spans,
+             CAST(max(coalesce(max_span, 0)) AS BIGINT) AS max_span,
+             ${oround(
+               "CAST(sum(coalesce(covered, 0) * m) AS DOUBLE)" +
+                 " / sum(ntok * m)", 4)} AS removal_rate
+      FROM t LEFT JOIN perdoc
+        ON t.ckey = perdoc.ckey AND t.lang = perdoc.lang
+      GROUP BY t.lang ORDER BY t.lang"""))
+
   override def queries: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, minhashBandedR2, simhash, neardupClusters,
     ngramJaccard, embeddingNearDup, contamination, passageDedup,
-    fuzzyNeardupJoin, bloomDedupGate, crossDupMass, entityResolutionJw)
+    fuzzyNeardupJoin, bloomDedupGate, crossDupMass, entityResolutionJw,
+    dupSpanRemoval)
 }

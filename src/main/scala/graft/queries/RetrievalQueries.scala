@@ -298,5 +298,149 @@ object RetrievalQueries extends QueryModule {
              CAST(sum(tf) AS BIGINT) AS tf_total
       FROM tf GROUP BY term ORDER BY term"""))
 
-  def queries: Seq[QueryDef] = Seq(bm25, fkIntegrity, semDedup, incrementalPostings)
+  // ---------------------------------------------------------------------
+  // MMR-diversified rerank (Carbonell & Goldstein 1998, Maximal Marginal
+  // Relevance) — the standard second stage after a top-k retrieval: from
+  // each query's candidate list, greedily select K results maximizing
+  //   λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)      (λ = 0.7),
+  // so near-duplicate candidates can't crowd the result page. Completes
+  // the retrieval stack: BM25 (lexical) → RRF (fusion) → MMR (diversity).
+  //
+  // Scale shape: candidate lists are top-C per query (C = 12 here) — the
+  // greedy stage touches C rows and C² pairwise sims PER QUERY, all keyed
+  // by q_id, so every one of the K rounds is an equi-join/window
+  // partitioned on q_id: per-query work is constant, queries parallelize
+  // across the cluster, and no stage ever sees the corpus (only the
+  // candidate generator does, and that is the already-certified ANN
+  // family). K is a fixed constant → the unrolled loop is a static plan.
+  //
+  // Determinism: greedy argmax over floats is exactly where a last-ulp
+  // disagreement would cascade into a different selection SET, so both
+  // relevance and pairwise sims are quantized to the 1e-6 integer grid
+  // FIRST and the MMR objective is evaluated in pure integer arithmetic
+  // (score10 = 7·rel_i − 3·sim_i — λ scaled by 10); ties break on vec_id.
+  private val MmrNQ = 6
+  private val MmrCands = 12
+  private val MmrK = 4
+
+  private val mmrRerank = QueryDef(
+    "q_mmr_rerank",
+    (s, dir) => {
+      import graft.functions.VectorFunctions.{cosine, vecNorm}
+      val e = Tables.embeddings(s, dir)
+        .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("nrm", vecNorm(col("vecd")))
+        .select(col("vec_id"), col("vecd"), col("nrm"))
+      val q = e.filter(col("vec_id") < MmrNQ)
+        .select(col("vec_id").as("q_id"), col("vecd").as("qv"),
+          col("nrm").as("qn"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("rel_i",
+          round(cosine(col("qv"), col("vecd"), col("qn"), col("nrm")) * 1e6)
+            .cast("long"))
+      val wRel = Window.partitionBy("q_id")
+        .orderBy(col("rel_i").desc, col("vec_id").asc)
+      val cand = scored.withColumn("rn", row_number().over(wRel))
+        .filter(col("rn") <= MmrCands)
+        .select("q_id", "vec_id", "rel_i", "vecd", "nrm")
+      val candSlim = cand.select("q_id", "vec_id", "rel_i")
+      val pa = cand.select(col("q_id"), col("vec_id").as("a"),
+        col("vecd").as("av"), col("nrm").as("an"))
+      val pb = cand.select(col("q_id"), col("vec_id").as("b"),
+        col("vecd").as("bv"), col("nrm").as("bn"))
+      val pair = pa.join(pb, Seq("q_id")).filter(col("a") =!= col("b"))
+        .withColumn("sim_i",
+          round(cosine(col("av"), col("bv"), col("an"), col("bn")) * 1e6)
+            .cast("long"))
+        .select("q_id", "a", "b", "sim_i")
+      Cached.withCached(candSlim, pair) {
+        val wPick = Window.partitionBy("q_id")
+          .orderBy(col("score10").desc, col("vec_id").asc)
+        var sel = candSlim
+          .withColumn("score10", col("rel_i") * 7L)
+          .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+          .withColumn("sel_rank", lit(1)).drop("rn")
+        for (k <- 2 to MmrK) {
+          val rem = candSlim.join(sel.select("q_id", "vec_id"),
+            Seq("q_id", "vec_id"), "left_anti")
+          val ms = rem
+            .join(pair.withColumnRenamed("a", "vec_id"), Seq("q_id", "vec_id"))
+            .join(sel.select(col("q_id"), col("vec_id").as("b")), Seq("q_id", "b"))
+            .groupBy("q_id", "vec_id", "rel_i").agg(max("sim_i").as("ms"))
+          val pick = ms
+            .withColumn("score10", col("rel_i") * 7L - col("ms") * 3L)
+            .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+            .withColumn("sel_rank", lit(k))
+            .select(sel.columns.map(col): _*)
+          sel = sel.unionByName(pick)
+        }
+        sel.select(col("q_id"), col("sel_rank"),
+          col("vec_id").as("selected_id"),
+          dround(col("rel_i").cast("double") / 1e6, 4).as("relevance"),
+          dround(col("score10").cast("double") / 1e7, 4).as("mmr_score"))
+          .orderBy("q_id", "sel_rank")
+      }
+    },
+    Some {
+      val steps = (2 to MmrK).map { k =>
+        s"""m$k AS (SELECT c.q_id, c.vec_id, c.rel_i, max(p.sim_i) AS ms
+               FROM cand c
+               JOIN pair p ON p.q_id = c.q_id AND p.a = c.vec_id
+               JOIN all${k - 1} s ON s.q_id = p.q_id AND s.vec_id = p.b
+               WHERE NOT EXISTS (SELECT 1 FROM all${k - 1} x
+                                 WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+               GROUP BY 1, 2, 3),
+        sel$k AS (SELECT q_id, vec_id, rel_i, score10, $k AS sel_rank
+               FROM (SELECT q_id, vec_id, rel_i,
+                       CAST(7 * rel_i - 3 * ms AS BIGINT) AS score10,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY 7 * rel_i - 3 * ms DESC, vec_id ASC) AS rn
+                     FROM m$k) WHERE rn = 1),
+        all$k AS MATERIALIZED (SELECT * FROM all${k - 1}
+               UNION ALL SELECT * FROM sel$k)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH e AS MATERIALIZED (
+             SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd,
+                    sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+             FROM embeddings),
+        q AS (SELECT vec_id AS q_id, vecd AS qv, nrm AS qn FROM e
+              WHERE vec_id < $MmrNQ),
+        scored AS (SELECT q.q_id, e.vec_id,
+                     CAST(round(list_sum(list_transform(list_zip(q.qv, e.vecd),
+                       x -> x[1] * x[2])) / (q.qn * e.nrm) * 1e6) AS BIGINT)
+                       AS rel_i
+                   FROM e JOIN q ON e.vec_id <> q.q_id),
+        cand AS MATERIALIZED (
+               SELECT s.q_id, s.vec_id, s.rel_i, e.vecd, e.nrm
+               FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY rel_i DESC, vec_id ASC) AS rn
+                     FROM scored) s
+               JOIN e ON e.vec_id = s.vec_id
+               WHERE s.rn <= $MmrCands),
+        pair AS MATERIALIZED (
+               SELECT a.q_id, a.vec_id AS a, b.vec_id AS b,
+                      CAST(round(list_sum(list_transform(
+                        list_zip(a.vecd, b.vecd), x -> x[1] * x[2]))
+                        / (a.nrm * b.nrm) * 1e6) AS BIGINT) AS sim_i
+               FROM cand a JOIN cand b
+                 ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+        sel1 AS (SELECT q_id, vec_id, rel_i,
+                   CAST(7 * rel_i AS BIGINT) AS score10, 1 AS sel_rank
+                 FROM (SELECT q_id, vec_id, rel_i,
+                         row_number() OVER (PARTITION BY q_id
+                           ORDER BY rel_i DESC, vec_id ASC) AS rn
+                       FROM cand) WHERE rn = 1),
+        all1 AS MATERIALIZED (SELECT * FROM sel1),
+        $steps
+      SELECT q_id, sel_rank, vec_id AS selected_id,
+             ${oround("CAST(rel_i AS DOUBLE) / 1e6", 4)} AS relevance,
+             ${oround("CAST(score10 AS DOUBLE) / 1e7", 4)} AS mmr_score
+      FROM all$MmrK ORDER BY q_id, sel_rank"""
+    })
+
+  def queries: Seq[QueryDef] = Seq(bm25, fkIntegrity, semDedup,
+    incrementalPostings, mmrRerank)
 }

@@ -61,4 +61,70 @@ class RetrievalSpec extends SparkSpec {
       assert(r.getAs[Long]("n_kept") >= 1L) // the representative survives
     }
   }
+
+  test("q_mmr_rerank: matches a direct in-memory greedy MMR reimplementation") {
+    // independent oracle: collect the (tiny at sf0.001) embedding table and
+    // run textbook greedy MMR in plain Scala with the same integer-grid
+    // quantization, then demand the exact selection sets and ranks
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    def relI(q: Long, d: Long): Long =
+      math.round(dot(vecs(q), vecs(d)) / (nrm(vecs(q)) * nrm(vecs(d))) * 1e6)
+    val expect = (0L until 6L).flatMap { q =>
+      val cands = vecs.keys.filter(_ != q).toSeq
+        .map(d => d -> relI(q, d))
+        .sortBy { case (d, r) => (-r, d) }.take(12)
+      val chosen = collection.mutable.ArrayBuffer.empty[(Long, Long)] // (id, score10)
+      for (k <- 1 to 4) {
+        val rem = cands.filterNot { case (d, _) => chosen.exists(_._1 == d) }
+        val scored = rem.map { case (d, r) =>
+          val ms = if (chosen.isEmpty) 0L
+            else chosen.map(c => relI(d, c._1)).max // cosine is symmetric
+          (d, 7L * r - 3L * ms)
+        }
+        val pick = scored.minBy { case (d, s10) => (-s10, d) }
+        chosen += pick
+      }
+      chosen.zipWithIndex.map { case ((d, s10), i) => (q, i + 1, d, s10) }
+    }.toSet
+    val got = run("q_mmr_rerank").collect().map { r =>
+      (r.getAs[Long]("q_id"), r.getAs[Int]("sel_rank"),
+        r.getAs[Long]("selected_id"),
+        math.round(r.getAs[Double]("mmr_score") * 1e7))
+    }.toSet
+    // mmr_score is dround(score10/1e7, 4): compare at the coarser 1e4 grid
+    val expectRounded = expect.map { case (q, k, d, s10) =>
+      (q, k, d, math.round(
+        (if (s10 >= 0) math.floor(s10 / 1e7 * 1e4 + 0.5)
+         else math.ceil(s10 / 1e7 * 1e4 - 0.5)) / 1e4 * 1e7))
+    }
+    assert(got == expectRounded,
+      s"missing=${expectRounded -- got}, extra=${got -- expectRounded}")
+  }
+
+  test("q_mmr_rerank: structural invariants — 6×4 selections, distinct picks, rank-1 is the relevance argmax") {
+    val rows = run("q_mmr_rerank").collect()
+    assert(rows.length == 24) // 6 queries × 4 selections
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("selected_id")).distinct.length == 4)
+      assert(rs.map(_.getAs[Int]("sel_rank")).sorted.toSeq == Seq(1, 2, 3, 4))
+      val r1 = rs.find(_.getAs[Int]("sel_rank") == 1).get
+      // the first pick is pure-relevance argmax: its relevance tops the
+      // query's selections and its score is 0.7·rel (to rounding slack;
+      // later picks pay/gain the ±0.3·maxsim diversity term — maxsim can
+      // be NEGATIVE for anti-correlated vectors, so no one-sided bound
+      // holds for them)
+      assert(rs.forall(_.getAs[Double]("relevance") <=
+        r1.getAs[Double]("relevance") + 1e-12))
+      assert(math.abs(r1.getAs[Double]("mmr_score") -
+        0.7 * r1.getAs[Double]("relevance")) <= 1e-3)
+    }
+  }
 }

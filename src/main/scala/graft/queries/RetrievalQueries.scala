@@ -340,26 +340,38 @@ object RetrievalQueries extends QueryModule {
             .cast("long"))
       val wRel = Window.partitionBy("q_id")
         .orderBy(col("rel_i").desc, col("vec_id").asc)
+      // ONE cached corpus pass builds the candidate lists; everything
+      // after it (pairwise sims, the K greedy rounds) re-derives from the
+      // cache — without this the corpus scan+window ran three times
+      // (candSlim, pair's two self-join sides)
       val cand = scored.withColumn("rn", row_number().over(wRel))
         .filter(col("rn") <= MmrCands)
         .select("q_id", "vec_id", "rel_i", "vecd", "nrm")
-      val candSlim = cand.select("q_id", "vec_id", "rel_i")
-      val pa = cand.select(col("q_id"), col("vec_id").as("a"),
-        col("vecd").as("av"), col("nrm").as("an"))
-      val pb = cand.select(col("q_id"), col("vec_id").as("b"),
-        col("vecd").as("bv"), col("nrm").as("bn"))
-      val pair = pa.join(pb, Seq("q_id")).filter(col("a") =!= col("b"))
-        .withColumn("sim_i",
-          round(cosine(col("av"), col("bv"), col("an"), col("bn")) * 1e6)
-            .cast("long"))
-        .select("q_id", "a", "b", "sim_i")
-      Cached.withCached(candSlim, pair) {
+      Cached.withCached(cand) {
+        val candSlim = cand.select("q_id", "vec_id", "rel_i")
+        val pa = cand.select(col("q_id"), col("vec_id").as("a"),
+          col("vecd").as("av"), col("nrm").as("an"))
+        val pb = cand.select(col("q_id"), col("vec_id").as("b"),
+          col("vecd").as("bv"), col("nrm").as("bn"))
+        val pair = pa.join(pb, Seq("q_id")).filter(col("a") =!= col("b"))
+          .withColumn("sim_i",
+            round(cosine(col("av"), col("bv"), col("an"), col("bn")) * 1e6)
+              .cast("long"))
+          .select("q_id", "a", "b", "sim_i")
         val wPick = Window.partitionBy("q_id")
           .orderBy(col("score10").desc, col("vec_id").asc)
-        var sel = candSlim
+        // per-round lineage truncation (the PageRank/CC discipline): sel
+        // feeds THREE consumers each round (anti-join, b-side join, the
+        // union), so an un-truncated chain re-inlines round k−1's plan
+        // 3× into round k — exponential plan growth was the entire cost
+        // of the first cut of this query (measured ~10 s on a 72-row
+        // problem). The checkpointed frame is ≤ NQ·K rows.
+        def snap(df: org.apache.spark.sql.DataFrame) =
+          df.localCheckpoint(true)
+        var sel = snap(candSlim
           .withColumn("score10", col("rel_i") * 7L)
           .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
-          .withColumn("sel_rank", lit(1)).drop("rn")
+          .withColumn("sel_rank", lit(1)).drop("rn"))
         for (k <- 2 to MmrK) {
           val rem = candSlim.join(sel.select("q_id", "vec_id"),
             Seq("q_id", "vec_id"), "left_anti")
@@ -372,7 +384,7 @@ object RetrievalQueries extends QueryModule {
             .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
             .withColumn("sel_rank", lit(k))
             .select(sel.columns.map(col): _*)
-          sel = sel.unionByName(pick)
+          sel = snap(sel.unionByName(pick))
         }
         sel.select(col("q_id"), col("sel_rank"),
           col("vec_id").as("selected_id"),

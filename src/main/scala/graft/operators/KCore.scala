@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bounded k-core peeling — the degeneracy decomposition's workhorse
+  * (Seidman 1983; Batagelj & Zaveršnik 2003): repeatedly delete nodes of
+  * degree < k until the remainder (the k-core) is stable. The census of
+  * each peel round is the standard "how cohesive is this graph" profile a
+  * curation pipeline runs over co-occurrence graphs before trusting their
+  * clusters.
+  *
+  * Exact-arithmetic, bounded-round formulation: `rounds` synchronous peel
+  * sweeps (every round removes ALL currently-under-k nodes at once), which
+  * a DuckDB oracle replays as unrolled CTEs — the same discipline as
+  * [[PageRank]]/[[BfsLevels]]. A fixed small `rounds` keeps the oracle
+  * SQL-expressible; convergence is visible in the census (two equal
+  * consecutive rounds = fixed point reached).
+  *
+  * Scale shape:
+  *   - each round is ONE shuffle (the degree aggregate) plus two semi-joins
+  *     on node id that AQE plans as broadcasts as soon as the survivor set
+  *     collapses below the threshold — the typical peel trajectory;
+  *   - the edge frame SHRINKS monotonically, and each round's result is
+  *     truncated with an eager localCheckpoint, so round i+1's plan starts
+  *     from materialized round-i edges rather than re-deriving the chain
+  *     (each round references its predecessor three times — lazy lineage
+  *     would grow 3^rounds);
+  *   - the per-round census reads are O(1) driver scalars off the already-
+  *     materialized frame, not data funnels.
+  */
+object KCore {
+
+  /** Peel `rounds` sweeps of the k-core over undirected edges (a, b),
+    * one row per edge, endpoints in either order, no self-loops.
+    * Returns one census row per round: (round, n_nodes, n_edges) where
+    * n_nodes counts nodes meeting the degree bar that round and n_edges
+    * the edges surviving between them. */
+  def censusRows(spark: SparkSession, edges: DataFrame, k: Int, rounds: Int)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    import spark.implicits._
+    var ed = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(Int, Long, Long)]
+    for (i <- 1 to rounds) {
+      val deg = ed.select(col("a").as("node"))
+        .union(ed.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val alive = deg.filter(col("deg") >= k).select("node")
+      // the survivor set is consumed three times (census + two semi-joins):
+      // persist so the degree shuffle runs once, release before next round
+      alive.persist()
+      try {
+        val nAlive = alive.count()
+        ed = ed
+          .join(alive.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(alive.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .select("a", "b")
+          .localCheckpoint()
+        out += ((i, nAlive, ed.count()))
+      } finally alive.unpersist()
+    }
+    out.result().toDF("round", "n_nodes", "n_edges")
+      .select(col("round").cast("long").as("round"),
+        col("n_nodes"), col("n_edges"))
+  }
+}

@@ -216,6 +216,58 @@ object GraphQueries extends QueryModule {
       SELECT dist, n_nodes FROM census ORDER BY dist"""
     })
 
+  // -- k-core peeling census over the customer–supplier purchase graph
+  //    (graft.operators.KCore): KcoreK-core, KcoreRounds synchronous peel
+  //    sweeps, one census row per round. The fourth iterative-graph class
+  //    next to rank flow (PageRank), label flooding (connected
+  //    components), and frontier expansion (BFS): monotone node DELETION,
+  //    whose edge frame shrinks every round — the census certifies both
+  //    the peel arithmetic and the convergence trajectory (equal
+  //    consecutive rows = fixed point). Oracle unrolls the same rounds as
+  //    CTEs with AS MATERIALIZED on every re-referenced frame (each round
+  //    reads its predecessor three times — the q_bfs_levels lesson).
+  private val KcoreK = 5
+  private val KcoreRounds = 3
+  private val kcorePeel = QueryDef(
+    "q_kcore_peel",
+    (s, dir) => {
+      val e0 = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      graft.operators.KCore.censusRows(s, e0, KcoreK, KcoreRounds)
+        .orderBy("round")
+    },
+    Some {
+      val rounds = (1 to KcoreRounds).map { i =>
+        s"""deg$i AS MATERIALIZED (
+               SELECT node, count(*) AS deg
+               FROM (SELECT a AS node FROM e${i - 1}
+                     UNION ALL SELECT b AS node FROM e${i - 1})
+               GROUP BY node),
+        alive$i AS MATERIALIZED (SELECT node FROM deg$i WHERE deg >= $KcoreK),
+        e$i AS MATERIALIZED (
+               SELECT e.a, e.b FROM e${i - 1} e
+               JOIN alive$i x ON e.a = x.node
+               JOIN alive$i y ON e.b = y.node)"""
+      }.mkString(",\n        ")
+      val census = (1 to KcoreRounds).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS round,
+               (SELECT count(*) FROM alive$i) AS n_nodes,
+               (SELECT count(*) FROM e$i) AS n_edges"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH e0 AS MATERIALIZED (
+             SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        $rounds
+      SELECT * FROM (
+        $census
+      ) ORDER BY round"""
+    })
+
   override def queries: Seq[QueryDef] =
-    Seq(pagerankSuppliers, triangleCount, bfsLevels)
+    Seq(pagerankSuppliers, triangleCount, bfsLevels, kcorePeel)
 }

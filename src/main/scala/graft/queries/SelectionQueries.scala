@@ -530,6 +530,97 @@ object SelectionQueries extends QueryModule {
                AS alloc
       FROM rr ORDER BY lang"""))
 
+  // ---------------------------------------------------------------------
+  // Hashed linear quality classifier — fastText-architecture inference
+  // (Joulin et al. 2016), the model class behind the LLaMA/CCNet
+  // "Wikipedia-reference" filter and the RefinedWeb quality gate: each
+  // token hashes into a fixed bucket space (the hashing trick, 2^16
+  // buckets here), the document score is the mean of its tokens' bucket
+  // weights, and the gate keeps score > 0.
+  //
+  // The weight table here is a deterministic function of the bucket id
+  // (w = h mod 1001 − 500, an integer in [−500, 500] at 1e-3 scale) — a
+  // stand-in for trained weights with the exact production dataflow: at
+  // 100 TB a trained table is a broadcast float array indexed by the same
+  // bucket id, and NOTHING else changes. The whole inference is a single
+  // projection — token split, hash, weight lookup, and the margin fold all
+  // run inside WholeStageCodegen with ZERO shuffles before the per-lang
+  // rollup; this embarrassing parallelism is exactly why classifier
+  // filtering is the cheapest corpus gate at scale.
+  //
+  // Determinism: the margin is an exact BIGINT sum folded in array order
+  // (no float accumulation anywhere); the bucket id decodes the first 4
+  // hex chars of sha256(token) with the same textual arithmetic in both
+  // engines, so the gate is bit-identical across engines/partitionings.
+  private val hexDecode4: String => String = h =>
+    (1 to 4).map(i =>
+      s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1)"
+        + s" * ${1 << (4 * (4 - i))}")
+      .mkString(" + ")
+  private val oHexDecode4: String => String = h =>
+    (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)"
+        + s" * ${1 << (4 * (4 - i))}")
+      .mkString(" + ")
+
+  private val qualityClassifier = QueryDef(
+    "q_quality_classifier",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("ws", expr(
+          s"""transform(
+                transform(filter(split(text, ' '), t -> length(t) > 0),
+                          t -> substring(sha2(t, 256), 1, 4)),
+                h -> cast(pmod(${hexDecode4("h")}, 1001) as bigint) - 500)"""))
+        .withColumn("n_toks", size(col("ws")))
+        .filter(col("n_toks") >= 1)
+        .withColumn("margin", expr(
+          "aggregate(ws, cast(0 as bigint), (a, x) -> a + x)"))
+        // score = margin / (1000·n); quantized to the 1e-6 grid as an
+        // exact integer so the per-lang average is an integer sum
+        .withColumn("score_i",
+          round(col("margin") * lit(1000.0) / col("n_toks")).cast("long"))
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("margin") > 0, 1L).otherwise(0L)).as("n_keep"),
+          dround(sum(when(col("margin") > 0, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 4).as("keep_rate"),
+          dround(sum("score_i").cast("double") / lit(1e6)
+            / count(lit(1)), 6).as("avg_score"),
+          dround(min(col("score_i").cast("double") / lit(1e6)), 6)
+            .as("min_score"),
+          dround(max(col("score_i").cast("double") / lit(1e6)), 6)
+            .as("max_score"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH ws AS (SELECT lang,
+                    list_transform(
+                      list_transform(
+                        list_filter(string_split(text, ' '),
+                                    t -> length(t) > 0),
+                        t -> substr(sha256(t), 1, 4)),
+                      h -> (${oHexDecode4("h")}) % 1001 - 500) AS ws
+                  FROM documents),
+        d AS (SELECT lang, len(ws) AS n_toks,
+                CAST(list_sum(ws) AS BIGINT) AS margin
+              FROM ws WHERE len(ws) >= 1),
+        sc AS (SELECT lang, margin,
+                 CAST(round(margin * 1000.0 / n_toks) AS BIGINT) AS score_i
+               FROM d)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+             ${oround(
+               "CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+                 + " / count(*)", 4)} AS keep_rate,
+             ${oround("CAST(sum(score_i) AS DOUBLE) / 1e6 / count(*)", 6)}
+               AS avg_score,
+             ${oround("min(CAST(score_i AS DOUBLE) / 1e6)", 6)} AS min_score,
+             ${oround("max(CAST(score_i AS DOUBLE) / 1e6)", 6)} AS max_score
+      FROM sc GROUP BY lang ORDER BY lang"""))
+
   def queries: Seq[QueryDef] =
-    Seq(dsir, hybrid, bpeMerge, ppxBuckets, cdcChunks, tempMix)
+    Seq(dsir, hybrid, bpeMerge, ppxBuckets, cdcChunks, tempMix,
+      qualityClassifier)
 }

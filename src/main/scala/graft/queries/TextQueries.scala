@@ -861,8 +861,131 @@ object TextQueries extends QueryModule {
                AS n_high_xent2
       FROM px GROUP BY lang ORDER BY lang"""))
 
+  // -- Kneser-Ney smoothed bigram LM (the KenLM default — Kneser & Ney
+  //    1995, absolute discounting with a CONTINUATION back-off): where
+  //    Jelinek-Mercer (q_bigram_logprob) backs off to raw unigram
+  //    frequency, KN backs off to how many distinct CONTEXTS a word
+  //    completes — "francisco" is frequent but only ever follows "san",
+  //    so its continuation mass is tiny. The standard LM for perplexity-
+  //    based corpus filtering (CCNet trains exactly this class).
+  //      p_KN(w2|w1) = max(c(w1 w2) − D, 0)/c(w1·)
+  //                  + D·N1+(w1·)/c(w1·) · N1+(·w2)/|bigram types|
+  //    with D = 0.75. Every distinct scored bigram has c ≥ 1, so all
+  //    probabilities are finite without any extra floor.
+  //
+  //    Scale + determinism shape (inherits the q_bigram_logprob lessons):
+  //    train + score once per DISTINCT content weighted by replication m;
+  //    all four model tables derive from ONE grouped bigram-count table
+  //    (cbig) — the occurrence counts are replica-weighted longs, the
+  //    N1+ tables are TYPE counts (count(*) over cbig rows), so nothing
+  //    re-touches the corpus; the LM join is a plain shuffle equi-join,
+  //    NO broadcast hint (vocabulary grows with the corpus — Heaps' law);
+  //    per-position NLL is quantized to the 1e-6 integer grid BEFORE the
+  //    per-doc sum, so every downstream aggregate is an exact integer sum,
+  //    order-independent under any partitioning.
+  private val KnD = 0.75
+  private val knBigramLogprob = QueryDef(
+    "q_kn_bigram_logprob",
+    (s, dir) => {
+      val keyed = Tables.documents(s, dir)
+        .groupBy(sha2(col("text"), 256).as("ckey"), col("lang"))
+        .agg(min("text").as("text"), count(lit(1)).as("m"))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select("ckey", "lang", "m", "toks")
+      Cached.withCached(keyed) {
+        val big = keyed.select(col("ckey"), col("lang"), col("m"),
+          explode(expr(
+            """transform(sequence(0, size(toks) - 2),
+                         i -> struct(element_at(toks, i + 1) AS w1,
+                                     element_at(toks, i + 2) AS w2))"""))
+            .as("bg"))
+          .select(col("ckey"), col("lang"), col("m"),
+            col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        // one grouped pass; every model statistic below reads cbig only
+        val cBig = big.groupBy("lang", "w1", "w2").agg(sum("m").as("c_b"))
+        val ctx = cBig.groupBy("lang", "w1")
+          .agg(sum("c_b").as("c_ctx"), count(lit(1)).as("n1p_fwd"))
+        val cont = cBig.groupBy("lang", "w2").agg(count(lit(1)).as("n1p_bwd"))
+        val types = cBig.groupBy("lang").agg(count(lit(1)).as("n_types"))
+        val lm = cBig.join(ctx, Seq("lang", "w1"))
+          .join(cont, Seq("lang", "w2"))
+          .join(types, Seq("lang"))
+          .withColumn("p_kn",
+            (greatest(col("c_b").cast("double") - lit(KnD), lit(0.0))
+              + lit(KnD) * col("n1p_fwd")
+                * (col("n1p_bwd").cast("double") / col("n_types")))
+              / col("c_ctx"))
+          .withColumn("nll_i", round(-log(col("p_kn")) * 1e6).cast("long"))
+          .select("lang", "w1", "w2", "nll_i")
+        val perDoc = big.join(lm, Seq("lang", "w1", "w2"))
+          .groupBy("ckey", "lang", "m")
+          .agg(sum("nll_i").as("nll_sum"), count(lit(1)).as("n_bigrams"))
+          .withColumn("xent", col("nll_sum").cast("double") / lit(1e6)
+            / col("n_bigrams").cast("double"))
+          .withColumn("xent_i", round(col("xent") * 1e6).cast("long"))
+        perDoc.groupBy("lang")
+          .agg(sum("m").as("n_docs"),
+            dround(sum(col("xent_i") * col("m")).cast("double") / lit(1e6)
+              / sum(col("m")).cast("double"), 4).as("avg_kn_xent"),
+            dround(min("xent"), 4).as("min_kn_xent"),
+            dround(max("xent"), 4).as("max_kn_xent"),
+            sum(when(col("xent") > 4.0, col("m")).otherwise(0L))
+              .as("n_high_kn_xent"))
+          .orderBy("lang")
+      }
+    },
+    Some(s"""
+      WITH keyed AS MATERIALIZED (
+             SELECT ckey, lang, m, string_split(text, ' ') AS toks
+             FROM (SELECT sha256(text) AS ckey, lang, min(text) AS text,
+                          count(*) AS m
+                   FROM documents GROUP BY 1, 2)
+             WHERE len(string_split(text, ' ')) >= 2),
+        big AS MATERIALIZED (
+             SELECT ckey, lang, m, toks[i] AS w1, toks[i + 1] AS w2
+             FROM (SELECT ckey, lang, m, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i
+                   FROM keyed)),
+        cbig AS MATERIALIZED (
+             SELECT lang, w1, w2, CAST(sum(m) AS BIGINT) AS c_b
+             FROM big GROUP BY 1, 2, 3),
+        ctx AS (SELECT lang, w1, CAST(sum(c_b) AS BIGINT) AS c_ctx,
+                       count(*) AS n1p_fwd
+                FROM cbig GROUP BY 1, 2),
+        cont AS (SELECT lang, w2, count(*) AS n1p_bwd FROM cbig GROUP BY 1, 2),
+        types AS (SELECT lang, count(*) AS n_types FROM cbig GROUP BY 1),
+        lm AS MATERIALIZED (
+             SELECT cbig.lang, cbig.w1, cbig.w2,
+                    CAST(round(-ln((greatest(CAST(c_b AS DOUBLE) - $KnD, 0.0)
+                        + $KnD * n1p_fwd * (CAST(n1p_bwd AS DOUBLE) / n_types))
+                      / c_ctx) * 1e6) AS BIGINT) AS nll_i
+             FROM cbig
+             JOIN ctx ON cbig.lang = ctx.lang AND cbig.w1 = ctx.w1
+             JOIN cont ON cbig.lang = cont.lang AND cbig.w2 = cont.w2
+             JOIN types ON cbig.lang = types.lang),
+        perdoc AS (SELECT ckey, b.lang, m,
+                     CAST(sum(nll_i) AS BIGINT) AS nll_sum,
+                     count(*) AS n_bigrams
+                   FROM big b JOIN lm ON b.lang = lm.lang
+                     AND b.w1 = lm.w1 AND b.w2 = lm.w2
+                   GROUP BY 1, 2, 3),
+        px AS (SELECT lang, m,
+                 CAST(nll_sum AS DOUBLE) / 1e6 / n_bigrams AS xent,
+                 CAST(round(CAST(nll_sum AS DOUBLE) / 1e6 / n_bigrams * 1e6)
+                      AS BIGINT) AS xent_i
+               FROM perdoc)
+      SELECT lang, CAST(sum(m) AS BIGINT) AS n_docs,
+             ${oround("CAST(sum(xent_i * m) AS DOUBLE) / 1e6 / sum(m)", 4)}
+               AS avg_kn_xent,
+             ${oround("min(xent)", 4)} AS min_kn_xent,
+             ${oround("max(xent)", 4)} AS max_kn_xent,
+             CAST(sum(CASE WHEN xent > 4.0 THEN m ELSE 0 END) AS BIGINT)
+               AS n_high_kn_xent
+      FROM px GROUP BY lang ORDER BY lang"""))
+
   override def queries: Seq[QueryDef] =
     Seq(tokenStats, docQuality, langId, fingerprint, keywordHits, tokenCountsBpe,
       tfidfTop, weightedSample, docRepetition, mixtureRates, qualityFilterRules,
-      unigramLogprob, piiRedaction, vocabEncode, bigramLogprob)
+      unigramLogprob, piiRedaction, vocabEncode, bigramLogprob, knBigramLogprob)
 }

@@ -329,7 +329,56 @@ object CurationQueries extends QueryModule {
              ${oround("CAST(n_docs AS DOUBLE) / n0 * 100", 2)} AS pct_of_ingested
       FROM st ORDER BY stage"""))
 
+  // -- deterministic stratified train/val/test split (80/10/10): the
+  //    assignment every training pipeline must make REPRODUCIBLY — a
+  //    doc's split is a pure function of its id (two-step integer LCG →
+  //    uniform), so re-running the pipeline, adding machines, or
+  //    re-partitioning the corpus can never move a document between
+  //    splits (the leakage class that silently contaminates eval sets
+  //    when splits are assigned by rand()). The census certifies both
+  //    the assignment arithmetic and the per-language balance.
+  //
+  //    Scale: the split column is a codegen'd projection — zero shuffles
+  //    before the (lang, split) rollup; at 100 TB the same expression is
+  //    the partition key the corpus is written under.
+  private val datasetSplit = QueryDef(
+    "q_dataset_split",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("u",
+          ((((((col("doc_id") % lit(4294967296L)) * lit(69069L) + lit(1L))
+            % lit(4294967296L)) * lit(22695477L) + lit(1L))
+            % lit(4294967296L)).cast("double") + lit(0.5)) / lit(4294967296.0))
+        .withColumn("split",
+          when(col("u") < 0.8, lit("train"))
+            .when(col("u") < 0.9, lit("val"))
+            .otherwise(lit("test")))
+      val byLang = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      d.groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+        .join(byLang, "lang")
+        .select(col("lang"), col("split"), col("n_docs"),
+          dround(col("n_docs").cast("double") / col("n_lang"), 4).as("share"))
+        .orderBy("lang", "split")
+    },
+    Some(s"""
+      WITH d AS (SELECT lang,
+                   ((((doc_id % 4294967296) * 69069 + 1) % 4294967296
+                      * 22695477 + 1) % 4294967296 + 0.5)
+                     / 4294967296 AS u
+                 FROM documents),
+        sp AS (SELECT lang,
+                 CASE WHEN u < 0.8 THEN 'train'
+                      WHEN u < 0.9 THEN 'val'
+                      ELSE 'test' END AS split
+               FROM d),
+        byl AS (SELECT lang, count(*) AS n_lang FROM sp GROUP BY lang)
+      SELECT sp.lang, split, count(*) AS n_docs,
+             ${oround("CAST(count(*) AS DOUBLE) / any_value(n_lang)", 4)}
+               AS share
+      FROM sp JOIN byl ON sp.lang = byl.lang
+      GROUP BY sp.lang, split ORDER BY sp.lang, split"""))
+
   override def queries: Seq[QueryDef] =
     Seq(sourceCaps, stratifiedSample, tokenShards, zorderQuadrants,
-      langQualityGate, curationFunnel)
+      langQualityGate, curationFunnel, datasetSplit)
 }

@@ -268,6 +268,78 @@ object GraphQueries extends QueryModule {
       ) ORDER BY round"""
     })
 
+  // -- label-propagation community detection (Raghavan et al. 2007) over
+  //    the part co-occurrence graph (same edge set as q_triangle_count —
+  //    UNIPARTITE, so labels mix instead of oscillating as they would on
+  //    the bipartite purchase graph): LpaRounds synchronous rounds, each
+  //    node adopting its neighbors' most frequent label (ties → lowest
+  //    label — the determinism choice that makes the rounds replayable;
+  //    textbook LPA breaks ties randomly and can never be hash-checked).
+  //    Census: the 10 largest communities after the final round.
+  //
+  //    Scale shape: a round is ONE shuffle — count (node, neighbor-label)
+  //    pairs, then a partitioned row_number picks the mode — and the
+  //    label frame is referenced once per round, so the lazy plan grows
+  //    linearly and two rounds execute as a single DAG (the PageRank
+  //    cadence lesson). The oracle unrolls identical rounds as CTEs.
+  private val LpaRounds = 2
+  private val labelProp = QueryDef(
+    "q_label_prop",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val und = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .distinct()
+      val edges = und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst")))
+      var lab = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+      val wMode = org.apache.spark.sql.expressions.Window
+        .partitionBy("node").orderBy(col("cnt").desc, col("label").asc)
+      for (_ <- 1 to LpaRounds) {
+        lab = edges
+          .join(lab.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(wMode))
+          .filter(col("rn") === 1)
+          .select("node", "label")
+      }
+      lab.groupBy("label").agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("label").asc)
+        .limit(10)
+    },
+    Some {
+      val rounds = (1 to LpaRounds).map { i =>
+        s"""l$i AS MATERIALIZED (
+               SELECT node, label FROM (
+                 SELECT e.dst AS node, p.label, count(*) AS cnt,
+                        row_number() OVER (PARTITION BY e.dst
+                          ORDER BY count(*) DESC, p.label ASC) AS rn
+                 FROM edges e JOIN l${i - 1} p ON e.src = p.node
+                 GROUP BY e.dst, p.label)
+               WHERE rn = 1)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+                  JOIN orders ON l_orderkey = o_orderkey
+                  WHERE o_orderpriority = '1-URGENT'),
+        und AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
+              FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+                  UNION ALL SELECT b AS src, a AS dst FROM und),
+        l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label
+                            FROM edges),
+        $rounds
+      SELECT label, count(*) AS n_members
+      FROM l$LpaRounds GROUP BY label
+      ORDER BY n_members DESC, label ASC LIMIT 10"""
+    })
+
   override def queries: Seq[QueryDef] =
-    Seq(pagerankSuppliers, triangleCount, bfsLevels, kcorePeel)
+    Seq(pagerankSuppliers, triangleCount, bfsLevels, kcorePeel, labelProp)
 }

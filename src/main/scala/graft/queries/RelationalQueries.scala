@@ -1107,7 +1107,77 @@ object RelationalQueries extends QueryModule {
       GROUP BY band ORDER BY band"""
     })
 
+  // -- market-basket association rules (Agrawal & Srikant 1994's
+  //    support/confidence plus lift) over order baskets: items = distinct
+  //    parts per urgent order, pairs ranked by lift = P(ab)/(P(a)·P(b)).
+  //    The co-occurrence analytics class the reference's synergy-rule join
+  //    (J6) hand-codes for one rule table, generalized to mining the rules
+  //    from the data itself.
+  //
+  //    Scale shape (the q_triangle_count discipline): pair generation is
+  //    per-basket — an order holds ≤7 lineitems, so candidates are LINEAR
+  //    in orders (≤21 pairs each), never an item×item product; supports
+  //    are map-side-combined counts; the final ranking is a top-10
+  //    TakeOrderedAndProject, never a full sort. Lift's numerator and
+  //    denominator stay exact longs until ONE division per surviving
+  //    pair.
+  private val marketBasket = QueryDef(
+    "q_market_basket",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      Cached.withCached(li) {
+        val nB = li.select("ok").distinct().count()
+        val item = li.groupBy(col("pk")).agg(count(lit(1)).as("supp_i"))
+        val pair = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("p_a"), col("y.pk").as("p_b"))
+          .agg(count(lit(1)).as("supp_ab"))
+        pair
+          .join(item.select(col("pk").as("p_a"), col("supp_i").as("supp_a")), "p_a")
+          .join(item.select(col("pk").as("p_b"), col("supp_i").as("supp_b")), "p_b")
+          .withColumn("confidence",
+            col("supp_ab").cast("double") / col("supp_a"))
+          .withColumn("lift",
+            (col("supp_ab") * lit(nB)).cast("double")
+              / (col("supp_a") * col("supp_b")).cast("double"))
+          .orderBy(col("lift").desc, col("supp_ab").desc,
+            col("p_a").asc, col("p_b").asc)
+          .limit(10)
+          .select(col("p_a"), col("p_b"), col("supp_ab"), col("supp_a"),
+            col("supp_b"), Det.dround(col("confidence"), 4).as("confidence"),
+            Det.dround(col("lift"), 4).as("lift"))
+      }
+    },
+    Some(s"""
+      WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  WHERE o_orderpriority = '1-URGENT'),
+        nb AS (SELECT count(DISTINCT ok) AS n FROM li),
+        item AS MATERIALIZED (SELECT pk, count(*) AS supp_i FROM li GROUP BY pk),
+        pair AS MATERIALIZED (SELECT x.pk AS p_a, y.pk AS p_b, count(*) AS supp_ab
+                 FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+                 GROUP BY 1, 2)
+      SELECT p_a, p_b, supp_ab, a.supp_i AS supp_a, b.supp_i AS supp_b,
+             ${Det.oround("CAST(supp_ab AS DOUBLE) / a.supp_i", 4)}
+               AS confidence,
+             ${Det.oround(
+               "CAST(supp_ab * nb.n AS DOUBLE) / CAST(a.supp_i * b.supp_i AS DOUBLE)",
+               4)} AS lift
+      FROM pair
+      JOIN item a ON pair.p_a = a.pk
+      JOIN item b ON pair.p_b = b.pk
+      CROSS JOIN nb
+      ORDER BY CAST(supp_ab * nb.n AS DOUBLE)
+                 / CAST(a.supp_i * b.supp_i AS DOUBLE) DESC,
+               supp_ab DESC, p_a ASC, p_b ASC
+      LIMIT 10"""))
+
   override def queries: Seq[QueryDef] = Seq(
+    marketBasket,
     pricingSummary, filteredRevenue, customerGeo, topRevenueOrders,
     partTypeRevenue, latestEventPerUser, latestPerUserType, topEventTypes,
     ordersPage, ordersKeysetPage, eventSessions, cubeVolumes, saltedTypeCounts,

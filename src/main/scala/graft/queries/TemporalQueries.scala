@@ -611,9 +611,73 @@ object TemporalQueries extends QueryModule {
              CAST(sum(len) AS BIGINT) AS active_days
       FROM g GROUP BY user_id ORDER BY user_id"""))
 
+  // -- seasonal-baseline anomaly detection: daily revenue per event type,
+  //    de-seasonalized against the same-weekday mean, flagged where the
+  //    residual exceeds 3×MAD (median absolute deviation — the robust
+  //    dispersion that one genuine outlier cannot inflate, unlike σ).
+  //    The standard ops-metric monitor shape: seasonal naive baseline +
+  //    robust residual gate.
+  //
+  //    Scale + determinism shape: the ONLY corpus-sized operation is the
+  //    daily rollup (map-side-combined sum of cents-integers — exact
+  //    longs); everything downstream (weekday baselines, residuals, the
+  //    per-type exact median) operates on the days×types frame, hundreds
+  //    of rows regardless of corpus size. Weekday comes from pure integer
+  //    arithmetic on epoch-days ((day + 4) mod 7 — 1970-01-01 was a
+  //    Thursday), identical in both engines — never dayofweek(), whose
+  //    0-vs-1 base differs across engines.
+  private val seasonalAnomaly = QueryDef(
+    "q_seasonal_anomaly",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("ts_us div 86400000000").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .groupBy("event_type", "day")
+        .agg(sum("c").as("daily_c"))
+        .withColumn("dow", expr("(day + 4) % 7"))
+      val base = daily.groupBy("event_type", "dow")
+        .agg(avg("daily_c").as("wd_avg"))
+      val resid = daily.join(base, Seq("event_type", "dow"))
+        .withColumn("resid", col("daily_c") - col("wd_avg"))
+        .withColumn("aresid", abs(col("resid")))
+      val mad = resid.groupBy("event_type")
+        .agg(expr("percentile(aresid, 0.5)").as("mad"))
+      resid.join(mad, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          dround(first("mad") / lit(100.0), 4).as("mad_rev"),
+          sum(when(col("aresid") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_anomalies"),
+          dround(max("aresid") / lit(100.0), 4).as("max_abs_resid"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH daily AS MATERIALIZED (SELECT event_type,
+                       epoch_us(ts) // 86400000000 AS day,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                         AS daily_c
+                     FROM events GROUP BY 1, 2),
+        d AS (SELECT *, (day + 4) % 7 AS dow FROM daily),
+        base AS (SELECT event_type, dow, avg(daily_c) AS wd_avg
+                 FROM d GROUP BY 1, 2),
+        resid AS MATERIALIZED (SELECT d.event_type, d.day,
+                    abs(d.daily_c - b.wd_avg) AS aresid
+                  FROM d JOIN base b
+                    ON d.event_type = b.event_type AND d.dow = b.dow),
+        mad AS (SELECT event_type, median(aresid) AS mad
+                FROM resid GROUP BY 1)
+      SELECT r.event_type, count(*) AS n_days,
+             ${oround("any_value(m.mad) / 100.0", 4)} AS mad_rev,
+             CAST(sum(CASE WHEN r.aresid > 3.0 * m.mad THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_anomalies,
+             ${oround("max(r.aresid) / 100.0", 4)} AS max_abs_resid
+      FROM resid r JOIN mad m ON r.event_type = m.event_type
+      GROUP BY r.event_type ORDER BY r.event_type"""))
+
   override def queries: Seq[QueryDef] =
     Seq(slidingSpend, clickAttribution, saltedSkewJoin,
       cohortRetention, funnelStages, eventTransitions, weeklyRevenueWow,
       skewProfile, ewmaValue, twapValue, intervalCoverage, ohlcBars,
-      activityStreaks)
+      activityStreaks, seasonalAnomaly)
 }

@@ -1063,9 +1063,86 @@ $rounds,
         ON t.ckey = perdoc.ckey AND t.lang = perdoc.lang
       GROUP BY t.lang ORDER BY t.lang"""))
 
+  // -- directional CONTAINMENT dedup (Broder 1997 distinguishes
+  //    resemblance |A∩B|/|A∪B| from containment |A∩B|/|A|): the MinHash
+  //    family above approximates resemblance, which goes BLIND when a
+  //    short doc is wholly quoted inside a long one (union is large, so
+  //    Jaccard is small but containment ≈ 1) — the quote-inclusion /
+  //    subset-duplication class a curation pipeline must catch
+  //    separately. Candidates block on the first-2-token key (the
+  //    q_fuzzy_neardup_join discipline: pairs form only inside an
+  //    equi-join block, never all-pairs); each surviving pair computes
+  //    exact distinct-3-gram intersection via a codegen'd
+  //    array_intersect — both directions reported, flagged at ≥ 0.8.
+  //    At 100 TB the block key graduates to (prefix key, length band)
+  //    and skew splits via AQE; the shape stays an equi-join.
+  private val containmentDedup = QueryDef(
+    "q_containment_dedup",
+    (s, dir) => {
+      val c = collapseExactDups(Tables.documents(s, dir))
+      val d = c.select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"),
+        expr("""array_distinct(CASE WHEN size(split(text, ' ')) >= 3
+                  THEN transform(sequence(0, size(split(text, ' ')) - 3),
+                    i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))
+                  ELSE array() END)""").as("g"))
+        .filter(size(col("g")) > 0)
+      val a = d.select(col("blk"), col("doc_id").as("doc_a"),
+        col("g").as("g_a"))
+      val b = d.select(col("blk"), col("doc_id").as("doc_b"),
+        col("g").as("g_b"))
+      a.join(b, Seq("blk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
+        .withColumn("cont_ab",
+          col("inter").cast("double") / size(col("g_a")))
+        .withColumn("cont_ba",
+          col("inter").cast("double") / size(col("g_b")))
+        // top candidates, not a fixed threshold: the synthetic corpus has
+        // no genuine subset-duplicates, so a 0.8 gate would certify an
+        // empty set — rank instead (exact longs + one division, total
+        // order with id tie-breaks) and emit the gate as a flag
+        .orderBy(greatest(col("cont_ab"), col("cont_ba")).desc,
+          col("inter").desc, col("doc_a").asc, col("doc_b").asc)
+        .limit(10)
+        .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
+          dround(col("cont_ab"), 4).as("cont_ab"),
+          dround(col("cont_ba"), 4).as("cont_ba"),
+          (greatest(col("cont_ab"), col("cont_ba")) >= 0.8)
+            .cast("int").as("contained"))
+    },
+    Some(s"""
+      WITH c AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+                 FROM documents GROUP BY sha256(text)),
+        d AS MATERIALIZED (
+              SELECT doc_id,
+                array_to_string((string_split(text, ' '))[1:2], ' ') AS blk,
+                list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+                  THEN list_transform(
+                         generate_series(1, len(string_split(text, ' ')) - 2),
+                         i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+                  ELSE [] END) AS g
+              FROM c),
+        dd AS (SELECT * FROM d WHERE len(g) > 0),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                len(list_intersect(a.g, b.g)) AS inter,
+                len(a.g) AS na, len(b.g) AS nb
+              FROM dd a JOIN dd b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+             ${oround("CAST(inter AS DOUBLE) / na", 4)} AS cont_ab,
+             ${oround("CAST(inter AS DOUBLE) / nb", 4)} AS cont_ba,
+             CAST(greatest(CAST(inter AS DOUBLE) / na,
+                           CAST(inter AS DOUBLE) / nb) >= 0.8 AS INTEGER)
+               AS contained
+      FROM p
+      ORDER BY greatest(CAST(inter AS DOUBLE) / na,
+                        CAST(inter AS DOUBLE) / nb) DESC,
+               inter DESC, doc_a ASC, doc_b ASC
+      LIMIT 10"""))
+
   override def queries: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, minhashBandedR2, simhash, neardupClusters,
     ngramJaccard, embeddingNearDup, contamination, passageDedup,
     fuzzyNeardupJoin, bloomDedupGate, crossDupMass, entityResolutionJw,
-    dupSpanRemoval)
+    dupSpanRemoval, containmentDedup)
 }

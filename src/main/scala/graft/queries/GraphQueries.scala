@@ -340,6 +340,69 @@ object GraphQueries extends QueryModule {
       ORDER BY n_members DESC, label ASC LIMIT 10"""
     })
 
+  // -- personalized PageRank from the first-five-supplier seed set (the
+  //    BFS seeds) over the symmetrized purchase graph: proximity-to-seeds
+  //    mass on the 1e-9 integer grid (graft.operators.PageRank
+  //    .personalizedRanks) — the "related suppliers / trusted-neighborhood
+  //    weighting" primitive, distinct from global PageRank (teleport mass
+  //    lands ONLY on seeds, so rank decays with distance from them).
+  //    Census: top-10 CUSTOMERS by seed-proximity — the even-id side, so
+  //    the result certifies genuine propagation (customers get mass only
+  //    through edges) rather than the seeds ranking themselves first.
+  //    Oracle unrolls identical integer rounds (PageRank discipline).
+  private val pprSeeds = QueryDef(
+    "q_ppr_seeds",
+    (s, dir) => {
+      import s.implicits._
+      val e0 = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("p"))
+        .distinct()
+      val edges = e0.select(col("c").as("src"), col("p").as("dst"))
+        .union(e0.select(col("p").as("src"), col("c").as("dst")))
+      val seeds = (0L until 5L).map(k => 2 * k + 1).toDF("node")
+      graft.operators.PageRank.personalizedRanks(edges, seeds, Iters)
+        .filter(col("node") % 2 === 0)
+        .select((col("node") / 2).cast("long").as("c_custkey"),
+          dround(col("r") / 1e9, 6).as("rank"))
+        .orderBy(col("rank").desc, col("c_custkey").asc)
+        .limit(10)
+    },
+    Some {
+      val rounds = (1 to Iters).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT e.dst AS node,
+                 CAST(sum(r.r // o.outdeg) AS BIGINT) AS sc
+               FROM edges e
+               JOIN outd o ON e.src = o.src
+               JOIN r${i - 1} r ON r.node = e.src
+               GROUP BY e.dst),
+        r$i AS MATERIALIZED (SELECT n.node,
+                 n.is_seed * 150000000
+                   + (coalesce(c.sc, CAST(0 AS BIGINT)) * 85) // 100 AS r
+               FROM nodes n LEFT JOIN c$i c ON n.node = c.node)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS MATERIALIZED (SELECT c AS src, p AS dst FROM e0
+                  UNION ALL SELECT p AS src, c AS dst FROM e0),
+        outd AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        nodes AS MATERIALIZED (
+                 SELECT node, CASE WHEN node IN (1, 3, 5, 7, 9) THEN 1 ELSE 0 END
+                   AS is_seed
+                 FROM (SELECT DISTINCT src AS node FROM edges)),
+        r0 AS (SELECT node, CAST(is_seed * 1000000000 AS BIGINT) AS r FROM nodes),
+        $rounds
+      SELECT node // 2 AS c_custkey,
+             ${oround(s"r / 1e9", 6)} AS rank
+      FROM r$Iters WHERE node % 2 = 0
+      ORDER BY rank DESC, c_custkey ASC
+      LIMIT 10"""
+    })
+
   override def queries: Seq[QueryDef] =
-    Seq(pagerankSuppliers, triangleCount, bfsLevels, kcorePeel, labelProp)
+    Seq(pagerankSuppliers, triangleCount, bfsLevels, kcorePeel, labelProp,
+      pprSeeds)
 }

@@ -453,6 +453,70 @@ object RetrievalQueries extends QueryModule {
       FROM all$MmrK ORDER BY q_id, sel_rank"""
     })
 
+  // ---------------------------------------------------------------------
+  // Exact-phrase search over POSITIONAL postings — the adjacency query a
+  // term-level inverted index cannot answer (BM25 above is bag-of-words;
+  // "hash join" ≠ "join hash"). Classic positional-index evaluation
+  // [Manning et al., IR ch. 2], relationalized: a posting is
+  // (doc_id, term, pos); a phrase of length L matches at start p iff all
+  // L (term, offset) pairs hit at pos = p + offset — so ONE broadcast
+  // equi-join of postings against the tiny (phrase, term, offset) table,
+  // then a count-distinct-offsets == L group filter on
+  // (phrase, doc, pos − offset). No joins per phrase position, no
+  // self-join of the postings table.
+  //
+  // Scale: corpus-side work is one posexplode (linear) and hash aggs keyed
+  // by (phrase, doc, start) with full map-side combine; the phrase table
+  // broadcasts. At 100 TB postings are the stored index, partitioned by
+  // term — the probe prunes to the phrase's terms before any shuffle.
+  private val phrases: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("table", "scan"),
+    2 -> Seq("hash", "join"),
+    3 -> Seq("window", "agg", "sort"))
+
+  private val phraseSearch = QueryDef(
+    "q_phrase_search",
+    (s, dir) => {
+      import s.implicits._
+      val post = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      val phr = phrases
+        .flatMap { case (id, ts) => ts.zipWithIndex.map { case (t, o) => (id, t, o, ts.size) } }
+        .toDF("phrase_id", "term", "off", "plen")
+      val starts = post.join(broadcast(phr), "term")
+        .groupBy(col("phrase_id"), col("doc_id"),
+          (col("pos") - col("off")).as("start"), col("plen"))
+        .agg(countDistinct("off").as("n_off"))
+        .filter(col("n_off") === col("plen"))
+      starts.groupBy("phrase_id")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_matches"),
+          min("doc_id").as("first_doc"))
+        .orderBy("phrase_id")
+    },
+    Some {
+      val phraseRows = phrases
+        .flatMap { case (id, ts) =>
+          ts.zipWithIndex.map { case (t, o) => s"($id, '$t', $o, ${ts.size})" } }
+        .mkString(", ")
+      s"""
+      WITH post AS (SELECT doc_id, i - 1 AS pos, toks[i] AS term
+                    FROM (SELECT doc_id, toks,
+                            unnest(generate_series(1, len(toks))) AS i
+                          FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                                FROM documents))),
+        phr(phrase_id, term, off, plen) AS (VALUES $phraseRows),
+        starts AS (SELECT phrase_id, doc_id, pos - off AS start, plen,
+                     count(DISTINCT off) AS n_off
+                   FROM post JOIN phr USING (term)
+                   GROUP BY 1, 2, 3, 4)
+      SELECT phrase_id, count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_matches,
+             min(doc_id) AS first_doc
+      FROM starts WHERE n_off = plen
+      GROUP BY phrase_id ORDER BY phrase_id"""
+    })
+
   def queries: Seq[QueryDef] = Seq(bm25, fkIntegrity, semDedup,
-    incrementalPostings, mmrRerank)
+    incrementalPostings, mmrRerank, phraseSearch)
 }

@@ -675,9 +675,84 @@ object TemporalQueries extends QueryModule {
       FROM resid r JOIN mad m ON r.event_type = m.event_type
       GROUP BY r.event_type ORDER BY r.event_type"""))
 
+  // -- calendar densification + last-observation-carried-forward: turn a
+  //    sparse per-user daily series into a dense one (every day between
+  //    the user's first and last observation) with gaps filled by the
+  //    most recent value — the standard prep before any fixed-step
+  //    time-series model, and the LOCF join a feature store executes at
+  //    serving time. Gap-fill uses the portable two-window trick (running
+  //    count of non-nulls forms a group key per observation run; the
+  //    group max IS the carried value) instead of IGNORE NULLS, which
+  //    not every engine supports with identical semantics.
+  //
+  //    Scale + determinism: the per-(user, day) last-value pick is a
+  //    partitioned row_number with a total (ts, event_id) tie-break; the
+  //    dense grid is sequence()-exploded per user (bounded by the span,
+  //    never a global calendar cross join); both LOCF windows are
+  //    partitioned by user. Values ride as exact cents-longs; the only
+  //    division is the final per-user sum / 100.
+  private val gapFillLocf = QueryDef(
+    "q_gap_fill_locf",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id") < 50)
+        .select(col("user_id"),
+          expr("ts_us div 86400000000").as("day"),
+          col("ts_us"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      val wLast = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      val daily = ev.withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("c").as("v"))
+      val grid = daily.groupBy("user_id")
+        .agg(min("day").as("mn"), max("day").as("mx"))
+        .select(col("user_id"),
+          explode(expr("sequence(mn, mx)")).as("day"))
+      val wCum = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val filled = grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("grp", count(col("v")).over(wCum))
+      val wGrp = Window.partitionBy("user_id", "grp")
+      filled.withColumn("fv", max("v").over(wGrp))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_observed"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_filled"),
+          (sum("fv") / lit(100.0)).as("sum_filled"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                    epoch_us(ts) AS ts_us, event_id,
+                    CAST(round(value * 100) AS BIGINT) AS c
+                  FROM events WHERE user_id < 50),
+        daily AS MATERIALIZED (
+              SELECT user_id, day, c AS v
+              FROM (SELECT *, row_number() OVER (PARTITION BY user_id, day
+                      ORDER BY ts_us DESC, event_id DESC) AS rn
+                    FROM ev)
+              WHERE rn = 1),
+        grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS day
+                 FROM (SELECT user_id, min(day) AS mn, max(day) AS mx
+                       FROM daily GROUP BY user_id)),
+        j AS (SELECT g.user_id, g.day, d.v,
+                count(d.v) OVER (PARTITION BY g.user_id ORDER BY g.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+              FROM grid g LEFT JOIN daily d
+                ON g.user_id = d.user_id AND g.day = d.day),
+        f AS (SELECT *, max(v) OVER (PARTITION BY user_id, grp) AS fv FROM j)
+      SELECT user_id, count(*) AS n_days,
+             CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_observed,
+             CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_filled,
+             CAST(sum(fv) AS BIGINT) / 100.0 AS sum_filled
+      FROM f GROUP BY user_id ORDER BY user_id"""))
+
   override def queries: Seq[QueryDef] =
     Seq(slidingSpend, clickAttribution, saltedSkewJoin,
       cohortRetention, funnelStages, eventTransitions, weeklyRevenueWow,
       skewProfile, ewmaValue, twapValue, intervalCoverage, ohlcBars,
-      activityStreaks, seasonalAnomaly)
+      activityStreaks, seasonalAnomaly, gapFillLocf)
 }

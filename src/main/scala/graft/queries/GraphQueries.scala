@@ -402,7 +402,76 @@ object GraphQueries extends QueryModule {
       LIMIT 10"""
     })
 
+  // -- degree assortativity (Newman 2002): the Pearson correlation of
+  //    endpoint degrees over edges — do high-degree nodes attach to each
+  //    other (social-style, r > 0) or to leaves (hub-and-spoke, r < 0)?
+  //    On the symmetrized purchase graph the answer is structural: the
+  //    bipartite customer–supplier topology forces disassortativity, and
+  //    the query certifies the measurement machinery (summing over BOTH
+  //    edge directions IS the standard undirected double-count).
+  //
+  //    Scale + determinism: degrees are one map-side-combined count; the
+  //    two degree joins are equi-joins on node id (AQE-skew-handled); all
+  //    five moments accumulate as EXACT BIGINT sums (x·y ≤ ~1e8 per edge,
+  //    Σ ≤ ~1e15 — inside Long), so partitioning cannot move them; the
+  //    final Pearson combination runs in doubles ONCE, as the identical
+  //    expression in both engines (M·Σxy overflows int64, so the
+  //    combination — not the accumulation — is float by design).
+  private val assortativity = QueryDef(
+    "q_graph_assortativity",
+    (s, dir) => {
+      val e0 = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("p"))
+        .distinct()
+      val edges = e0.select(col("c").as("src"), col("p").as("dst"))
+        .union(e0.select(col("p").as("src"), col("c").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val xy = edges
+        .join(deg.select(col("src"), col("deg").as("x")), "src")
+        .join(deg.select(col("src").as("dst"), col("deg").as("y")), "dst")
+      xy.agg(count(lit(1)).as("m"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("m").as("n_directed_edges"),
+          dround(
+            (col("m").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+              / sqrt((col("m").cast("double") * col("sxx")
+                  - col("sx").cast("double") * col("sx"))
+                * (col("m").cast("double") * col("syy")
+                  - col("sy").cast("double") * col("sy"))), 6)
+            .as("assortativity"),
+          dround(col("sx").cast("double") / col("m"), 4).as("avg_end_deg"))
+    },
+    Some(s"""
+      WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS MATERIALIZED (SELECT c AS src, p AS dst FROM e0
+                  UNION ALL SELECT p AS src, c AS dst FROM e0),
+        deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        xy AS (SELECT dx.deg AS x, dy.deg AS y
+               FROM edges e
+               JOIN deg dx ON e.src = dx.src
+               JOIN deg dy ON e.dst = dy.src),
+        mo AS (SELECT count(*) AS m, CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+               FROM xy)
+      SELECT m AS n_directed_edges,
+             ${oround(
+               "(CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+                 + " / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+                 + " * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))",
+               6)} AS assortativity,
+             ${oround("CAST(sx AS DOUBLE) / m", 4)} AS avg_end_deg
+      FROM mo"""))
+
   override def queries: Seq[QueryDef] =
     Seq(pagerankSuppliers, triangleCount, bfsLevels, kcorePeel, labelProp,
-      pprSeeds)
+      pprSeeds, assortativity)
 }

@@ -984,8 +984,128 @@ object TextQueries extends QueryModule {
                AS n_high_kn_xent
       FROM px GROUP BY lang ORDER BY lang"""))
 
+  // -- Shannon token entropy per language — the lexical-diversity floor a
+  //    mixing planner reads next to raw token counts (a low-entropy slice
+  //    is boilerplate-heavy no matter its size; entropy-aware sampling is
+  //    the standard counter). Reported with the type count and the
+  //    normalized H/ln(V) efficiency so slices of different vocabulary
+  //    size compare.
+  //
+  //    Scale + determinism: one explode + one (lang, token) hash agg
+  //    (map-side combined — the vocabulary table, not the corpus, crosses
+  //    the wire); each type's contribution −p·ln p is quantized ONCE to a
+  //    1e-9 integer grid and the per-lang entropy is an exact BIGINT sum,
+  //    order-independent under any partitioning.
+  private val tokenEntropy = QueryDef(
+    "q_token_entropy",
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      val tot = tok.groupBy("lang")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"))
+      tok.join(tot, "lang")
+        .withColumn("e_i", round(
+          -(col("c").cast("double") / col("n_tokens"))
+            * log(col("c").cast("double") / col("n_tokens")) * 1e9)
+          .cast("long"))
+        .groupBy("lang")
+        .agg(first("n_tokens").as("n_tokens"),
+          first("n_types").as("n_types"),
+          dround(sum("e_i").cast("double") / lit(1e9), 6).as("entropy"),
+          dround((sum("e_i").cast("double") / lit(1e9))
+            / log(first("n_types").cast("double")), 6).as("efficiency"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH tok AS (SELECT lang, tok, count(*) AS c
+                   FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                         FROM documents)
+                   WHERE length(tok) > 0
+                   GROUP BY 1, 2),
+        tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  count(*) AS n_types
+                FROM tok GROUP BY 1),
+        e AS (SELECT tok.lang, n_tokens, n_types,
+                CAST(round(-(CAST(c AS DOUBLE) / n_tokens)
+                  * ln(CAST(c AS DOUBLE) / n_tokens) * 1e9) AS BIGINT) AS e_i
+              FROM tok JOIN tot ON tok.lang = tot.lang)
+      SELECT lang, any_value(n_tokens) AS n_tokens,
+             any_value(n_types) AS n_types,
+             ${oround("CAST(sum(e_i) AS DOUBLE) / 1e9", 6)} AS entropy,
+             ${oround(
+               "(CAST(sum(e_i) AS DOUBLE) / 1e9) / ln(CAST(any_value(n_types) AS DOUBLE))",
+               6)} AS efficiency
+      FROM e GROUP BY lang ORDER BY lang"""))
+
+  // -- Zipf rank-frequency slope over the top-200 token histogram: fit
+  //    ln(freq) = a + slope·ln(rank) by OLS and report the slope (natural
+  //    text sits near −1; a flat slope flags synthetic/templated text —
+  //    corpus forensics next to q_doc_repetition). ALL OLS moments are
+  //    exact BIGINT sums of 1e-6-grid quantized ln values (products
+  //    bounded ≤ ~1e18 — checked against Long range), so the fit is
+  //    bit-identical across engines; the only float ops are the two final
+  //    divisions. The rank window runs over the 200-row top-K, never the
+  //    vocabulary (TakeOrdered + the bounded-window pmod trick).
+  private val ZipfTopK = 200
+  private val zipfSlope = QueryDef(
+    "q_zipf_slope",
+    (s, dir) => {
+      val top = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc).limit(ZipfTopK)
+      val idWin = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("c"), lit(1)))
+        .orderBy(col("c").desc, col("tok").asc)
+      val xy = top.withColumn("rank", row_number().over(idWin))
+        .withColumn("x", round(log(col("rank").cast("double")) * 1e6).cast("long"))
+        .withColumn("y", round(log(col("c").cast("double")) * 1e6).cast("long"))
+      xy.agg(count(lit(1)).as("n"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n"),
+          dround((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+            .as("zipf_slope"),
+          dround((col("sy").cast("double") / col("n")
+            - ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * (col("sx").cast("double") / col("n"))) / lit(1e6), 6)
+            .as("intercept_ln"))
+    },
+    Some(s"""
+      WITH top AS (SELECT tok, count(*) AS c
+                   FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                         FROM documents)
+                   WHERE length(tok) > 0
+                   GROUP BY tok ORDER BY c DESC, tok ASC LIMIT $ZipfTopK),
+        xy AS (SELECT CAST(round(ln(CAST(row_number() OVER
+                        (ORDER BY c DESC, tok ASC) AS DOUBLE)) * 1e6) AS BIGINT)
+                        AS x,
+                      CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+               FROM top),
+        m AS (SELECT count(*) AS n, CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM xy)
+      SELECT n,
+             ${oround(
+               "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)",
+               6)} AS zipf_slope,
+             ${oround(
+               "(CAST(sy AS DOUBLE) / n - (CAST(n * sxy - sx * sy AS DOUBLE)"
+                 + " / CAST(n * sxx - sx * sx AS DOUBLE))"
+                 + " * (CAST(sx AS DOUBLE) / n)) / 1e6",
+               6)} AS intercept_ln
+      FROM m"""))
+
   override def queries: Seq[QueryDef] =
     Seq(tokenStats, docQuality, langId, fingerprint, keywordHits, tokenCountsBpe,
       tfidfTop, weightedSample, docRepetition, mixtureRates, qualityFilterRules,
-      unigramLogprob, piiRedaction, vocabEncode, bigramLogprob, knBigramLogprob)
+      unigramLogprob, piiRedaction, vocabEncode, bigramLogprob, knBigramLogprob,
+      tokenEntropy, zipfSlope)
 }

@@ -1103,9 +1103,162 @@ object TextQueries extends QueryModule {
                6)} AS intercept_ln
       FROM m"""))
 
+  // -- adjacent-token mutual information: MI = H(W2) − H(W2|W1) over
+  //    bigram positions — how much one token tells you about the next.
+  //    Natural prose has high adjacent MI (collocations, syntax);
+  //    shuffled/templated text collapses toward 0 — the
+  //    information-theoretic completion of the forensics suite
+  //    (q_token_entropy measures diversity, q_zipf_slope the frequency
+  //    law, this the SEQUENTIAL structure the other two can't see).
+  //
+  //    Scale + determinism (the LM-family discipline): counts accumulate
+  //    once per DISTINCT content weighted by replication m; both
+  //    entropies are exact BIGINT sums of 1e-9-grid contributions off the
+  //    same grouped bigram-count table; the marginals derive from cbig,
+  //    never re-touching the corpus.
+  private val bigramMi = QueryDef(
+    "q_bigram_mi",
+    (s, dir) => {
+      val keyed = Tables.documents(s, dir)
+        .groupBy(sha2(col("text"), 256).as("ckey"), col("lang"))
+        .agg(min("text").as("text"), count(lit(1)).as("m"))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+      val big = keyed.select(col("lang"), col("m"),
+        explode(expr(
+          """transform(sequence(0, size(toks) - 2),
+                       i -> struct(element_at(toks, i + 1) AS w1,
+                                   element_at(toks, i + 2) AS w2))"""))
+          .as("bg"))
+        .select(col("lang"), col("m"),
+          col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val cBig = big.groupBy("lang", "w1", "w2").agg(sum("m").as("c_b"))
+      Cached.withCached(cBig) {
+        val ctx = cBig.groupBy("lang", "w1").agg(sum("c_b").as("c_ctx"))
+        val mrg = cBig.groupBy("lang", "w2").agg(sum("c_b").as("c_w2"))
+        val tot = cBig.groupBy("lang").agg(sum("c_b").as("n_l"))
+        val hW2 = mrg.join(tot, "lang")
+          .withColumn("e_i", round(
+            -(col("c_w2").cast("double") / col("n_l"))
+              * log(col("c_w2").cast("double") / col("n_l")) * 1e9).cast("long"))
+          .groupBy("lang")
+          .agg(first("n_l").as("n_bigrams"),
+            sum("e_i").as("h2_i"))
+        val hCond = cBig.join(ctx, Seq("lang", "w1")).join(tot, "lang")
+          .withColumn("e_i", round(
+            -(col("c_b").cast("double") / col("n_l"))
+              * log(col("c_b").cast("double") / col("c_ctx")) * 1e9).cast("long"))
+          .groupBy("lang").agg(sum("e_i").as("hc_i"))
+        hW2.join(hCond, "lang")
+          .select(col("lang"), col("n_bigrams"),
+            dround(col("h2_i").cast("double") / lit(1e9), 6).as("h_w2"),
+            dround(col("hc_i").cast("double") / lit(1e9), 6).as("h_cond"),
+            dround((col("h2_i") - col("hc_i")).cast("double") / lit(1e9), 6)
+              .as("mutual_info"))
+          .orderBy("lang")
+      }
+    },
+    Some(s"""
+      WITH keyed AS (SELECT lang, m, string_split(text, ' ') AS toks
+                     FROM (SELECT lang, min(text) AS text, count(*) AS m
+                           FROM documents GROUP BY sha256(text), lang)
+                     WHERE len(string_split(text, ' ')) >= 2),
+        big AS (SELECT lang, m, toks[i] AS w1, toks[i + 1] AS w2
+                FROM (SELECT lang, m, toks,
+                        unnest(generate_series(1, len(toks) - 1)) AS i
+                      FROM keyed)),
+        cbig AS MATERIALIZED (
+                SELECT lang, w1, w2, CAST(sum(m) AS BIGINT) AS c_b
+                FROM big GROUP BY 1, 2, 3),
+        ctx AS (SELECT lang, w1, CAST(sum(c_b) AS BIGINT) AS c_ctx
+                FROM cbig GROUP BY 1, 2),
+        mrg AS (SELECT lang, w2, CAST(sum(c_b) AS BIGINT) AS c_w2
+                FROM cbig GROUP BY 1, 2),
+        tot AS (SELECT lang, CAST(sum(c_b) AS BIGINT) AS n_l
+                FROM cbig GROUP BY 1),
+        h2 AS (SELECT mrg.lang, any_value(n_l) AS n_bigrams,
+                 CAST(sum(CAST(round(-(CAST(c_w2 AS DOUBLE) / n_l)
+                   * ln(CAST(c_w2 AS DOUBLE) / n_l) * 1e9) AS BIGINT))
+                   AS BIGINT) AS h2_i
+               FROM mrg JOIN tot ON mrg.lang = tot.lang
+               GROUP BY mrg.lang),
+        hc AS (SELECT cbig.lang,
+                 CAST(sum(CAST(round(-(CAST(c_b AS DOUBLE) / n_l)
+                   * ln(CAST(c_b AS DOUBLE) / c_ctx) * 1e9) AS BIGINT))
+                   AS BIGINT) AS hc_i
+               FROM cbig
+               JOIN ctx ON cbig.lang = ctx.lang AND cbig.w1 = ctx.w1
+               JOIN tot ON cbig.lang = tot.lang
+               GROUP BY cbig.lang)
+      SELECT h2.lang, n_bigrams,
+             ${oround("CAST(h2_i AS DOUBLE) / 1e9", 6)} AS h_w2,
+             ${oround("CAST(hc_i AS DOUBLE) / 1e9", 6)} AS h_cond,
+             ${oround("CAST(h2_i - hc_i AS DOUBLE) / 1e9", 6)} AS mutual_info
+      FROM h2 JOIN hc ON h2.lang = hc.lang
+      ORDER BY h2.lang"""))
+
+  // -- cross-source vocabulary overlap (Jaccard over distinct token
+  //    sets): which sources are lexical near-clones of each other — the
+  //    governance signal a mixing planner reads before treating sources
+  //    as independent (two mirrors of the same crawl look like "diverse"
+  //    sources until their vocabularies show J ≈ 1). Top-10 pairs.
+  //
+  //    Scale: the corpus collapses to the distinct (source, token) table
+  //    first (one map-side-combined agg); pairs generate PER TOKEN from
+  //    the sources sharing it (≤ S sources → ≤ S² rows per token, S
+  //    fixed), an equi-join on the token key — never a source×source×
+  //    vocabulary product; |A∪B| recovers as |A|+|B|−|A∩B| from exact
+  //    longs, so no union materializes.
+  private val vocabOverlap = QueryDef(
+    "q_source_vocab_overlap",
+    (s, dir) => {
+      val st = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .distinct()
+      Cached.withCached(st) {
+        val sz = st.groupBy("source").agg(count(lit(1)).as("v"))
+        val inter = st.as("a").join(st.as("b"),
+            col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sz.select(col("source").as("src_a"), col("v").as("v_a")), "src_a")
+          .join(sz.select(col("source").as("src_b"), col("v").as("v_b")), "src_b")
+          .withColumn("jaccard", col("inter").cast("double")
+            / (col("v_a") + col("v_b") - col("inter")).cast("double"))
+          .orderBy(col("jaccard").desc, col("src_a").asc, col("src_b").asc)
+          .limit(10)
+          .select(col("src_a"), col("src_b"), col("inter"), col("v_a"),
+            col("v_b"), dround(col("jaccard"), 6).as("jaccard"))
+      }
+    },
+    Some(s"""
+      WITH st AS MATERIALIZED (
+              SELECT DISTINCT source, tok
+              FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              WHERE length(tok) > 0),
+        sz AS (SELECT source, count(*) AS v FROM st GROUP BY source),
+        inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                    count(*) AS inter
+                  FROM st a JOIN st b
+                    ON a.tok = b.tok AND a.source < b.source
+                  GROUP BY 1, 2)
+      SELECT src_a, src_b, inter, sa.v AS v_a, sb.v AS v_b,
+             ${oround(
+               "CAST(inter AS DOUBLE) / CAST(sa.v + sb.v - inter AS DOUBLE)",
+               6)} AS jaccard
+      FROM inter
+      JOIN sz sa ON inter.src_a = sa.source
+      JOIN sz sb ON inter.src_b = sb.source
+      ORDER BY CAST(inter AS DOUBLE) / CAST(sa.v + sb.v - inter AS DOUBLE) DESC,
+               src_a ASC, src_b ASC
+      LIMIT 10"""))
+
   override def queries: Seq[QueryDef] =
     Seq(tokenStats, docQuality, langId, fingerprint, keywordHits, tokenCountsBpe,
       tfidfTop, weightedSample, docRepetition, mixtureRates, qualityFilterRules,
       unigramLogprob, piiRedaction, vocabEncode, bigramLogprob, knBigramLogprob,
-      tokenEntropy, zipfSlope)
+      tokenEntropy, zipfSlope, bigramMi, vocabOverlap)
 }

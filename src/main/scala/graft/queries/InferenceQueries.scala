@@ -1,0 +1,459 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.GridCum
+import Det.{dround, oround}
+
+/** Statistical inference / distribution-comparison operators: the
+  * hypothesis-test layer a data-curation pipeline runs to decide whether
+  * two cohorts differ (A/B gates, drift detection between ingest batches,
+  * inequality profiling of spend). Every test statistic is computed from
+  * EXACT integer tallies on the cents grid (`round(x*100)`), so Spark and
+  * the DuckDB oracle do bit-identical arithmetic; rank-based statistics
+  * (KS, Mann-Whitney, Gini) use [[GridCum]]'s two-pass bucketed cumsum —
+  * no global single-task window anywhere.
+  *
+  * Reference anchor: the reference validates score distributions across
+  * portfolio cohorts (pe-org-air-platform sem_confidence / portfolio
+  * validation); these are the same comparisons as reusable operators.
+  */
+object InferenceQueries extends QueryModule {
+
+  private def centsEv = "CAST(round(value * 100) AS BIGINT)"
+
+  /** hist of per-distinct-value counts for a two-sample pair. */
+  private def pairHist(s: org.apache.spark.sql.SparkSession, dir: String,
+      a: String, b: String) =
+    Tables.events(s, dir)
+      .filter(col("event_type").isin(a, b))
+      .select(expr(centsEv).as("v"), col("event_type"))
+      .groupBy("v")
+      .agg(sum(when(col("event_type") === a, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === b, 1L).otherwise(0L)).as("n2"))
+
+  private def pairHistSql(a: String, b: String) =
+    s"""h AS (SELECT v,
+             CAST(sum(CASE WHEN event_type = '$a' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN event_type = '$b' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+           FROM (SELECT event_type, $centsEv AS v FROM events
+                 WHERE event_type IN ('$a', '$b'))
+           GROUP BY v)"""
+
+  // -- Two-sample Kolmogorov–Smirnov distance between the purchase and
+  //    view value distributions: D = max_v |F1(v) - F2(v)| over the
+  //    shared cents grid, plus the value where the gap peaks.
+  //
+  //    Scale shape: tallies are per-distinct-cents (grid-bounded, not
+  //    row-bounded); the CDF cumsum is GridCum's two-pass bucketed form;
+  //    the argmax is a TakeOrdered(1). At 100 TB the only thing that
+  //    grows is the per-value tally shuffle, which AQE coalesces.
+  private val ksTwoSample = QueryDef(
+    "q_ks_two_sample",
+    (s, dir) => {
+      val h = pairHist(s, dir, "purchase", "view")
+      Cached.withCached(h) {
+      val cum = GridCum.cum(h, Nil, "v", Seq("n1", "n2"))
+      val tot = h.agg(sum("n1").as("n_a"), sum("n2").as("n_b"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("dd", abs(col("cum_n1").cast("double") / col("n_a")
+          - col("cum_n2").cast("double") / col("n_b")))
+        .orderBy(col("dd").desc, col("v").asc)
+        .limit(1)
+        .select(dround(col("dd"), 6).as("ks_d"),
+          dround(col("v") / 100.0, 2).as("at_value"),
+          col("n_a"), col("n_b"))
+      }
+    },
+    Some(s"""
+      WITH ${pairHistSql("purchase", "view")},
+        c AS (SELECT v,
+                CAST(sum(n1) OVER (ORDER BY v) AS DOUBLE) AS c1,
+                CAST(sum(n2) OVER (ORDER BY v) AS DOUBLE) AS c2
+              FROM h),
+        t AS (SELECT CAST(sum(n1) AS BIGINT) AS n_a,
+                     CAST(sum(n2) AS BIGINT) AS n_b FROM h),
+        d AS (SELECT v, abs(c1 / t.n_a - c2 / t.n_b) AS dd FROM c, t)
+      SELECT ${oround("dd", 6)} AS ks_d,
+             ${oround("v / 100.0", 2)} AS at_value, t.n_a, t.n_b
+      FROM d, t ORDER BY dd DESC, v ASC LIMIT 1"""))
+
+  // -- Mann–Whitney U (Wilcoxon rank-sum) for click vs error values, with
+  //    midranks for ties and the tie-corrected normal approximation.
+  //
+  //    All rank arithmetic stays in LONGS: 2*midrank = 2*cumBelow + t + 1
+  //    is integral on the tie-group grid, so 2*R1 = Σ n1*(2*cumBelow+t+1)
+  //    is an exact integer in both engines — no order-dependent double
+  //    summation before the final scalar formulas.
+  private val mannWhitney = QueryDef(
+    "q_mannwhitney_u",
+    (s, dir) => {
+      val h = pairHist(s, dir, "click", "error")
+      Cached.withCached(h) {
+      val cum = GridCum.cum(h, Nil, "v", Seq("n1", "n2"))
+        .withColumn("t", col("n1") + col("n2"))
+        .withColumn("below", col("cum_n1") + col("cum_n2") - col("t"))
+      val agg = cum.agg(
+        sum(col("n1") * (col("below") * 2L + col("t") + 1L)).as("r2x"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"),
+        sum("n1").as("n_a"), sum("n2").as("n_b"))
+      agg
+        .withColumn("nn", col("n_a") + col("n_b"))
+        .withColumn("u1", col("r2x").cast("double") / 2.0
+          - col("n_a").cast("double") * (col("n_a") + 1L) / 2.0)
+        .withColumn("mu", col("n_a").cast("double") * col("n_b") / 2.0)
+        .withColumn("vr", col("n_a").cast("double") * col("n_b") / 12.0
+          * ((col("nn") + 1L).cast("double")
+            - col("ties").cast("double")
+              / (col("nn").cast("double") * (col("nn") - 1L))))
+        .select(dround(col("u1"), 2).as("u_stat"),
+          dround((col("u1") - col("mu")) / sqrt(col("vr")), 4).as("z_score"),
+          col("n_a"), col("n_b"))
+      }
+    },
+    Some(s"""
+      WITH ${pairHistSql("click", "error")},
+        c AS (SELECT v, n1, n2, n1 + n2 AS t,
+                CAST(sum(n1 + n2) OVER (ORDER BY v) AS BIGINT)
+                  - (n1 + n2) AS below
+              FROM h),
+        a AS (SELECT CAST(sum(n1 * (below * 2 + t + 1)) AS BIGINT) AS r2x,
+                     CAST(sum(t * t * t - t) AS BIGINT) AS ties,
+                     CAST(sum(n1) AS BIGINT) AS n_a,
+                     CAST(sum(n2) AS BIGINT) AS n_b
+              FROM c),
+        f AS (SELECT r2x, ties, n_a, n_b, n_a + n_b AS nn,
+                CAST(r2x AS DOUBLE) / 2.0
+                  - CAST(n_a AS DOUBLE) * (n_a + 1) / 2.0 AS u1,
+                CAST(n_a AS DOUBLE) * n_b / 2.0 AS mu,
+                CAST(n_a AS DOUBLE) * n_b / 12.0
+                  * ((CAST(nn AS DOUBLE) + 1)
+                    - CAST(ties AS DOUBLE)
+                      / (CAST(nn AS DOUBLE) * (nn - 1))) AS vr
+              FROM a)
+      SELECT ${oround("u1", 2)} AS u_stat,
+             ${oround("(u1 - mu) / sqrt(vr)", 4)} AS z_score, n_a, n_b
+      FROM f"""))
+
+  // -- Chi-square test of independence between event_type and day-of-week,
+  //    with Cramér's V effect size. The contingency table is built on the
+  //    FULL row×col grid (missing cells contribute (0-e)²/e = e), expected
+  //    counts from broadcast marginals. Pure map-side-combinable counting:
+  //    the scan aggregates to a 5×7 table no matter the input size.
+  private val chiSquare = QueryDef(
+    "q_chi_square_indep",
+    (s, dir) => {
+      val cells = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("((ts_us div 86400000000) + 4) % 7").as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+      Cached.withCached(cells) {
+      val rt = cells.groupBy("event_type").agg(sum("o").as("rt"))
+      val ct = cells.groupBy("dow").agg(sum("o").as("ct"))
+      val tot = cells.agg(sum("o").as("nn"),
+        countDistinct("event_type").as("r"), countDistinct("dow").as("c"))
+      val grid = rt.crossJoin(ct).crossJoin(broadcast(tot))
+        .join(cells, Seq("event_type", "dow"), "left")
+        .withColumn("e",
+          col("rt").cast("double") * col("ct") / col("nn"))
+        .withColumn("oo", coalesce(col("o"), lit(0L)).cast("double"))
+      grid.groupBy("nn", "r", "c")
+        .agg(sum((col("oo") - col("e")) * (col("oo") - col("e")) / col("e"))
+          .as("chi2"))
+        .select(dround(col("chi2"), 4).as("chi2"),
+          ((col("r") - 1) * (col("c") - 1)).as("df"),
+          dround(sqrt(col("chi2")
+            / (col("nn") * least(col("r") - 1, col("c") - 1))), 4)
+            .as("cramers_v"),
+          col("nn").as("n"))
+      }
+    },
+    Some(s"""
+      WITH cells AS (SELECT event_type,
+                       ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+                       CAST(count(*) AS BIGINT) AS o
+                     FROM events GROUP BY 1, 2),
+        rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+               FROM cells GROUP BY 1),
+        ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+                       CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+                       CAST(count(DISTINCT dow) AS BIGINT) AS c
+                FROM cells),
+        grid AS (SELECT rt.event_type, ct.dow, rt.rt, ct.ct, tot.nn, tot.r,
+                        tot.c,
+                        CAST(rt.rt AS DOUBLE) * ct.ct / tot.nn AS e,
+                        CAST(coalesce(cells.o, 0) AS DOUBLE) AS oo
+                 FROM rt CROSS JOIN ct CROSS JOIN tot
+                 LEFT JOIN cells ON cells.event_type = rt.event_type
+                                AND cells.dow = ct.dow),
+        agg AS (SELECT nn, r, c,
+                  sum((oo - e) * (oo - e) / e) AS chi2
+                FROM grid GROUP BY nn, r, c)
+      SELECT ${oround("chi2", 4)} AS chi2,
+             (r - 1) * (c - 1) AS df,
+             ${oround("sqrt(chi2 / (nn * least(r - 1, c - 1)))", 4)}
+               AS cramers_v,
+             nn AS n
+      FROM agg"""))
+
+  // -- Welch's unequal-variance t-test: AUTOMOBILE vs FURNITURE account
+  //    balances. One conditional-aggregation scan produces the six exact
+  //    integer moments (counts + cents sums + cents² sums); every
+  //    downstream number is scalar double arithmetic on those — identical
+  //    in both engines. Long cents² sums hold to ~1e18; past that the
+  //    moment columns switch to doubles (same formulas, last-ulp rounding
+  //    absorbed by dround).
+  private val welchT = QueryDef(
+    "q_welch_ttest",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment").isin("AUTOMOBILE", "FURNITURE"))
+        .select(col("c_mktsegment").as("seg"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cb"))
+      val m = c.agg(
+        sum(when(col("seg") === "AUTOMOBILE", 1L).otherwise(0L)).as("na"),
+        sum(when(col("seg") === "AUTOMOBILE", col("cb")).otherwise(0L)).as("sa"),
+        sum(when(col("seg") === "AUTOMOBILE", col("cb") * col("cb"))
+          .otherwise(0L)).as("qa"),
+        sum(when(col("seg") === "FURNITURE", 1L).otherwise(0L)).as("nb"),
+        sum(when(col("seg") === "FURNITURE", col("cb")).otherwise(0L)).as("sb"),
+        sum(when(col("seg") === "FURNITURE", col("cb") * col("cb"))
+          .otherwise(0L)).as("qb"))
+      m.withColumn("ma", col("sa").cast("double") / col("na"))
+        .withColumn("mb", col("sb").cast("double") / col("nb"))
+        .withColumn("va", (col("qa").cast("double")
+          - col("sa").cast("double") * col("sa") / col("na"))
+          / (col("na") - 1L))
+        .withColumn("vb", (col("qb").cast("double")
+          - col("sb").cast("double") * col("sb") / col("nb"))
+          / (col("nb") - 1L))
+        .withColumn("sea", col("va") / col("na"))
+        .withColumn("seb", col("vb") / col("nb"))
+        .select(col("na").as("n_a"), col("nb").as("n_b"),
+          dround(col("ma") / 100.0, 4).as("mean_a"),
+          dround(col("mb") / 100.0, 4).as("mean_b"),
+          dround((col("ma") - col("mb")) / sqrt(col("sea") + col("seb")), 4)
+            .as("t_stat"),
+          dround((col("sea") + col("seb")) * (col("sea") + col("seb"))
+            / (col("sea") * col("sea") / (col("na") - 1L)
+              + col("seb") * col("seb") / (col("nb") - 1L)), 2).as("df"))
+    },
+    Some(s"""
+      WITH c AS (SELECT c_mktsegment AS seg,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS cb
+                 FROM customer
+                 WHERE c_mktsegment IN ('AUTOMOBILE', 'FURNITURE')),
+        m AS (SELECT
+                CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN cb ELSE 0 END) AS BIGINT) AS sa,
+                CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN cb * cb ELSE 0 END) AS BIGINT) AS qa,
+                CAST(sum(CASE WHEN seg = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                CAST(sum(CASE WHEN seg = 'FURNITURE' THEN cb ELSE 0 END) AS BIGINT) AS sb,
+                CAST(sum(CASE WHEN seg = 'FURNITURE' THEN cb * cb ELSE 0 END) AS BIGINT) AS qb
+              FROM c),
+        f AS (SELECT na, nb,
+                CAST(sa AS DOUBLE) / na AS ma,
+                CAST(sb AS DOUBLE) / nb AS mb,
+                (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)
+                  / (na - 1) AS va,
+                (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb)
+                  / (nb - 1) AS vb
+              FROM m),
+        g AS (SELECT na, nb, ma, mb, va / na AS sea, vb / nb AS seb FROM f)
+      SELECT na AS n_a, nb AS n_b,
+             ${oround("ma / 100.0", 4)} AS mean_a,
+             ${oround("mb / 100.0", 4)} AS mean_b,
+             ${oround("(ma - mb) / sqrt(sea + seb)", 4)} AS t_stat,
+             ${oround(
+               "(sea + seb) * (sea + seb) / (sea * sea / (na - 1) + seb * seb / (nb - 1))",
+               2)} AS df
+      FROM g"""))
+
+  // -- Per-nation Gini coefficient of customer lifetime spend: inequality
+  //    profiling of the revenue base. Uses the rank-sum identity on tie
+  //    groups — Σ rank·x over a tie run of m equal values x with cumBelow
+  //    predecessors is x·(m·cumBelow + m(m+1)/2) — so the whole statistic
+  //    reduces to per-distinct-(nation, spend) tallies + GridCum's bucketed
+  //    cumsum. No per-customer window; arithmetic exact in longs until the
+  //    final scalar division.
+  private val giniSpend = QueryDef(
+    "q_gini_spend",
+    (s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      val byNation = spend
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("x")).agg(count(lit(1)).as("m"))
+      Cached.withCached(byNation) {
+      val cum = GridCum.cum(byNation, Seq("n_name"), "x", Seq("m"),
+        bucketWidth = 1L << 22)
+        .withColumn("below", col("cum_m") - col("m"))
+        // `div`, not `/`: Column./ on longs is double division; m(m+1) is
+        // even so the integer quotient is exact
+        .withColumn("ix", expr("x * (m * below + (m * (m + 1)) div 2)"))
+      cum.groupBy("n_name")
+        // sx weights each distinct spend by its tie count — sum(x) alone
+        // is only equal when every spend is unique (true at sf0.01, NOT
+        // at sf1 where the key-shift clones customers 10×)
+        .agg(sum("m").as("n_cust"), sum(expr("x * m")).as("sx"),
+          sum("ix").as("six"))
+        .select(col("n_name"), col("n_cust"),
+          dround(lit(2.0) * col("six")
+            / (col("n_cust").cast("double") * col("sx"))
+            - (col("n_cust") + 1L).cast("double") / col("n_cust"), 6)
+            .as("gini"))
+        .orderBy("n_name")
+      }
+    },
+    Some(s"""
+      WITH spend AS (SELECT o_custkey,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS x
+                     FROM orders GROUP BY 1),
+        t AS (SELECT n_name, x, CAST(count(*) AS BIGINT) AS m
+              FROM spend
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1, 2),
+        c AS (SELECT n_name, x, m,
+                CAST(sum(m) OVER (PARTITION BY n_name ORDER BY x)
+                  AS BIGINT) - m AS below
+              FROM t),
+        a AS (SELECT n_name,
+                CAST(sum(m) AS BIGINT) AS n_cust,
+                CAST(sum(x * m) AS BIGINT) AS sx,
+                CAST(sum(x * (m * below + m * (m + 1) // 2)) AS BIGINT) AS six
+              FROM c GROUP BY 1)
+      SELECT n_name, n_cust,
+             ${oround(
+               "2.0 * six / (CAST(n_cust AS DOUBLE) * sx) - CAST(n_cust + 1 AS DOUBLE) / n_cust",
+               6)} AS gini
+      FROM a ORDER BY n_name"""))
+
+  // -- Sample autocorrelation of the daily event-value series at lags
+  //    1 / 7 / 14 (drift + weekly seasonality detection). The raw stream
+  //    collapses to one row per day (calendar-bounded) before anything
+  //    quadratic-looking happens; lag pairing is an equi-join on day+k
+  //    over that tiny frame, and the normalizer is the full-series moment.
+  private val acfDaily = QueryDef(
+    "q_acf_daily",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(expr("ts_us div 86400000000").as("day"))
+        .agg(sum(expr(centsEv)).as("x"))
+      Cached.withCached(daily) {
+        val mo = daily.agg(
+          (sum("x").cast("double") / count(lit(1))).as("xbar"),
+          count(lit(1)).as("nd"))
+        val cen = daily.crossJoin(broadcast(mo))
+        val den = cen
+          .agg(sum((col("x") - col("xbar")) * (col("x") - col("xbar")))
+            .as("den"))
+        val lags = Seq(1, 7, 14).toDF("lag")
+        val pairs = cen.crossJoin(broadcast(lags))
+          .select(col("day") + col("lag"), col("lag"), col("x"), col("xbar"))
+          .toDF("day", "lag", "x0", "xbar")
+          .join(cen.select(col("day"), col("x").as("x1")), Seq("day"))
+        pairs.groupBy("lag")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum((col("x0") - col("xbar")) * (col("x1") - col("xbar")))
+              .as("num"))
+          .crossJoin(broadcast(den))
+          .select(col("lag"), col("n_pairs"),
+            dround(col("num") / col("den"), 6).as("acf"))
+          .orderBy("lag")
+      }
+    },
+    Some(s"""
+      WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                       CAST(sum($centsEv) AS BIGINT) AS x
+                     FROM events GROUP BY 1),
+        mo AS (SELECT CAST(sum(x) AS DOUBLE) / count(*) AS xbar FROM daily),
+        den AS (SELECT sum((x - mo.xbar) * (x - mo.xbar)) AS den
+                FROM daily, mo),
+        lags AS (SELECT unnest([1, 7, 14]) AS lag),
+        pairs AS (SELECT l.lag,
+                    (a.x - mo.xbar) * (b.x - mo.xbar) AS p
+                  FROM daily a
+                  CROSS JOIN lags l
+                  JOIN daily b ON b.day = a.day + l.lag
+                  CROSS JOIN mo),
+        agg AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                  sum(p) AS num
+                FROM pairs GROUP BY lag)
+      SELECT lag, n_pairs, ${oround("num / den.den", 6)} AS acf
+      FROM agg, den ORDER BY lag"""))
+
+  // -- CUSUM changepoint scan per event type: standardize the daily-mean
+  //    series by its own (μ, σ_pop), cumulate the z-scores in day order,
+  //    and report where |S| peaks — the classic shift detector. Ranking
+  //    happens on the ROUNDED |S| (6 dp) with a day tie-break so the
+  //    argmax can't flip on last-ulp double noise between engines. All
+  //    windows partition by event_type over calendar-bounded day frames.
+  private val cusumChange = QueryDef(
+    "q_cusum_changepoint",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(sum(expr(centsEv)).as("sc"), count(lit(1)).as("c"))
+        .withColumn("x", col("sc").cast("double") / col("c") / 100.0)
+      Cached.withCached(daily) {
+      val stats = daily.groupBy("event_type")
+        .agg((sum("x") / count(lit(1))).as("mu"),
+          count(lit(1)).as("n_days"),
+          (sum(col("x") * col("x")) / count(lit(1))).as("m2"))
+        .withColumn("sigma",
+          sqrt(col("m2") - col("mu") * col("mu")))
+        .drop("m2")
+      val wS = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cus = daily.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", (col("x") - col("mu")) / col("sigma"))
+        .withColumn("s", sum("z").over(wS))
+      val wPick = Window.partitionBy("event_type")
+        .orderBy(dround(abs(col("s")), 6).desc, col("day").asc)
+      cus.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("day").as("cp_day"),
+          dround(col("s"), 4).as("s_at_peak"),
+          dround(abs(col("s")), 4).as("max_abs_s"), col("n_days"))
+        .orderBy("event_type")
+      }
+    },
+    Some(s"""
+      WITH daily AS (SELECT event_type,
+                       epoch_us(ts) // 86400000000 AS day,
+                       CAST(sum($centsEv) AS BIGINT) AS sc,
+                       CAST(count(*) AS BIGINT) AS c
+                     FROM events GROUP BY 1, 2),
+        d2 AS (SELECT event_type, day,
+                 CAST(sc AS DOUBLE) / c / 100.0 AS x
+               FROM daily),
+        st AS (SELECT event_type,
+                 sum(x) / count(*) AS mu,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 sqrt(sum(x * x) / count(*)
+                   - (sum(x) / count(*)) * (sum(x) / count(*))) AS sigma
+               FROM d2 GROUP BY 1),
+        cus AS (SELECT d2.event_type, d2.day, st.n_days,
+                  sum((d2.x - st.mu) / st.sigma)
+                    OVER (PARTITION BY d2.event_type ORDER BY d2.day) AS s
+                FROM d2 JOIN st ON d2.event_type = st.event_type),
+        pick AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                   ORDER BY ${oround("abs(s)", 6)} DESC, day ASC) AS rn
+                 FROM cus)
+      SELECT event_type, day AS cp_day,
+             ${oround("s", 4)} AS s_at_peak,
+             ${oround("abs(s)", 4)} AS max_abs_s, n_days
+      FROM pick WHERE rn = 1 ORDER BY event_type"""))
+
+  def queries: Seq[QueryDef] = Seq(
+    ksTwoSample, mannWhitney, chiSquare, welchT, giniSpend, acfDaily,
+    cusumChange)
+}

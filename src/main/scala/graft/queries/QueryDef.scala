@@ -135,7 +135,8 @@ object Registry {
     TemporalQueries,
     GraphQueries,
     RetrievalQueries,
-    SelectionQueries)
+    SelectionQueries,
+    InferenceQueries)
 
   lazy val all: Seq[QueryDef] = {
     val qs = modules.flatMap(_.queries)

@@ -50,7 +50,9 @@ class WindowAuditSpec extends SparkSpec {
     "q_dsir_importance" -> "top-N survivors of TakeOrdered (≤ 20 rows)",
     "q_bpe_merge_step" -> "top-K survivors of TakeOrdered (≤ 20 rows)",
     "q_perplexity_buckets" -> "histogram buckets (HistQuantiles prefix sum)",
-    "q_temperature_mix" -> "language rows (≤ #languages aggregate rows)")
+    "q_temperature_mix" -> "language rows (≤ #languages aggregate rows)",
+    "q_ks_two_sample" -> "cents-grid coarse buckets (GridCum offset pass)",
+    "q_mannwhitney_u" -> "cents-grid coarse buckets (GridCum offset pass)")
 
   private def constantKeyWindows(plan: SparkPlan): Seq[String] =
     plan.collect {

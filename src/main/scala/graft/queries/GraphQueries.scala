@@ -471,7 +471,144 @@ object GraphQueries extends QueryModule {
              ${oround("CAST(sx AS DOUBLE) / m", 4)} AS avg_end_deg
       FROM mo"""))
 
+  // -- weighted single-source shortest paths (graft.operators.Sssp):
+  //    Bellman-Ford relaxation rounds over the purchase graph with the
+  //    minimum ship-delay (days, clamped ≥1) as the edge cost — "how
+  //    cheaply can a delay-weighted path reach each node from the seed
+  //    suppliers". The weighted sibling of q_bfs_levels; reported as a
+  //    distance-bucket census so the result is a bounded frame at any
+  //    scale. Same discipline: one min-dist shuffle per round, exact
+  //    integer distances (day sums), edge frame materialized once, oracle
+  //    unrolls identical rounds as materialized CTEs.
+  private val SsspRounds = 4
+  private val ssspDelay = QueryDef(
+    "q_sssp_delay",
+    (s, dir) => {
+      import s.implicits._
+      val e0 = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("p"))
+        .agg(greatest(min(datediff(col("l_shipdate"), col("o_orderdate"))),
+          lit(1)).cast("long").as("w"))
+      val edges = e0.select(col("c").as("src"), col("p").as("dst"), col("w"))
+        .union(e0.select(col("p").as("src"), col("c").as("dst"), col("w")))
+      val seeds = (0L until 5L).map(k => 2 * k + 1).toDF("node")
+      val nodes = edges.select(col("src").as("node")).distinct()
+      val dist = graft.operators.Sssp.distances(edges, seeds, SsspRounds)
+      val census = dist.groupBy(expr("dist div 25").as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"), min("dist").as("min_dist"),
+          max("dist").as("max_dist"))
+      val unreached = nodes.join(dist, Seq("node"), "left_anti")
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(lit(-1L).as("bucket"), col("n_nodes"),
+          lit(-1L).as("min_dist"), lit(-1L).as("max_dist"))
+      census.unionByName(unreached)
+        .select(col("bucket"), col("n_nodes").cast("long").as("n_nodes"),
+          col("min_dist"), col("max_dist"))
+        .orderBy("bucket")
+    },
+    Some {
+      val rounds = (1 to SsspRounds).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+                 SELECT node, dist FROM d${i - 1}
+                 UNION ALL
+                 SELECT e.dst AS node, r.dist + e.w AS dist
+                 FROM edges e JOIN d${i - 1} r ON e.src = r.node)
+               GROUP BY node)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH e0 AS MATERIALIZED (
+                  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p,
+                         greatest(min(date_diff('day', o_orderdate,
+                           l_shipdate)), 1) AS w
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  GROUP BY 1, 2),
+        edges AS MATERIALIZED (SELECT c AS src, p AS dst, w FROM e0
+                  UNION ALL SELECT p AS src, c AS dst, w FROM e0),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+        seeds(node) AS (VALUES (1), (3), (5), (7), (9)),
+        d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+        $rounds,
+        census AS (SELECT dist // 25 AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(min(dist) AS BIGINT) AS min_dist,
+                     CAST(max(dist) AS BIGINT) AS max_dist
+                   FROM d$SsspRounds GROUP BY 1
+                   UNION ALL
+                   SELECT -1 AS bucket, CAST(count(*) AS BIGINT) AS n_nodes,
+                          -1 AS min_dist, -1 AS max_dist
+                   FROM nodes n WHERE NOT EXISTS
+                     (SELECT 1 FROM d$SsspRounds d WHERE d.node = n.node))
+      SELECT bucket, n_nodes, min_dist, max_dist
+      FROM census ORDER BY bucket"""
+    })
+
+  // -- HITS hubs & authorities over the DIRECTED customer→supplier
+  //    purchase graph: two un-normalized power-iteration rounds in exact
+  //    long arithmetic (authority⁰=in-degree → hub¹ → authority²), then a
+  //    single L1 normalization of each side at the end. HITS scores are
+  //    scale-invariant, so deferring the normalization changes nothing
+  //    mathematically while keeping every per-node aggregate an exact
+  //    integer — bit-deterministic under any partitioning, no float state
+  //    to drift between engines. Two rounds on the purchase graph keep
+  //    Σ-magnitudes ≤ ~1e12 (≤ indeg·outdeg·E growth per round); a
+  //    100 TB run with more rounds renormalizes per-iteration on a
+  //    decimal grid instead (same plan shape, the PageRank 1e-9-grid
+  //    discipline).
+  //
+  //    Scale shape: each half-round is ONE equi-join (edges × scores on
+  //    the source side) plus ONE map-side-combinable sum keyed by the
+  //    destination — identical shuffle profile to a PageRank round.
+  private val hitsRank = QueryDef(
+    "q_hits_rank",
+    (s, dir) => {
+      val e = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+        .distinct()
+      Cached.withCached(e) {
+        val a1 = e.groupBy("p").agg(count(lit(1)).as("a"))
+        val h1 = e.join(a1, "p").groupBy("c").agg(sum("a").as("h"))
+        val a2 = e.join(h1, "c").groupBy("p").agg(sum("h").as("a"))
+        val sH = h1.agg(sum("h").as("sh"))
+        val sA = a2.agg(sum("a").as("sa"))
+        val hubs = h1.crossJoin(broadcast(sH))
+          .select(lit("hub").as("role"), col("c").as("node_key"),
+            dround(col("h").cast("double") / col("sh"), 8).as("score"))
+          .orderBy(col("score").desc, col("node_key").asc).limit(10)
+        val auths = a2.crossJoin(broadcast(sA))
+          .select(lit("authority").as("role"), col("p").as("node_key"),
+            dround(col("a").cast("double") / col("sa"), 8).as("score"))
+          .orderBy(col("score").desc, col("node_key").asc).limit(10)
+        hubs.unionByName(auths).orderBy(col("role"), col("score").desc,
+          col("node_key").asc)
+      }
+    },
+    Some("""
+      WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        a1 AS MATERIALIZED (SELECT p, CAST(count(*) AS BIGINT) AS a
+               FROM e GROUP BY p),
+        h1 AS MATERIALIZED (SELECT c, CAST(sum(a) AS BIGINT) AS h
+               FROM e JOIN a1 USING (p) GROUP BY c),
+        a2 AS MATERIALIZED (SELECT p, CAST(sum(h) AS BIGINT) AS a
+               FROM e JOIN h1 USING (c) GROUP BY p),
+        sh AS (SELECT CAST(sum(h) AS BIGINT) AS sh FROM h1),
+        sa AS (SELECT CAST(sum(a) AS BIGINT) AS sa FROM a2),
+        hubs AS (SELECT 'hub' AS role, c AS node_key,
+                   """ + oround("CAST(h AS DOUBLE) / sh.sh", 8) + """ AS score
+                 FROM h1, sh ORDER BY score DESC, node_key ASC LIMIT 10),
+        auths AS (SELECT 'authority' AS role, p AS node_key,
+                    """ + oround("CAST(a AS DOUBLE) / sa.sa", 8) + """ AS score
+                  FROM a2, sa ORDER BY score DESC, node_key ASC LIMIT 10)
+      SELECT role, node_key, score FROM
+        (SELECT * FROM hubs UNION ALL SELECT * FROM auths)
+      ORDER BY role, score DESC, node_key ASC"""))
+
   override def queries: Seq[QueryDef] =
     Seq(pagerankSuppliers, triangleCount, bfsLevels, kcorePeel, labelProp,
-      pprSeeds, assortativity)
+      pprSeeds, assortativity, ssspDelay, hitsRank)
 }

@@ -1256,9 +1256,207 @@ object TextQueries extends QueryModule {
                src_a ASC, src_b ASC
       LIMIT 10"""))
 
+  // -- TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+  //    the token co-occurrence graph (adjacent-token edges, symmetrized,
+  //    deduplicated), composed from the SAME integer-grid PageRank
+  //    operator as q_pagerank_suppliers — the classic "compose existing
+  //    ops" tier. Node ids come from a frequency-ranked vocabulary
+  //    (TakeOrdered(V) then row_number over the V survivors — the audited
+  //    bounded-global-window pattern), so the graph is VOCAB-bounded: a
+  //    100 TB corpus still produces a ≤V-node rank problem after the
+  //    linear tally pass.
+  private val TrV = 30
+  private val TrIters = 3
+  private val textrankKeywords = QueryDef(
+    "q_textrank_keywords",
+    (s, dir) => {
+      val keyed = Tables.documents(s, dir)
+        .groupBy(sha2(col("text"), 256).as("ckey"))
+        .agg(min("text").as("text"), count(lit(1)).as("m"))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+      Cached.withCached(keyed) {
+        val freq = keyed.select(col("m"), explode(col("toks")).as("tok"))
+          .groupBy("tok").agg(sum("m").as("f"))
+        val wV = org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("f"), lit(1))).orderBy(col("f").desc, col("tok").asc)
+        val vocab = freq.orderBy(col("f").desc, col("tok").asc).limit(TrV)
+          .withColumn("id", row_number().over(wV)).select("tok", "id")
+        val big = keyed.select(col("m"),
+          explode(expr(
+            """transform(sequence(0, size(toks) - 2),
+                         i -> struct(element_at(toks, i + 1) AS w1,
+                                     element_at(toks, i + 2) AS w2))"""))
+            .as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .filter(col("w1") =!= col("w2"))
+        val ids = big
+          .join(broadcast(vocab).withColumnRenamed("tok", "w1")
+            .withColumnRenamed("id", "id1"), "w1")
+          .join(broadcast(vocab).withColumnRenamed("tok", "w2")
+            .withColumnRenamed("id", "id2"), "w2")
+          .select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
+          .distinct()
+        val edges = ids.select(col("a").as("src"), col("b").as("dst"))
+          .union(ids.select(col("b").as("src"), col("a").as("dst")))
+          .distinct()
+        val ranks = graft.operators.PageRank.ranks(edges, TrIters)
+        ranks.join(broadcast(vocab), col("node") === col("id"))
+          .select(col("tok").as("keyword"), dround(col("r") / 1e9, 6).as("rank"))
+          .orderBy(col("rank").desc, col("keyword").asc)
+          .limit(20)
+      }
+    },
+    Some {
+      val rounds = (1 to TrIters).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT e.dst AS node,
+                 CAST(sum(r.r // o.outdeg) AS BIGINT) AS sc
+               FROM edges e
+               JOIN outd o ON e.src = o.src
+               JOIN r${i - 1} r ON r.node = e.src
+               GROUP BY e.dst),
+        r$i AS MATERIALIZED (SELECT n.node,
+                 150000000 + (coalesce(c.sc, CAST(0 AS BIGINT)) * 85) // 100
+                   AS r
+               FROM nodes n LEFT JOIN c$i c ON n.node = c.node)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH keyed AS MATERIALIZED (
+                SELECT min(text) AS text, count(*) AS m
+                FROM documents GROUP BY sha256(text)),
+        toks AS MATERIALIZED (
+                SELECT m, string_split(text, ' ') AS toks FROM keyed
+                WHERE len(string_split(text, ' ')) >= 2),
+        freq AS (SELECT tok, CAST(sum(m) AS BIGINT) AS f
+                 FROM (SELECT m, unnest(toks) AS tok FROM toks) GROUP BY tok),
+        vocab AS MATERIALIZED (
+                SELECT tok, id FROM
+                  (SELECT tok, row_number() OVER (ORDER BY f DESC, tok ASC)
+                     AS id FROM freq)
+                WHERE id <= $TrV),
+        big AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+                FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1))
+                        AS i
+                      FROM toks)
+                WHERE toks[i] <> toks[i + 1]),
+        ids AS (SELECT DISTINCT v1.id AS a, v2.id AS b
+                FROM big JOIN vocab v1 ON big.w1 = v1.tok
+                         JOIN vocab v2 ON big.w2 = v2.tok),
+        edges AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM (
+                  SELECT a AS src, b AS dst FROM ids
+                  UNION ALL SELECT b AS src, a AS dst FROM ids)),
+        outd AS MATERIALIZED (SELECT src, count(*) AS outdeg
+                FROM edges GROUP BY src),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+        r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+        $rounds
+      SELECT v.tok AS keyword, ${oround("r / 1e9", 6)} AS rank
+      FROM r$TrIters JOIN vocab v ON node = v.id
+      ORDER BY rank DESC, keyword ASC
+      LIMIT 20"""
+    })
+
+  // -- Multinomial Naive Bayes language classifier, trained ON the corpus
+  //    (even doc_ids) and evaluated on the held-out half (odd doc_ids):
+  //    Laplace-smoothed per-(lang, token) log-likelihoods + log priors,
+  //    argmax per document, reported as a confusion matrix. The trained
+  //    sibling of q_lang_id_confusion's profile heuristic and
+  //    q_quality_classifier's hashed linear model.
+  //
+  //    Determinism: each per-token log term is snapped to the 1e-9
+  //    integer grid BEFORE summation (the bigram-MI discipline), so
+  //    per-document scores are exact LONG sums — partition order cannot
+  //    move the argmax. Scale shape: model build is two grouped counts;
+  //    scoring is one equi-join of test tokens × the broadcast lang list
+  //    against the (lang, token) table, linear in corpus tokens.
+  private val nbLangClassify = QueryDef(
+    "q_nb_lang_classify",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+      Cached.withCached(docs) {
+        val train = docs.filter(col("doc_id") % 2 === 0)
+        val test = docs.filter(col("doc_id") % 2 === 1)
+        val lt = train.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        val langTot = lt.groupBy("lang").agg(sum("c").as("tl"))
+        val vocabN = lt.agg(countDistinct("tok").as("v"))
+        val docsPerLang = train.groupBy("lang", "doc_id").agg(count(lit(1)))
+          .groupBy("lang").agg(count(lit(1)).as("dl"))
+        val langs = langTot.join(docsPerLang, "lang")
+          .crossJoin(broadcast(vocabN))
+          .crossJoin(broadcast(docsPerLang.agg(sum("dl").as("dtot"))))
+          .select(col("lang").as("clang"),
+            expr("CAST(round(ln(CAST(dl AS DOUBLE) / dtot) * 1e9) AS BIGINT)")
+              .as("prior_i"),
+            (col("tl") + col("v")).as("denom"))
+        val tt = test.groupBy(col("doc_id"), col("lang").as("true_lang"),
+          col("tok")).agg(count(lit(1)).as("tc"))
+        val scored = tt.crossJoin(broadcast(langs))
+          .join(lt.withColumnRenamed("lang", "clang"), Seq("clang", "tok"),
+            "left")
+          .withColumn("term_i", col("tc")
+            * expr("CAST(round(ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) / denom) * 1e9) AS BIGINT)"))
+        val perDoc = scored
+          .groupBy("doc_id", "true_lang", "clang")
+          .agg((first("prior_i") + sum("term_i")).as("score_i"))
+        val wPick = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("score_i").desc, col("clang").asc)
+        perDoc.withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .groupBy(col("true_lang"), col("clang").as("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("true_lang", "predicted")
+      }
+    },
+    Some("""
+      WITH docs AS MATERIALIZED (
+                SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+        train AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+        test AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
+        lt AS MATERIALIZED (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+              FROM train GROUP BY 1, 2),
+        langtot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tl
+                    FROM lt GROUP BY 1),
+        vocabn AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM lt),
+        dpl AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS dl
+                FROM train GROUP BY 1),
+        dtot AS (SELECT CAST(sum(dl) AS BIGINT) AS dtot FROM dpl),
+        langs AS (SELECT langtot.lang AS clang,
+                    CAST(round(ln(CAST(dl AS DOUBLE) / dtot.dtot) * 1e9)
+                      AS BIGINT) AS prior_i,
+                    tl + v AS denom
+                  FROM langtot JOIN dpl ON langtot.lang = dpl.lang
+                  CROSS JOIN vocabn CROSS JOIN dtot),
+        tt AS (SELECT doc_id, lang AS true_lang, tok,
+                 CAST(count(*) AS BIGINT) AS tc
+               FROM test GROUP BY 1, 2, 3),
+        scored AS (SELECT tt.doc_id, tt.true_lang, langs.clang,
+                     langs.prior_i,
+                     tt.tc * CAST(round(ln(CAST(coalesce(lt.c, 0) + 1
+                       AS DOUBLE) / langs.denom) * 1e9) AS BIGINT) AS term_i
+                   FROM tt CROSS JOIN langs
+                   LEFT JOIN lt ON lt.lang = langs.clang
+                               AND lt.tok = tt.tok),
+        perdoc AS (SELECT doc_id, true_lang, clang,
+                     any_value(prior_i) + CAST(sum(term_i) AS BIGINT)
+                       AS score_i
+                   FROM scored GROUP BY 1, 2, 3),
+        pick AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score_i DESC, clang ASC) AS rn
+                 FROM perdoc)
+      SELECT true_lang, clang AS predicted,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM pick WHERE rn = 1
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   override def queries: Seq[QueryDef] =
     Seq(tokenStats, docQuality, langId, fingerprint, keywordHits, tokenCountsBpe,
       tfidfTop, weightedSample, docRepetition, mixtureRates, qualityFilterRules,
       unigramLogprob, piiRedaction, vocabEncode, bigramLogprob, knBigramLogprob,
-      tokenEntropy, zipfSlope, bigramMi, vocabOverlap)
+      tokenEntropy, zipfSlope, bigramMi, vocabOverlap, textrankKeywords,
+      nbLangClassify)
 }

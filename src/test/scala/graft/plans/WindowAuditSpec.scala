@@ -52,7 +52,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_perplexity_buckets" -> "histogram buckets (HistQuantiles prefix sum)",
     "q_temperature_mix" -> "language rows (≤ #languages aggregate rows)",
     "q_ks_two_sample" -> "cents-grid coarse buckets (GridCum offset pass)",
-    "q_mannwhitney_u" -> "cents-grid coarse buckets (GridCum offset pass)")
+    "q_mannwhitney_u" -> "cents-grid coarse buckets (GridCum offset pass)",
+    "q_textrank_keywords" -> "top-V vocab survivors of TakeOrdered (≤ 30 rows)")
 
   private def constantKeyWindows(plan: SparkPlan): Seq[String] =
     plan.collect {

@@ -378,7 +378,50 @@ object CurationQueries extends QueryModule {
       FROM sp JOIN byl ON sp.lang = byl.lang
       GROUP BY sp.lang, split ORDER BY sp.lang, split"""))
 
+  // -- Differentially-private release of per-nation customer counts:
+  //    Laplace mechanism with ε=1 (count sensitivity 1 → scale b=1), the
+  //    governance primitive for publishing corpus statistics without
+  //    exposing individuals. Noise is the inverse-CDF transform of the
+  //    shared LCG uniform seeded by the nation key — deterministic in
+  //    BOTH engines (the q_weighted_sample discipline), so the "random"
+  //    release is certifiable; swap the seed column for a fresh nonce per
+  //    release in production. Counts are one map-side-combinable
+  //    aggregate; the noise is a scalar expression per group row.
+  private val dpNoisyCounts = QueryDef(
+    "q_dp_noisy_counts",
+    (s, dir) => {
+      val u = "(((((n_nationkey % 4294967296) * 69069 + 12345)" +
+        " % 4294967296) * 1664525 + 1013904223) % 4294967296" +
+        " + 0.5) / 4294967296.0"
+      val counts = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_nationkey", "n_name").agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("uc", expr(u) - 0.5)
+        .withColumn("noise", -signum(col("uc"))
+          * log(lit(1.0) - lit(2.0) * abs(col("uc"))))
+        .select(col("n_name"), lit(1.0).as("epsilon"),
+          dround(col("n") + col("noise"), 4).as("noisy_n"))
+        .orderBy("n_name")
+    },
+    Some {
+      val u = "(((((n_nationkey % 4294967296) * 69069 + 12345)" +
+        " % 4294967296) * 1664525 + 1013904223) % 4294967296" +
+        " + 0.5) / 4294967296.0"
+      s"""
+      WITH counts AS (SELECT n_nationkey, n_name,
+                        CAST(count(*) AS BIGINT) AS n
+                      FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      GROUP BY 1, 2),
+        noise AS (SELECT n_name, n, ($u) - 0.5 AS uc FROM counts)
+      SELECT n_name, CAST(1.0 AS DOUBLE) AS epsilon,
+             ${oround("n + (-sign(uc) * ln(1.0 - 2.0 * abs(uc)))", 4)}
+               AS noisy_n
+      FROM noise ORDER BY n_name"""
+    })
+
   override def queries: Seq[QueryDef] =
     Seq(sourceCaps, stratifiedSample, tokenShards, zorderQuadrants,
-      langQualityGate, curationFunnel, datasetSplit)
+      langQualityGate, curationFunnel, datasetSplit, dpNoisyCounts)
 }

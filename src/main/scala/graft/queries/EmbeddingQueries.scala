@@ -559,7 +559,88 @@ object EmbeddingQueries extends QueryModule {
       FROM adc3 LEFT JOIN rec ON adc3.q_id = rec.q_id
       ORDER BY adc3.q_id, rank"""))
 
+  // -- Johnson–Lindenstrauss random-sign projection 64→8 dims with a
+  //    per-pair distortion audit: the dimensionality-reduction primitive
+  //    for cheap first-pass ANN at 100 TB (project once, search in 8
+  //    floats, re-rank survivors in the original space). The sign matrix
+  //    is the shared LCG evaluated at (i·K+j) — a pure expression both
+  //    engines replay bit-identically, no materialized matrix, no
+  //    broadcast. Audit output: original vs projected cosine for the
+  //    first 20 disjoint vector pairs. All per-vector work is one
+  //    embarrassingly parallel projection scan.
+  private val JlK = 8
+  private val JlD = 64
+  private val jlProjection = QueryDef(
+    "q_jl_projection",
+    (s, dir) => {
+      val sign = (k: String) =>
+        s"(CASE WHEN (((($k) * 69069 + 12345) % 4294967296) * 1664525" +
+          s" + 1013904223) % 4294967296 < 2147483648 THEN 1.0 ELSE -1.0 END)"
+      val e = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 40)
+        .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("proj", expr(
+          s"""transform(sequence(0, ${JlK - 1}), j ->
+                aggregate(sequence(0, ${JlD - 1}), CAST(0.0 AS DOUBLE),
+                  (acc, i) -> acc + ${sign(s"i * $JlK + j")}
+                    * CAST(element_at(embedding, i + 1) AS DOUBLE)))"""))
+        .withColumn("nrm", graft.functions.VectorFunctions.vecNorm(col("vecd")))
+        .withColumn("pnrm", graft.functions.VectorFunctions.vecNorm(col("proj")))
+        .select(col("vec_id"), col("vecd"), col("proj"), col("nrm"), col("pnrm"))
+      val a = e.filter(col("vec_id") % 2 === 0)
+        .select((col("vec_id") / 2).cast("long").as("pair_id"),
+          col("vecd").as("va"), col("proj").as("pa"),
+          col("nrm").as("na"), col("pnrm").as("pna"))
+      val b = e.filter(col("vec_id") % 2 === 1)
+        .select(((col("vec_id") - 1) / 2).cast("long").as("pair_id"),
+          col("vecd").as("vb"), col("proj").as("pb"),
+          col("nrm").as("nb"), col("pnrm").as("pnb"))
+      a.join(b, "pair_id")
+        .withColumn("cos_orig", graft.functions.VectorFunctions.cosine(
+          col("va"), col("vb"), col("na"), col("nb")))
+        .withColumn("cos_proj", graft.functions.VectorFunctions.cosine(
+          col("pa"), col("pb"), col("pna"), col("pnb")))
+        .select(col("pair_id"),
+          dround(col("cos_orig"), 4).as("cos_orig"),
+          dround(col("cos_proj"), 4).as("cos_proj"),
+          dround(abs(col("cos_orig") - col("cos_proj")), 4).as("abs_err"))
+        .orderBy("pair_id")
+    },
+    Some {
+      val sign = (k: String) =>
+        s"(CASE WHEN (((($k) * 69069 + 12345) % 4294967296) * 1664525" +
+          s" + 1013904223) % 4294967296 < 2147483648 THEN 1.0 ELSE -1.0 END)"
+      s"""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd,
+                   list_transform(generate_series(0, ${JlK - 1}), j ->
+                     list_sum(list_transform(generate_series(0, ${JlD - 1}),
+                       i -> ${sign(s"i * $JlK + j")}
+                         * CAST(embedding[i + 1] AS DOUBLE)))) AS proj
+                 FROM embeddings WHERE vec_id < 40),
+        n AS (SELECT vec_id, vecd, proj,
+                sqrt(list_sum(list_transform(vecd, x -> x * x))) AS nrm,
+                sqrt(list_sum(list_transform(proj, x -> x * x))) AS pnrm
+              FROM e),
+        a AS (SELECT vec_id // 2 AS pair_id, vecd AS va, proj AS pa,
+                     nrm AS na, pnrm AS pna
+              FROM n WHERE vec_id % 2 = 0),
+        b AS (SELECT (vec_id - 1) // 2 AS pair_id, vecd AS vb, proj AS pb,
+                     nrm AS nb, pnrm AS pnb
+              FROM n WHERE vec_id % 2 = 1),
+        j AS (SELECT a.pair_id,
+                list_sum(list_transform(list_zip(va, vb), x -> x[1] * x[2]))
+                  / (na * nb) AS cos_orig,
+                list_sum(list_transform(list_zip(pa, pb), x -> x[1] * x[2]))
+                  / (pna * pnb) AS cos_proj
+              FROM a JOIN b ON a.pair_id = b.pair_id)
+      SELECT pair_id, ${oround("cos_orig", 4)} AS cos_orig,
+             ${oround("cos_proj", 4)} AS cos_proj,
+             ${oround("abs(cos_orig - cos_proj)", 4)} AS abs_err
+      FROM j ORDER BY pair_id"""
+    })
+
   override def queries: Seq[QueryDef] =
     Seq(bruteForceTopK, lshTopK, ivfTopK, normStats, kmeansRefine,
-      lshMultiprobe, sq8Adc)
+      lshMultiprobe, sq8Adc, jlProjection)
 }

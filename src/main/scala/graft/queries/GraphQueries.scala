@@ -608,7 +608,56 @@ object GraphQueries extends QueryModule {
         (SELECT * FROM hubs UNION ALL SELECT * FROM auths)
       ORDER BY role, score DESC, node_key ASC"""))
 
+  // -- Link prediction by common-neighbor overlap: suppliers are similar
+  //    when the same orders use both (shared-order Jaccard). Pair
+  //    generation is per-order (≤7 lineitems → ≤21 pairs, the
+  //    triangle-count discipline) so candidate mass is LINEAR in orders,
+  //    never supplier²; degrees come from one grouped count and join
+  //    back by supplier key. Exact integer counts end-to-end; the only
+  //    double is the final Jaccard ratio.
+  private val linkPrediction = QueryDef(
+    "q_link_prediction",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("pk"))
+        .distinct()
+      Cached.withCached(li) {
+        val deg = li.groupBy("pk").agg(count(lit(1)).as("deg"))
+        val pairs = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+          .agg(count(lit(1)).as("common"))
+        pairs
+          .join(deg.select(col("pk").as("a"), col("deg").as("deg_a")), "a")
+          .join(deg.select(col("pk").as("b"), col("deg").as("deg_b")), "b")
+          .withColumn("jaccard", dround(col("common").cast("double")
+            / (col("deg_a") + col("deg_b") - col("common")), 6))
+          .select(col("a").as("s_a"), col("b").as("s_b"), col("common"),
+            col("deg_a"), col("deg_b"), col("jaccard"))
+          .orderBy(col("jaccard").desc, col("s_a").asc, col("s_b").asc)
+          .limit(15)
+      }
+    },
+    Some(s"""
+      WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+                   l_suppkey AS pk FROM lineitem),
+        deg AS (SELECT pk, CAST(count(*) AS BIGINT) AS deg
+                FROM li GROUP BY pk),
+        pairs AS (SELECT x.pk AS a, y.pk AS b,
+                    CAST(count(*) AS BIGINT) AS common
+                  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+                  GROUP BY 1, 2),
+        j AS (SELECT a, b, common, da.deg AS deg_a, db.deg AS deg_b,
+                ${oround(
+                  "CAST(common AS DOUBLE) / (da.deg + db.deg - common)", 6)}
+                  AS jaccard
+              FROM pairs
+              JOIN deg da ON pairs.a = da.pk
+              JOIN deg db ON pairs.b = db.pk)
+      SELECT a AS s_a, b AS s_b, common, deg_a, deg_b, jaccard
+      FROM j ORDER BY jaccard DESC, s_a ASC, s_b ASC LIMIT 15"""))
+
   override def queries: Seq[QueryDef] =
     Seq(pagerankSuppliers, triangleCount, bfsLevels, kcorePeel, labelProp,
-      pprSeeds, assortativity, ssspDelay, hitsRank)
+      pprSeeds, assortativity, ssspDelay, hitsRank, linkPrediction)
 }

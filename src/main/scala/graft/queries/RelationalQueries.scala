@@ -1176,6 +1176,40 @@ object RelationalQueries extends QueryModule {
                supp_ab DESC, p_a ASC, p_b ASC
       LIMIT 10"""))
 
+  // -- pivot → unpivot round trip (wide/long reshaping): order counts
+  //    spread to one column per order status, then MELTED back to long
+  //    form with Dataset.unpivot — the Spark-native melt operator the
+  //    reference's pandas `.melt` users reach for. The unpivot side is
+  //    pure metadata reshaping (an Expand node, no shuffle); absent
+  //    (priority, status) cells surface as the nulls the pivot created
+  //    and are zero-filled, so the round trip certifies the FULL grid,
+  //    matching the oracle's cross-join skeleton.
+  private val unpivotMelt = QueryDef(
+    "q_unpivot_melt",
+    (s, dir) => {
+      val wide = Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+      wide.unpivot(Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")), "status", "n")
+        .select(col("o_orderpriority"), col("status"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("o_orderpriority", "status")
+    },
+    Some("""
+      WITH g AS (SELECT DISTINCT o_orderpriority FROM orders),
+        s(status) AS (VALUES ('F'), ('O'), ('P')),
+        c AS (SELECT o_orderpriority, o_orderstatus AS status,
+                CAST(count(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1, 2)
+      SELECT g.o_orderpriority, s.status,
+             CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      FROM g CROSS JOIN s
+      LEFT JOIN c ON c.o_orderpriority = g.o_orderpriority
+                 AND c.status = s.status
+      ORDER BY 1, 2"""))
+
   override def queries: Seq[QueryDef] = Seq(
     marketBasket,
     pricingSummary, filteredRevenue, customerGeo, topRevenueOrders,
@@ -1187,5 +1221,5 @@ object RelationalQueries extends QueryModule {
     nationRevenueShare, orderGaps,
     unionEvidence, setOps, acctbalBands, rollupSuppliers, groupingSetsAgg,
     shippingPriority, regionVolume, asofJoin, asofNative, asofTolerance, rangeJoin,
-    incrementalAgg)
+    incrementalAgg, unpivotMelt)
 }

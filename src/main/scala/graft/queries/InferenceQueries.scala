@@ -453,7 +453,162 @@ object InferenceQueries extends QueryModule {
              ${oround("abs(s)", 4)} AS max_abs_s, n_days
       FROM pick WHERE rn = 1 ORDER BY event_type"""))
 
+  // -- CUPED variance reduction (Deng et al. 2013) for an A/B readout:
+  //    users split into arms by id parity, the experiment window split at
+  //    the calendar midpoint, and each user's post-period spend adjusted
+  //    by θ·(pre − mean(pre)) with θ = cov(pre, post)/var(pre) from the
+  //    POOLED pre-period — the standard pre-experiment covariate trick.
+  //    Every moment (Σpre, Σpost, Σpre², Σpre·post) accumulates as an
+  //    exact long in cents; θ and the adjusted means are scalar double
+  //    arithmetic on those (the Welch-t discipline). One scan to user
+  //    aggregates, one tiny agg each for pooled and per-arm moments.
+  private val cupedAb = QueryDef(
+    "q_cuped_ab",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"),
+          expr(centsEv).as("v"))
+      Cached.withCached(ev) {
+        val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+        val user = ev.crossJoin(broadcast(mid))
+          .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+          .agg(sum(when(col("day") < col("mid"), col("v")).otherwise(0L)).as("pre"),
+            sum(when(col("day") >= col("mid"), col("v")).otherwise(0L)).as("post"))
+        val pooled = user.agg(count(lit(1)).as("n"),
+          sum("pre").as("sx"), sum("post").as("sy"),
+          sum(col("pre") * col("pre")).as("sxx"),
+          sum(col("pre") * col("post")).as("sxy"))
+          .withColumn("theta",
+            (col("sxy").cast("double") - col("sx").cast("double") * col("sy") / col("n"))
+              / (col("sxx").cast("double") - col("sx").cast("double") * col("sx") / col("n")))
+          .withColumn("mpre", col("sx").cast("double") / col("n"))
+          .select("theta", "mpre")
+        user.groupBy("arm")
+          .agg(count(lit(1)).as("n_users"), sum("pre").as("sa_pre"),
+            sum("post").as("sa_post"))
+          .crossJoin(broadcast(pooled))
+          .select(col("arm"), col("n_users"),
+            dround(col("sa_post").cast("double") / col("n_users") / 100.0, 4)
+              .as("mean_post"),
+            dround((col("sa_post").cast("double") / col("n_users")
+              - col("theta") * (col("sa_pre").cast("double") / col("n_users")
+                - col("mpre"))) / 100.0, 4).as("mean_adjusted"),
+            dround(col("theta"), 6).as("theta"))
+          .orderBy("arm")
+      }
+    },
+    Some(s"""
+      WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                    $centsEv AS v FROM events),
+        mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+        u AS (SELECT user_id, user_id % 2 AS arm,
+                CAST(sum(CASE WHEN day < mid.mid THEN v ELSE 0 END)
+                  AS BIGINT) AS pre,
+                CAST(sum(CASE WHEN day >= mid.mid THEN v ELSE 0 END)
+                  AS BIGINT) AS post
+              FROM ev, mid GROUP BY 1, 2),
+        pooled AS (SELECT count(*) AS n,
+                     CAST(sum(pre) AS BIGINT) AS sx,
+                     CAST(sum(post) AS BIGINT) AS sy,
+                     CAST(sum(pre * pre) AS BIGINT) AS sxx,
+                     CAST(sum(pre * post) AS BIGINT) AS sxy
+                   FROM u),
+        th AS (SELECT (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                   AS theta,
+                 CAST(sx AS DOUBLE) / n AS mpre
+               FROM pooled),
+        a AS (SELECT arm, count(*) AS n_users,
+                CAST(sum(pre) AS BIGINT) AS sa_pre,
+                CAST(sum(post) AS BIGINT) AS sa_post
+              FROM u GROUP BY arm)
+      SELECT arm, n_users,
+             ${oround("CAST(sa_post AS DOUBLE) / n_users / 100.0", 4)}
+               AS mean_post,
+             ${oround(
+               "(CAST(sa_post AS DOUBLE) / n_users - theta * (CAST(sa_pre AS DOUBLE) / n_users - mpre)) / 100.0",
+               4)} AS mean_adjusted,
+             ${oround("theta", 6)} AS theta
+      FROM a, th ORDER BY arm"""))
+
+  // -- Kaplan–Meier survival estimate of user PURCHASE lifetime (days
+  //    between first and last purchase, inclusive), with right-censoring
+  //    for users still purchasing on the final observed day (the horizon:
+  //    their true lifetime is only known to be ≥ the observed span). Risk sets come
+  //    from GridCum cumulative counts over the DURATION grid (calendar-
+  //    bounded, never row-bounded); the survival product Π(1 − dᵢ/nᵢ)
+  //    accumulates as a cumulative sum of per-term logs snapped to the
+  //    1e-9 integer grid (the bigram-MI discipline) — exact long cumsum
+  //    in event-time order, exponentiated once at the end, so partition
+  //    order cannot move the curve.
+  private val survivalKm = QueryDef(
+    "q_survival_km",
+    (s, dir) => {
+      val spans = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(expr("min(ts_us div 86400000000)").as("f"),
+          expr("max(ts_us div 86400000000)").as("l"))
+      Cached.withCached(spans) {
+        val horizon = spans.agg(max("l").as("maxd"))
+        val durs = spans.crossJoin(broadcast(horizon))
+          .select((col("l") - col("f") + 1L).as("t"),
+            when(col("l") >= col("maxd"), 0L).otherwise(1L).as("ev"))
+        val hist = durs.groupBy("t")
+          .agg(count(lit(1)).as("m"), sum("ev").as("d"))
+        val tot = hist.agg(sum("m").as("nn"))
+        val cum = GridCum.cum(hist, Nil, "t", Seq("m"), bucketWidth = 64L)
+          .crossJoin(broadcast(tot))
+          .withColumn("n_risk", col("nn") - (col("cum_m") - col("m")))
+          .filter(col("d") > 0L)
+          // n_risk == d (everyone at risk dies at t, the last event time)
+          // would be ln(0): snap the term to a −2000 log-floor whose exp
+          // underflows to exactly 0.0 in both engines
+          .withColumn("term_i", expr(
+            """CASE WHEN n_risk > d THEN
+                 CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk) * 1e9) AS BIGINT)
+               ELSE CAST(-2000000000000 AS BIGINT) END"""))
+        val wS = org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("t"), lit(1L))).orderBy("t")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        cum.withColumn("ls", sum("term_i").over(wS))
+          .select(col("t"), col("n_risk"), col("d").as("d_events"),
+            dround(exp(col("ls").cast("double") / 1e9), 6).as("survival"))
+          .orderBy("t")
+      }
+    },
+    Some(s"""
+      WITH spans AS (SELECT user_id,
+                       min(epoch_us(ts) // 86400000000) AS f,
+                       max(epoch_us(ts) // 86400000000) AS l
+                     FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        horizon AS (SELECT max(l) AS maxd FROM spans),
+        durs AS (SELECT l - f + 1 AS t,
+                   CASE WHEN l >= horizon.maxd THEN 0 ELSE 1 END AS ev
+                 FROM spans, horizon),
+        hist AS (SELECT t, CAST(count(*) AS BIGINT) AS m,
+                   CAST(sum(ev) AS BIGINT) AS d
+                 FROM durs GROUP BY t),
+        tot AS (SELECT CAST(sum(m) AS BIGINT) AS nn FROM hist),
+        cum AS (SELECT t, m, d,
+                  tot.nn - (CAST(sum(m) OVER (ORDER BY t) AS BIGINT) - m)
+                    AS n_risk
+                FROM hist, tot),
+        ev AS (SELECT t, n_risk, d,
+                 CASE WHEN n_risk > d THEN
+                   CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk) * 1e9)
+                     AS BIGINT)
+                 ELSE CAST(-2000000000000 AS BIGINT) END AS term_i
+               FROM cum WHERE d > 0),
+        s AS (SELECT t, n_risk, d,
+                CAST(sum(term_i) OVER (ORDER BY t) AS BIGINT) AS ls
+              FROM ev)
+      SELECT t, n_risk, d AS d_events,
+             ${oround("exp(CAST(ls AS DOUBLE) / 1e9)", 6)} AS survival
+      FROM s ORDER BY t"""))
+
   def queries: Seq[QueryDef] = Seq(
     ksTwoSample, mannWhitney, chiSquare, welchT, giniSpend, acfDaily,
-    cusumChange)
+    cusumChange, cupedAb, survivalKm)
 }

@@ -1176,6 +1176,60 @@ object RelationalQueries extends QueryModule {
                supp_ab DESC, p_a ASC, p_b ASC
       LIMIT 10"""))
 
+  // -- 2-D skyline (Pareto frontier): parts no other part dominates on
+  //    (cheaper price, larger size). The classic preference-query
+  //    operator, computed WITHOUT the naive all-pairs dominance join: for
+  //    two dimensions, a part is on the frontier iff it has the max size
+  //    at its exact price AND beats the running max size over all
+  //    strictly cheaper prices. That running max runs on the per-distinct-
+  //    price frame (grid-bounded) with the GridCum two-pass shape: coarse
+  //    price buckets get an exclusive cummax over the audited pmod window
+  //    (bucket-count rows), then a per-bucket window finishes. Equal
+  //    (price, size) twins don't dominate each other — strictness is in
+  //    one dimension — so ties all survive, which the oracle replays.
+  private val skylineParts = QueryDef(
+    "q_skyline_parts",
+    (s, dir) => {
+      val p = Tables.part(s, dir)
+        .withColumn("cents", expr("CAST(round(p_retailprice * 100) AS BIGINT)"))
+      Cached.withCached(p) {
+        val h = p.groupBy("cents").agg(max("p_size").as("msize"))
+          .withColumn("b", expr("cents div 8192"))
+        val bmax = h.groupBy("b").agg(max("msize").as("bm"))
+        val wB = org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("b"), lit(1L))).orderBy("b")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val off = bmax.withColumn("obm", coalesce(max("bm").over(wB), lit(-1)))
+          .select("b", "obm")
+        val wIn = org.apache.spark.sql.expressions.Window
+          .partitionBy("b").orderBy("cents")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val m1 = h.join(broadcast(off), "b")
+          .withColumn("m1", greatest(col("obm"),
+            coalesce(max("msize").over(wIn), lit(-1))))
+          .select("cents", "msize", "m1")
+        p.join(broadcast(m1), "cents")
+          .filter(col("p_size") === col("msize") && col("p_size") > col("m1"))
+          .select(col("p_partkey"), dround(col("cents") / 100.0, 2).as("price"),
+            col("p_size"))
+          .orderBy("price", "p_partkey")
+      }
+    },
+    Some(s"""
+      WITH p AS (SELECT p_partkey, p_size,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+                 FROM part),
+        h AS (SELECT cents, max(p_size) AS msize FROM p GROUP BY cents),
+        c AS (SELECT cents, msize,
+                coalesce(max(msize) OVER (ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  AS m1
+              FROM h)
+      SELECT p.p_partkey, ${oround("p.cents / 100.0", 2)} AS price, p.p_size
+      FROM p JOIN c ON p.cents = c.cents
+      WHERE p.p_size = c.msize AND p.p_size > c.m1
+      ORDER BY price, p_partkey"""))
+
   // -- pivot → unpivot round trip (wide/long reshaping): order counts
   //    spread to one column per order status, then MELTED back to long
   //    form with Dataset.unpivot — the Spark-native melt operator the
@@ -1221,5 +1275,5 @@ object RelationalQueries extends QueryModule {
     nationRevenueShare, orderGaps,
     unionEvidence, setOps, acctbalBands, rollupSuppliers, groupingSetsAgg,
     shippingPriority, regionVolume, asofJoin, asofNative, asofTolerance, rangeJoin,
-    incrementalAgg, unpivotMelt)
+    incrementalAgg, unpivotMelt, skylineParts)
 }

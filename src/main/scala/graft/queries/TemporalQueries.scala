@@ -750,9 +750,47 @@ object TemporalQueries extends QueryModule {
              CAST(sum(fv) AS BIGINT) / 100.0 AS sum_filled
       FROM f GROUP BY user_id ORDER BY user_id"""))
 
+  // -- rolling EXACT median (trailing 7 days) of the per-type daily
+  //    revenue series: the robust-smoothing sibling of q_ewma_value (mean
+  //    smoothing) and q_seasonal_anomaly (MAD gate). The raw stream
+  //    collapses to one row per (type, day) — a calendar-bounded frame —
+  //    before any window runs, so the percentile frames are ≤7 rows and
+  //    the window partitions by event_type. Exact interpolated median on
+  //    integer cents: odd frames pick an element, even frames average two
+  //    — both reproducible bit-for-bit in DuckDB's quantile_cont.
+  private val rollingMedian = QueryDef(
+    "q_rolling_median_7d",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+      daily
+        .withColumn("med", percentile(col("x"), lit(0.5)).over(w))
+        .select(col("event_type"), col("day"),
+          dround(col("x") / 100.0, 2).as("revenue"),
+          dround(col("med") / 100.0, 2).as("med_7d"))
+        .orderBy("event_type", "day")
+    },
+    Some(s"""
+      WITH daily AS (SELECT event_type,
+                       epoch_us(ts) // 86400000000 AS day,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                         AS BIGINT) AS x
+                     FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, day, x,
+                quantile_cont(x, 0.5) OVER (PARTITION BY event_type
+                  ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  AS med
+              FROM daily)
+      SELECT event_type, day, ${oround("x / 100.0", 2)} AS revenue,
+             ${oround("med / 100.0", 2)} AS med_7d
+      FROM r ORDER BY event_type, day"""))
+
   override def queries: Seq[QueryDef] =
     Seq(slidingSpend, clickAttribution, saltedSkewJoin,
       cohortRetention, funnelStages, eventTransitions, weeklyRevenueWow,
       skewProfile, ewmaValue, twapValue, intervalCoverage, ohlcBars,
-      activityStreaks, seasonalAnomaly, gapFillLocf)
+      activityStreaks, seasonalAnomaly, gapFillLocf, rollingMedian)
 }

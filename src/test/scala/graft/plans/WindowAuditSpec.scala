@@ -53,7 +53,9 @@ class WindowAuditSpec extends SparkSpec {
     "q_temperature_mix" -> "language rows (≤ #languages aggregate rows)",
     "q_ks_two_sample" -> "cents-grid coarse buckets (GridCum offset pass)",
     "q_mannwhitney_u" -> "cents-grid coarse buckets (GridCum offset pass)",
-    "q_textrank_keywords" -> "top-V vocab survivors of TakeOrdered (≤ 30 rows)")
+    "q_textrank_keywords" -> "top-V vocab survivors of TakeOrdered (≤ 30 rows)",
+    "q_skyline_parts" -> "price-grid coarse buckets (two-pass cummax offsets)",
+    "q_survival_km" -> "duration-grid frames (calendar-bounded; GridCum + log cumsum)")
 
   private def constantKeyWindows(plan: SparkPlan): Seq[String] =
     plan.collect {

@@ -70,6 +70,40 @@ object PageRank {
     rank
   }
 
+  /** WEIGHTED PageRank: identical integer-grid rounds, but each node
+    * splits its rank across out-edges in proportion to integer edge
+    * weights — contribution (r·w) DIV wsum(src) instead of r DIV outdeg.
+    * r·w must stay inside Long: with rank mass bounded by N·One and
+    * weights ≤ wMax, that is N·One·wMax < 2⁶³ — holds through the benched
+    * scale factors (documented at the call site); past that the grid
+    * drops to 1e-6 or the product lifts to DECIMAL(38). Same
+    * one-shuffle-per-round shape and truncation cadence as [[ranks]]. */
+  def weightedRanks(edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("long")).filter(col("w") > 0).localCheckpoint()
+    val out = e.groupBy("src").agg(sum("w").as("wsum"))
+    val eo = e.join(out, "src").localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    var rank = nodes.withColumn("r", lit(One))
+    for (i <- 1 to iters) {
+      val contrib = eo
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("(r * w) DIV wsum").as("c"))
+      rank = nodes
+        .join(contrib.groupBy("node").agg(sum("c").as("sc")),
+          Seq("node"), "left")
+        .select(col("node"),
+          (lit(One * 15 / 100) +
+            expr("(coalesce(sc, CAST(0 AS BIGINT)) * 85) DIV 100")).as("r"))
+      if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint()
+    }
+    rank
+  }
+
   /** PERSONALIZED PageRank [Haveliwala 2002]: identical integer-grid
     * rounds, but the teleport mass lands only on `seeds(node)` — so the
     * stationary mass measures proximity TO THE SEED SET, the

@@ -657,7 +657,68 @@ object GraphQueries extends QueryModule {
       SELECT a AS s_a, b AS s_b, common, deg_a, deg_b, jaccard
       FROM j ORDER BY jaccard DESC, s_a ASC, s_b ASC LIMIT 15"""))
 
+  // -- WEIGHTED PageRank over the purchase graph with total traded
+  //    quantity as the edge weight: rank mass follows volume, not mere
+  //    adjacency (the supplier a customer buys 10× more from receives 10×
+  //    the walk mass). Same integer-grid rounds as q_pagerank_suppliers
+  //    with (r·w) DIV wsum splitting; quantity sums ≤ ~350 per pair keep
+  //    r·w ≤ ~3.5e16 at sf1 — inside Long, per the operator's documented
+  //    N·One·wMax bound.
+  private val weightedPagerank = QueryDef(
+    "q_weighted_pagerank",
+    (s, dir) => {
+      val e0 = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("p"))
+        .agg(sum(col("l_quantity").cast("long")).as("w"))
+      val edges = e0.select(col("c").as("src"), col("p").as("dst"), col("w"))
+        .union(e0.select(col("p").as("src"), col("c").as("dst"), col("w")))
+      graft.operators.PageRank.weightedRanks(edges, Iters)
+        .filter(col("node") % 2 === 1)
+        .select(((col("node") - 1) / 2).cast("long").as("s_suppkey"),
+          dround(col("r") / 1e9, 6).as("rank"))
+        .orderBy(col("rank").desc, col("s_suppkey").asc)
+        .limit(10)
+    },
+    Some {
+      val rounds = (1 to Iters).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT e.dst AS node,
+                 CAST(sum((r.r * e.w) // o.wsum) AS BIGINT) AS sc
+               FROM edges e
+               JOIN outd o ON e.src = o.src
+               JOIN r${i - 1} r ON r.node = e.src
+               GROUP BY e.dst),
+        r$i AS MATERIALIZED (SELECT n.node,
+                 150000000 + (coalesce(c.sc, CAST(0 AS BIGINT)) * 85) // 100
+                   AS r
+               FROM nodes n LEFT JOIN c$i c ON n.node = c.node)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH e0 AS MATERIALIZED (
+                  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p,
+                         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  GROUP BY 1, 2),
+        edges AS MATERIALIZED (SELECT c AS src, p AS dst, w FROM e0
+                  UNION ALL SELECT p AS src, c AS dst, w FROM e0),
+        outd AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+                FROM edges GROUP BY src),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM edges
+                   UNION ALL SELECT dst AS node FROM edges)),
+        r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+        $rounds
+      SELECT (node - 1) // 2 AS s_suppkey,
+             ${oround("r / 1e9", 6)} AS rank
+      FROM r$Iters WHERE node % 2 = 1
+      ORDER BY rank DESC, s_suppkey ASC
+      LIMIT 10"""
+    })
+
   override def queries: Seq[QueryDef] =
     Seq(pagerankSuppliers, triangleCount, bfsLevels, kcorePeel, labelProp,
-      pprSeeds, assortativity, ssspDelay, hitsRank, linkPrediction)
+      pprSeeds, assortativity, ssspDelay, hitsRank, linkPrediction,
+      weightedPagerank)
 }

@@ -608,7 +608,190 @@ object InferenceQueries extends QueryModule {
              ${oround("exp(CAST(ls AS DOUBLE) / 1e9)", 6)} AS survival
       FROM s ORDER BY t"""))
 
+  // -- Theil T inequality index per nation over customer lifetime spend:
+  //    (1/n)·Σ (x/μ)·ln(x/μ), the entropy-based companion to
+  //    q_gini_spend (decomposable across subgroups, which Gini is not).
+  //    Works on per-distinct-(nation, spend) tallies; each tie group's
+  //    term snaps to the 1e-9 grid BEFORE the multiplicity multiply and
+  //    long sum (the bigram-MI discipline), so partition order cannot
+  //    move the index.
+  private val theilIndex = QueryDef(
+    "q_theil_index",
+    (s, dir) => {
+      val byNation = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("x")).agg(count(lit(1)).as("m"))
+      Cached.withCached(byNation) {
+        val stats = byNation.groupBy(col("n_name").as("sn"))
+          .agg(sum("m").as("n"), sum(expr("x * m")).as("sx"))
+        byNation.join(broadcast(stats), col("n_name") === col("sn"))
+          .withColumn("mu", col("sx").cast("double") / col("n"))
+          .withColumn("term_i", col("m") * expr(
+            "CAST(round((x / mu) * ln(x / mu) * 1e9) AS BIGINT)"))
+          .groupBy("n_name")
+          .agg(first("n").as("n_cust"),
+            dround(sum("term_i").cast("double") / 1e9 / first("n"), 6)
+              .as("theil_t"))
+          .orderBy("n_name")
+      }
+    },
+    Some(s"""
+      WITH spend AS (SELECT o_custkey,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS x
+                     FROM orders GROUP BY 1),
+        t AS (SELECT n_name, x, CAST(count(*) AS BIGINT) AS m
+              FROM spend
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1, 2),
+        st AS (SELECT n_name, CAST(sum(m) AS BIGINT) AS n,
+                 CAST(sum(x * m) AS BIGINT) AS sx
+               FROM t GROUP BY 1),
+        terms AS (SELECT t.n_name, st.n,
+                    t.m * CAST(round((t.x / (CAST(st.sx AS DOUBLE) / st.n))
+                      * ln(t.x / (CAST(st.sx AS DOUBLE) / st.n)) * 1e9)
+                      AS BIGINT) AS term_i
+                  FROM t JOIN st ON t.n_name = st.n_name)
+      SELECT n_name, any_value(n) AS n_cust,
+             ${oround("CAST(sum(term_i) AS DOUBLE) / 1e9 / any_value(n)", 6)}
+               AS theil_t
+      FROM terms GROUP BY n_name ORDER BY n_name"""))
+
+  // -- Lorenz-curve decile shares of global customer spend: what fraction
+  //    of total revenue the k-th spend decile holds, with exact
+  //    positional decile boundaries (⌊kn/10⌋) and tie groups split
+  //    across boundaries by integer overlap arithmetic — members of a tie
+  //    are interchangeable, so the overlap count is the exact allocation.
+  //    Cumulative positions come from GridCum on the spend grid; the
+  //    decile fan-out is a 10-row broadcast.
+  private val lorenzDeciles = QueryDef(
+    "q_lorenz_deciles",
+    (s, dir) => {
+      import s.implicits._
+      val hist = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("m"))
+      Cached.withCached(hist) {
+        val tot = hist.agg(sum("m").as("n"), sum(expr("x * m")).as("sx"))
+        val cum = GridCum.cum(hist, Nil, "x", Seq("m"), bucketWidth = 1L << 22)
+          .withColumn("below", col("cum_m") - col("m"))
+        val deciles = (0 until 10).toDF("k")
+        cum.crossJoin(broadcast(tot)).crossJoin(broadcast(deciles))
+          .withColumn("lo", expr("(k * n) div 10"))
+          .withColumn("hi", expr("((k + 1) * n) div 10"))
+          .withColumn("c", greatest(lit(0L),
+            least(col("hi"), col("below") + col("m"))
+              - greatest(col("lo"), col("below"))))
+          .filter(col("c") > 0L)
+          .groupBy("k")
+          .agg(sum("c").as("n_cust"), sum(expr("c * x")).as("spend"))
+          .crossJoin(broadcast(tot))
+          .select(col("k").as("decile"), col("n_cust"),
+            dround(col("spend").cast("double") / col("sx"), 6).as("share"))
+          .orderBy("decile")
+      }
+    },
+    Some(s"""
+      WITH spend AS (SELECT o_custkey,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS x
+                     FROM orders GROUP BY 1),
+        h AS (SELECT x, CAST(count(*) AS BIGINT) AS m FROM spend GROUP BY x),
+        tot AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+                       CAST(sum(x * m) AS BIGINT) AS sx FROM h),
+        c AS (SELECT x, m,
+                CAST(sum(m) OVER (ORDER BY x) AS BIGINT) - m AS below
+              FROM h),
+        fan AS (SELECT c.x, c.m, c.below, tot.n, tot.sx, d.k,
+                  (d.k * tot.n) // 10 AS lo,
+                  ((d.k + 1) * tot.n) // 10 AS hi
+                FROM c, tot, (SELECT unnest(generate_series(0, 9)) AS k) d),
+        alloc AS (SELECT k, n, sx,
+                    greatest(0, least(hi, below + m) - greatest(lo, below))
+                      AS cc, x
+                  FROM fan),
+        agg AS (SELECT k, CAST(sum(cc) AS BIGINT) AS n_cust,
+                  CAST(sum(cc * x) AS BIGINT) AS spend,
+                  any_value(sx) AS sx
+                FROM alloc WHERE cc > 0 GROUP BY k)
+      SELECT k AS decile, n_cust,
+             ${oround("CAST(spend AS DOUBLE) / sx", 6)} AS share
+      FROM agg ORDER BY decile"""))
+
+  // -- Split-conformal prediction intervals for event values: predict
+  //    each event's value by its type's training mean (integer-floored to
+  //    keep the nonconformity scores on the cents grid), take the exact
+  //    0.9 quantile of |v − pred| on a disjoint calibration split
+  //    (HistQuantiles.groupedQuantile — per-type partitioned, no global
+  //    funnel), and report empirical coverage of pred ± q90 on the test
+  //    split. The distribution-free uncertainty layer over any point
+  //    predictor; split by event_id so all three parts are disjoint and
+  //    both engines replay them.
+  private val conformalInterval = QueryDef(
+    "q_conformal_interval",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), expr(centsEv).as("v"))
+      Cached.withCached(ev) {
+        val pred = ev.filter(col("event_id") % 2 === 0)
+          .groupBy("event_type")
+          .agg(expr("sum(v) div count(1)").as("pred"))
+        val calib = ev.filter(col("event_id") % 4 === 1)
+          .join(broadcast(pred), "event_type")
+          .select(col("event_type"), abs(col("v") - col("pred")).as("a"))
+        val q90 = graft.operators.HistQuantiles
+          .groupedQuantile(calib, "event_type", col("a"), 0.9)
+          .withColumnRenamed("value", "q90")
+        val nCal = calib.groupBy("event_type").agg(count(lit(1)).as("n_calib"))
+        val test = ev.filter(col("event_id") % 4 === 3)
+          .join(broadcast(pred), "event_type")
+          .join(broadcast(q90), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(abs(col("v") - col("pred")).cast("double") <= col("q90"), 1L)
+              .otherwise(0L)).as("covered"))
+        test.join(broadcast(nCal), "event_type")
+          .join(broadcast(q90), "event_type")
+          .select(col("event_type"), col("n_calib"), col("n_test"),
+            dround(col("q90") / 100.0, 4).as("q90"),
+            dround(col("covered").cast("double") / col("n_test"), 4)
+              .as("coverage"))
+          .orderBy("event_type")
+      }
+    },
+    Some(s"""
+      WITH ev AS (SELECT event_id, event_type, $centsEv AS v FROM events),
+        pred AS (SELECT event_type,
+                   CAST(sum(v) AS BIGINT) // count(*) AS pred
+                 FROM ev WHERE event_id % 2 = 0 GROUP BY 1),
+        calib AS (SELECT ev.event_type, abs(v - pred) AS a
+                  FROM ev JOIN pred ON ev.event_type = pred.event_type
+                  WHERE event_id % 4 = 1),
+        q90 AS (SELECT event_type, quantile_cont(a, 0.9) AS q90,
+                  CAST(count(*) AS BIGINT) AS n_calib
+                FROM calib GROUP BY 1),
+        test AS (SELECT ev.event_type,
+                   CAST(count(*) AS BIGINT) AS n_test,
+                   CAST(sum(CASE WHEN CAST(abs(v - pred) AS DOUBLE) <= q90.q90
+                     THEN 1 ELSE 0 END) AS BIGINT) AS covered
+                 FROM ev
+                 JOIN pred ON ev.event_type = pred.event_type
+                 JOIN q90 ON ev.event_type = q90.event_type
+                 WHERE event_id % 4 = 3 GROUP BY 1)
+      SELECT test.event_type, q90.n_calib, test.n_test,
+             ${oround("q90.q90 / 100.0", 4)} AS q90,
+             ${oround("CAST(covered AS DOUBLE) / n_test", 4)} AS coverage
+      FROM test JOIN q90 ON test.event_type = q90.event_type
+      ORDER BY test.event_type"""))
+
   def queries: Seq[QueryDef] = Seq(
     ksTwoSample, mannWhitney, chiSquare, welchT, giniSpend, acfDaily,
-    cusumChange, cupedAb, survivalKm)
+    cusumChange, cupedAb, survivalKm, theilIndex, lorenzDeciles,
+    conformalInterval)
 }

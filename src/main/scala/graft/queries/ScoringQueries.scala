@@ -477,7 +477,101 @@ object ScoringQueries extends QueryModule {
       FROM f3 ORDER BY entity_id"""
     })
 
+  // -- RFM customer segmentation: recency / frequency / monetary quintile
+  //    scores with exact global quintile cuts (HistQuantiles two-pass —
+  //    the audited bounded-window machinery, no ntile funnel), reported
+  //    as a census per (r, f, m) cell with the classic segment labels.
+  //    Cuts are interpolated quantile_cont values; band membership is a
+  //    strict `>` against them in BOTH engines, so ties land identically.
+  //    One scan to per-customer aggregates; everything after runs on
+  //    grid-bounded frames and 1-row broadcasts.
+  private val rfmScores = QueryDef(
+    "q_rfm_scores",
+    (s, dir) => {
+      import graft.operators.HistQuantiles
+      val day = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+      val cust = graft.Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(max(day).cast("long").as("lastday"),
+          count(lit(1)).as("f"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("m"))
+      Cached.withCached(cust) {
+        val horizon = cust.agg(max("lastday").as("maxday"))
+        val withR = cust.crossJoin(broadcast(horizon))
+          .withColumn("r", col("maxday") - col("lastday"))
+        val probes = Seq(0.2, 0.4, 0.6, 0.8)
+        def wide(qdf: org.apache.spark.sql.DataFrame, pfx: String) =
+          qdf.agg(
+            min(when(col("q") === 0.2, col("value"))).as(s"${pfx}20"),
+            min(when(col("q") === 0.4, col("value"))).as(s"${pfx}40"),
+            min(when(col("q") === 0.6, col("value"))).as(s"${pfx}60"),
+            min(when(col("q") === 0.8, col("value"))).as(s"${pfx}80"))
+        val rq = wide(HistQuantiles.quantiles(withR, col("r"), probes), "r")
+        val fq = wide(HistQuantiles.quantiles(cust, col("f"), probes), "f")
+        val mq = wide(HistQuantiles.quantiles(cust, col("m"), probes), "m")
+        def band(c: String, pfx: String) =
+          lit(1) + (col(c) > col(s"${pfx}20")).cast("int") +
+            (col(c) > col(s"${pfx}40")).cast("int") +
+            (col(c) > col(s"${pfx}60")).cast("int") +
+            (col(c) > col(s"${pfx}80")).cast("int")
+        withR.crossJoin(broadcast(rq)).crossJoin(broadcast(fq))
+          .crossJoin(broadcast(mq))
+          .withColumn("r_score", lit(6) - band("r", "r"))
+          .withColumn("f_score", band("f", "f"))
+          .withColumn("m_score", band("m", "m"))
+          .withColumn("segment",
+            when(col("r_score") >= 4 && col("f_score") >= 4
+              && col("m_score") >= 4, "champions")
+              .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk_loyal")
+              .when(col("r_score") >= 4 && col("f_score") <= 2, "new_promising")
+              .otherwise("mid_tier"))
+          .groupBy("r_score", "f_score", "m_score", "segment")
+          .agg(count(lit(1)).as("n_cust"))
+          .orderBy("r_score", "f_score", "m_score")
+      }
+    },
+    Some(s"""
+      WITH cust AS (SELECT o_custkey,
+                      max(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE))) AS lastday,
+                      CAST(count(*) AS BIGINT) AS f,
+                      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS m
+                    FROM orders GROUP BY 1),
+        horizon AS (SELECT max(lastday) AS maxday FROM cust),
+        wr AS (SELECT cust.*, horizon.maxday - lastday AS r
+               FROM cust, horizon),
+        cuts AS (SELECT
+                   quantile_cont(r, 0.2) AS r20, quantile_cont(r, 0.4) AS r40,
+                   quantile_cont(r, 0.6) AS r60, quantile_cont(r, 0.8) AS r80,
+                   quantile_cont(f, 0.2) AS f20, quantile_cont(f, 0.4) AS f40,
+                   quantile_cont(f, 0.6) AS f60, quantile_cont(f, 0.8) AS f80,
+                   quantile_cont(m, 0.2) AS m20, quantile_cont(m, 0.4) AS m40,
+                   quantile_cont(m, 0.6) AS m60, quantile_cont(m, 0.8) AS m80
+                 FROM wr),
+        scored AS (SELECT
+                     6 - (1 + CAST(r > r20 AS INT) + CAST(r > r40 AS INT)
+                       + CAST(r > r60 AS INT) + CAST(r > r80 AS INT))
+                       AS r_score,
+                     1 + CAST(f > f20 AS INT) + CAST(f > f40 AS INT)
+                       + CAST(f > f60 AS INT) + CAST(f > f80 AS INT)
+                       AS f_score,
+                     1 + CAST(m > m20 AS INT) + CAST(m > m40 AS INT)
+                       + CAST(m > m60 AS INT) + CAST(m > m80 AS INT)
+                       AS m_score
+                   FROM wr, cuts)
+      SELECT r_score, f_score, m_score,
+             CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                    THEN 'champions'
+                  WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+                  WHEN r_score >= 4 AND f_score <= 2 THEN 'new_promising'
+                  ELSE 'mid_tier' END AS segment,
+             CAST(count(*) AS BIGINT) AS n_cust
+      FROM scored GROUP BY 1, 2, 3
+      ORDER BY r_score, f_score, m_score"""))
+
   override def queries: Seq[QueryDef] = Seq(
     dimensionInputs, vrCv, hhiPenalty, rubricScores, evidenceDims,
-    talentConcentration, hrFactor, synergyBonus, composite, fullScores)
+    talentConcentration, hrFactor, synergyBonus, composite, fullScores,
+    rfmScores)
 }

@@ -788,9 +788,76 @@ object TemporalQueries extends QueryModule {
              ${oround("med / 100.0", 2)} AS med_7d
       FROM r ORDER BY event_type, day"""))
 
+  // -- Burstiness coefficient (Goh & Barabási 2008) of per-user
+  //    inter-event times: B = (σ−μ)/(σ+μ) over each user's gap sequence
+  //    (−1 = metronome, 0 = Poisson, →1 = bursty). Gaps come from a
+  //    user-partitioned lag window in SECONDS (µs² sums would overflow
+  //    Long); per-user moments are exact integer sums, B is one double
+  //    expression on them, and the report is a per-bin census over
+  //    dround-snapped B — bounded output at any scale, no boundary
+  //    ambiguity between engines.
+  private val burstiness = QueryDef(
+    "q_burstiness",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+      val gaps = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+        .withColumn("prev", lag("ts_us", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"),
+          expr("(ts_us - prev) div 1000000").as("g"))
+      val perUser = gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("g").as("sg"),
+          sum(expr("g * g")).as("sgg"))
+        .filter(col("n") >= 5)
+        .withColumn("mu", col("sg").cast("double") / col("n"))
+        .withColumn("sig", sqrt(col("sgg").cast("double") / col("n")
+          - col("mu") * col("mu")))
+        .withColumn("b", dround((col("sig") - col("mu"))
+          / (col("sig") + col("mu")), 4))
+        // bi: b on the exact 1e-4 integer grid, so the per-bin mean is a
+        // LONG sum (partition-order-proof); bin via floor on the double
+        // (floor, not DIV — Spark DIV truncates toward zero on negatives,
+        // DuckDB // floors; floor() agrees in both)
+        .withColumn("bi", expr("CAST(round(b * 1e4) AS BIGINT)"))
+      perUser.groupBy(floor(col("b") * 10).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_users"),
+          dround(sum("bi").cast("double") / count(lit(1)) / 1e4, 4)
+            .as("mean_b"))
+        .orderBy("bin")
+    },
+    Some(s"""
+      WITH gaps AS (SELECT user_id,
+                      (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id
+                         ORDER BY epoch_us(ts) ASC, event_id ASC))
+                        // 1000000 AS g
+                    FROM events),
+        pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(g) AS BIGINT) AS sg,
+                 CAST(sum(g * g) AS BIGINT) AS sgg
+               FROM gaps WHERE g IS NOT NULL GROUP BY 1),
+        b AS (SELECT user_id, n,
+                ${oround(
+                  """(sqrt(CAST(sgg AS DOUBLE) / n
+                       - (CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n))
+                     - CAST(sg AS DOUBLE) / n)
+                   / (sqrt(CAST(sgg AS DOUBLE) / n
+                       - (CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n))
+                     + CAST(sg AS DOUBLE) / n)""", 4)} AS b
+              FROM pu WHERE n >= 5)
+      SELECT CAST(floor(b * 10) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_users,
+             ${oround(
+               "CAST(CAST(sum(CAST(round(b * 1e4) AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*) / 1e4",
+               4)} AS mean_b
+      FROM b GROUP BY 1 ORDER BY bin"""))
+
   override def queries: Seq[QueryDef] =
     Seq(slidingSpend, clickAttribution, saltedSkewJoin,
       cohortRetention, funnelStages, eventTransitions, weeklyRevenueWow,
       skewProfile, ewmaValue, twapValue, intervalCoverage, ohlcBars,
-      activityStreaks, seasonalAnomaly, gapFillLocf, rollingMedian)
+      activityStreaks, seasonalAnomaly, gapFillLocf, rollingMedian,
+      burstiness)
 }

@@ -55,7 +55,9 @@ class WindowAuditSpec extends SparkSpec {
     "q_mannwhitney_u" -> "cents-grid coarse buckets (GridCum offset pass)",
     "q_textrank_keywords" -> "top-V vocab survivors of TakeOrdered (≤ 30 rows)",
     "q_skyline_parts" -> "price-grid coarse buckets (two-pass cummax offsets)",
-    "q_survival_km" -> "duration-grid frames (calendar-bounded; GridCum + log cumsum)")
+    "q_survival_km" -> "duration-grid frames (calendar-bounded; GridCum + log cumsum)",
+    "q_lorenz_deciles" -> "spend-grid coarse buckets (GridCum offset pass)",
+    "q_rfm_scores" -> "histogram buckets (HistQuantiles quintile cuts ×3)")
 
   private def constantKeyWindows(plan: SparkPlan): Seq[String] =
     plan.collect {

@@ -854,10 +854,52 @@ object TemporalQueries extends QueryModule {
                4)} AS mean_b
       FROM b GROUP BY 1 ORDER BY bin"""))
 
+  // -- batch twin of the transformWithState streaming anomaly flagger
+  //    (graft.streaming.StreamAnomaly): flag events exceeding 3× the
+  //    user's running mean after a ≥5-event baseline, via an exclusive
+  //    user-partitioned window and the same cross-multiplied integer test
+  //    the processor runs — StreamAnomalySpec asserts row parity between
+  //    this plan and the streaming state machine on a shared fixture, and
+  //    this oracle certifies both.
+  private val runningAnomalyFlags = QueryDef(
+    "q_running_anomaly_flags",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      graft.streaming.StreamAnomaly.batchFlags(ev)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_flags"),
+          dround(max(col("v").cast("double")
+            / (col("bs").cast("double") / col("bn"))), 4).as("max_ratio"))
+        .filter(col("n_flags") >= 1L)
+        .orderBy(col("n_flags").desc, col("user_id").asc)
+        .limit(20)
+    },
+    Some(s"""
+      WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                    CAST(round(value * 100) AS BIGINT) AS v
+                  FROM events),
+        run AS (SELECT user_id, event_id, v,
+                  count(*) OVER w AS bn,
+                  coalesce(CAST(sum(v) OVER w AS BIGINT), 0) AS bs
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id
+                  ORDER BY ts_us ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        fl AS (SELECT user_id, v, bn, bs FROM run
+               WHERE bn >= 5 AND v * bn > 3 * bs)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_flags,
+             ${oround(
+               "max(CAST(v AS DOUBLE) / (CAST(bs AS DOUBLE) / bn))", 4)}
+               AS max_ratio
+      FROM fl GROUP BY user_id HAVING count(*) >= 1
+      ORDER BY n_flags DESC, user_id ASC LIMIT 20"""))
+
   override def queries: Seq[QueryDef] =
     Seq(slidingSpend, clickAttribution, saltedSkewJoin,
       cohortRetention, funnelStages, eventTransitions, weeklyRevenueWow,
       skewProfile, ewmaValue, twapValue, intervalCoverage, ohlcBars,
       activityStreaks, seasonalAnomaly, gapFillLocf, rollingMedian,
-      burstiness)
+      burstiness, runningAnomalyFlags)
 }

@@ -1140,9 +1140,74 @@ $rounds,
                inter DESC, doc_a ASC, doc_b ASC
       LIMIT 10"""))
 
+  // -- Temporal n-gram NOVELTY: for each document (in doc_id ingest
+  //    order), the fraction of its distinct trigrams never seen in any
+  //    EARLIER document — the "is this batch adding new content or
+  //    re-treading the corpus" curation signal (cf. the duplicated-mass
+  //    view in q_cross_dup_mass, which is order-free). First-occurrence
+  //    is one min(doc_id) per gram — linear, no pairwise anything — and a
+  //    gram is novel for exactly the doc holding its minimum. Report:
+  //    per-source mean novelty over the second half of the ingest order
+  //    (the first half mostly defines the vocabulary).
+  private val ngramNovelty = QueryDef(
+    "q_ngram_novelty",
+    (s, dir) => {
+      val dg = Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("source"), explode(expr(
+          """array_distinct(transform(sequence(0, size(toks) - 3),
+                            i -> concat_ws(' ', slice(toks, i + 1, 3))))"""))
+          .as("gram"))
+      Cached.withCached(dg) {
+        val firstSeen = dg.groupBy("gram").agg(min("doc_id").as("first_doc"))
+        val mid = dg.agg(expr("(min(doc_id) + max(doc_id) + 1) div 2")
+          .as("mid"))
+        val perDoc = dg.join(firstSeen, "gram")
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("tot"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("novel"))
+        perDoc.crossJoin(broadcast(mid))
+          .filter(col("doc_id") >= col("mid"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("novel").as("novel_grams"), sum("tot").as("total_grams"))
+          .withColumn("novelty",
+            dround(col("novel_grams").cast("double") / col("total_grams"), 6))
+          .orderBy("source")
+      }
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                 FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+        dg AS (SELECT DISTINCT doc_id, source,
+                 array_to_string(toks[i:i+2], ' ') AS gram
+               FROM (SELECT doc_id, source, toks,
+                       unnest(generate_series(1, len(toks) - 2)) AS i
+                     FROM d)),
+        fs AS (SELECT gram, CAST(min(doc_id) AS BIGINT) AS first_doc
+               FROM dg GROUP BY gram),
+        mid AS (SELECT (min(doc_id) + max(doc_id) + 1) // 2 AS mid FROM dg),
+        perdoc AS (SELECT dg.doc_id, dg.source,
+                     CAST(count(*) AS BIGINT) AS tot,
+                     CAST(sum(CASE WHEN fs.first_doc = dg.doc_id
+                       THEN 1 ELSE 0 END) AS BIGINT) AS novel
+                   FROM dg JOIN fs ON dg.gram = fs.gram
+                   GROUP BY 1, 2)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(novel) AS BIGINT) AS novel_grams,
+             CAST(sum(tot) AS BIGINT) AS total_grams,
+             ${oround(
+               "CAST(sum(novel) AS DOUBLE) / CAST(sum(tot) AS BIGINT)", 6)}
+               AS novelty
+      FROM perdoc, mid WHERE doc_id >= mid.mid
+      GROUP BY source ORDER BY source"""))
+
   override def queries: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, minhashBandedR2, simhash, neardupClusters,
     ngramJaccard, embeddingNearDup, contamination, passageDedup,
     fuzzyNeardupJoin, bloomDedupGate, crossDupMass, entityResolutionJw,
-    dupSpanRemoval, containmentDedup)
+    dupSpanRemoval, containmentDedup, ngramNovelty)
 }

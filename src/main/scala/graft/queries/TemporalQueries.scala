@@ -896,10 +896,188 @@ object TemporalQueries extends QueryModule {
       FROM fl GROUP BY user_id HAVING count(*) >= 1
       ORDER BY n_flags DESC, user_id ASC LIMIT 20"""))
 
+  // -- DAU / WAU / MAU active-user ladder with the stickiness ratio: for
+  //    every observed day, distinct users active that day, in the
+  //    trailing 7, and in the trailing 30. The raw stream first collapses
+  //    to distinct (day, user) pairs — the grid every later step runs on
+  //    — then each pair fans out to the ≤30 target days it supports via a
+  //    broadcast range join against the tiny day list (bounded fan, no
+  //    row explosion), and one exact distinct-count per (target day,
+  //    window) finishes. Day cardinality is calendar-bounded, so the
+  //    output frame never grows with volume.
+  private val dauWauMau = QueryDef(
+    "q_dau_wau_mau",
+    (s, dir) => {
+      val du = Tables.events(s, dir)
+        .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+        .distinct()
+      Cached.withCached(du) {
+        val days = du.select(col("day").as("d")).distinct()
+        val fan = du.join(broadcast(days),
+          col("day") <= col("d") && col("day") > col("d") - 30L)
+        fan.groupBy("d")
+          .agg(countDistinct(when(col("day") === col("d"), col("user_id")))
+            .as("dau"),
+            countDistinct(when(col("day") > col("d") - 7L, col("user_id")))
+              .as("wau"),
+            countDistinct("user_id").as("mau"))
+          .select(col("d").as("day"), col("dau"), col("wau"), col("mau"),
+            dround(col("dau").cast("double") / col("mau"), 4)
+              .as("stickiness"))
+          .orderBy("day")
+      }
+    },
+    Some(s"""
+      WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+                    user_id
+                  FROM events),
+        days AS (SELECT DISTINCT day AS d FROM du),
+        fan AS (SELECT days.d, du.day, du.user_id
+                FROM du JOIN days ON du.day <= days.d
+                                 AND du.day > days.d - 30),
+        agg AS (SELECT d,
+                  CAST(count(DISTINCT CASE WHEN day = d THEN user_id END)
+                    AS BIGINT) AS dau,
+                  CAST(count(DISTINCT CASE WHEN day > d - 7 THEN user_id END)
+                    AS BIGINT) AS wau,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+                FROM fan GROUP BY d)
+      SELECT d AS day, dau, wau, mau,
+             ${oround("CAST(dau AS DOUBLE) / mau", 4)} AS stickiness
+      FROM agg ORDER BY day"""))
+
+  // -- Seasonality-strength diagnostic per event type: the share of
+  //    daily-mean variance explained by the day-of-week profile,
+  //    1 − var(residual)/var(total) (the STL "strength of seasonality"
+  //    statistic on a weekly period). Two grouped aggregates over the
+  //    calendar-bounded daily frame; every variance comes from exact
+  //    cents sums at the leaves.
+  private val seasonalityStrength = QueryDef(
+    "q_seasonality_strength",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sc"),
+          count(lit(1)).as("c"))
+        .withColumn("x", col("sc").cast("double") / col("c") / 100.0)
+        .withColumn("dow", expr("(day + 4) % 7"))
+      Cached.withCached(daily) {
+        val dowMean = daily.groupBy("event_type", "dow")
+          .agg((sum("x") / count(lit(1))).as("dm"))
+        daily.join(broadcast(dowMean), Seq("event_type", "dow"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            ((sum(col("x") * col("x")) / count(lit(1)))
+              - (sum("x") / count(lit(1))) * (sum("x") / count(lit(1))))
+              .as("var_tot"),
+            (sum((col("x") - col("dm")) * (col("x") - col("dm")))
+              / count(lit(1))).as("var_res"))
+          .select(col("event_type"), col("n_days"),
+            dround(greatest(lit(0.0),
+              lit(1.0) - col("var_res") / col("var_tot")), 4)
+              .as("seasonality_strength"))
+          .orderBy("event_type")
+      }
+    },
+    Some(s"""
+      WITH daily AS (SELECT event_type,
+                       epoch_us(ts) // 86400000000 AS day,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                         AS BIGINT) AS sc,
+                       CAST(count(*) AS BIGINT) AS c
+                     FROM events GROUP BY 1, 2),
+        d2 AS (SELECT event_type, CAST(sc AS DOUBLE) / c / 100.0 AS x,
+                 (day + 4) % 7 AS dow
+               FROM daily),
+        dm AS (SELECT event_type, dow, sum(x) / count(*) AS dm
+               FROM d2 GROUP BY 1, 2),
+        agg AS (SELECT d2.event_type,
+                  CAST(count(*) AS BIGINT) AS n_days,
+                  sum(d2.x * d2.x) / count(*)
+                    - (sum(d2.x) / count(*)) * (sum(d2.x) / count(*))
+                    AS var_tot,
+                  sum((d2.x - dm.dm) * (d2.x - dm.dm)) / count(*) AS var_res
+                FROM d2 JOIN dm ON d2.event_type = dm.event_type
+                              AND d2.dow = dm.dow
+                GROUP BY 1)
+      SELECT event_type, n_days,
+             ${oround("greatest(0.0, 1.0 - var_res / var_tot)", 4)}
+               AS seasonality_strength
+      FROM agg ORDER BY event_type"""))
+
+  // -- Lagged cross-correlation between the view and purchase daily
+  //    revenue series (lead–lag detection: does view activity lead
+  //    purchases?): Pearson r of (view[t], purchase[t+k]) for k ∈
+  //    −3..3, each series standardized by its own full-series moments.
+  //    The ACF machinery applied across two series; everything runs on
+  //    the calendar-bounded daily frame.
+  private val xcorrLagged = QueryDef(
+    "q_xcorr_lagged",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+      Cached.withCached(daily) {
+        val a = daily.filter(col("event_type") === "view")
+          .select(col("day"), col("x").as("xa"))
+        val b = daily.filter(col("event_type") === "purchase")
+          .select(col("day").as("dayb"), col("x").as("xb"))
+        val lags = (-3 to 3).toDF("lag")
+        val pairs = a.crossJoin(broadcast(lags))
+          .join(b, col("dayb") === col("day") + col("lag"))
+        pairs.groupBy("lag")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("xa").as("sa"), sum("xb").as("sb"),
+            sum(expr("xa * xb")).as("sab"),
+            sum(expr("xa * xa")).as("saa"),
+            sum(expr("xb * xb")).as("sbb"))
+          .select(col("lag"), col("n_pairs"),
+            dround((col("sab").cast("double")
+              - col("sa").cast("double") * col("sb") / col("n_pairs"))
+              / sqrt((col("saa").cast("double")
+                - col("sa").cast("double") * col("sa") / col("n_pairs"))
+                * (col("sbb").cast("double")
+                  - col("sb").cast("double") * col("sb") / col("n_pairs"))), 6)
+              .as("xcorr"))
+          .orderBy("lag")
+      }
+    },
+    Some(s"""
+      WITH daily AS (SELECT event_type,
+                       epoch_us(ts) // 86400000000 AS day,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                         AS BIGINT) AS x
+                     FROM events
+                     WHERE event_type IN ('view', 'purchase')
+                     GROUP BY 1, 2),
+        a AS (SELECT day, x AS xa FROM daily WHERE event_type = 'view'),
+        b AS (SELECT day AS dayb, x AS xb FROM daily
+              WHERE event_type = 'purchase'),
+        pairs AS (SELECT l.lag, a.xa, b.xb
+                  FROM a
+                  CROSS JOIN (SELECT unnest(generate_series(-3, 3)) AS lag) l
+                  JOIN b ON b.dayb = a.day + l.lag),
+        m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(xa) AS BIGINT) AS sa, CAST(sum(xb) AS BIGINT) AS sb,
+                CAST(sum(xa * xb) AS BIGINT) AS sab,
+                CAST(sum(xa * xa) AS BIGINT) AS saa,
+                CAST(sum(xb * xb) AS BIGINT) AS sbb
+              FROM pairs GROUP BY lag)
+      SELECT lag, n_pairs,
+             ${oround(
+               """(CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sb / n_pairs)
+                / sqrt((CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_pairs)
+                  * (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_pairs))""",
+               6)} AS xcorr
+      FROM m ORDER BY lag"""))
+
   override def queries: Seq[QueryDef] =
     Seq(slidingSpend, clickAttribution, saltedSkewJoin,
       cohortRetention, funnelStages, eventTransitions, weeklyRevenueWow,
       skewProfile, ewmaValue, twapValue, intervalCoverage, ohlcBars,
       activityStreaks, seasonalAnomaly, gapFillLocf, rollingMedian,
-      burstiness, runningAnomalyFlags)
+      burstiness, runningAnomalyFlags, dauWauMau, seasonalityStrength,
+      xcorrLagged)
 }

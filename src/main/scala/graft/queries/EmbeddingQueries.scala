@@ -640,7 +640,82 @@ object EmbeddingQueries extends QueryModule {
       FROM j ORDER BY pair_id"""
     })
 
+  // -- kNN label classification over the LSH-bucketed candidate set:
+  //    every vector is classified by the majority label of its k=5
+  //    nearest same-bucket neighbors (cosine), reported as per-label
+  //    accuracy — the standard embedding-quality probe ("do labels
+  //    cluster?") and the eval twin of q_ann_lsh_bucketed. The candidate
+  //    join is bucket-equi (the scale path: candidates per point are
+  //    bucket-bounded, never corpus-bounded); votes break ties by
+  //    (count desc, label asc) so the argmax is deterministic in both
+  //    engines.
+  private val knnClassify = QueryDef(
+    "q_knn_classify",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("bucket", bucketSpark)
+        .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("nrm", graft.functions.VectorFunctions.vecNorm(col("vecd")))
+        .select(col("vec_id"), col("label"), col("bucket"), col("vecd"),
+          col("nrm"))
+      Cached.withCached(e) {
+        val cand = e.select(col("vec_id").as("t_id"),
+            col("label").as("t_label"), col("bucket"),
+            col("vecd").as("tv"), col("nrm").as("tn"))
+          .join(e.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+            col("bucket"), col("vecd").as("nv"), col("nrm").as("nn")),
+            Seq("bucket"))
+          .filter(col("t_id") =!= col("n_id"))
+          .withColumn("cosine", graft.functions.VectorFunctions.cosine(
+            col("tv"), col("nv"), col("tn"), col("nn")))
+        val wK = org.apache.spark.sql.expressions.Window
+          .partitionBy("t_id").orderBy(col("cosine").desc, col("n_id").asc)
+        val top = cand.withColumn("rk", row_number().over(wK))
+          .filter(col("rk") <= 5)
+        val votes = top.groupBy("t_id", "t_label", "n_label")
+          .agg(count(lit(1)).as("votes"))
+        val wV = org.apache.spark.sql.expressions.Window
+          .partitionBy("t_id").orderBy(col("votes").desc, col("n_label").asc)
+        votes.withColumn("rv", row_number().over(wV)).filter(col("rv") === 1)
+          .groupBy(col("t_label").as("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("n_label") === col("t_label"), 1L).otherwise(0L))
+              .as("correct"))
+          .withColumn("accuracy",
+            dround(col("correct").cast("double") / col("n_vecs"), 4))
+          .orderBy("label")
+      }
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, $bucketSql AS bucket,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd,
+                   sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                 FROM embeddings),
+        cand AS (SELECT t.vec_id AS t_id, t.label AS t_label,
+                   n.vec_id AS n_id, n.label AS n_label,
+                   list_sum(list_transform(list_zip(t.vecd, n.vecd),
+                     x -> x[1] * x[2])) / (t.nrm * n.nrm) AS cosine
+                 FROM e t JOIN e n ON t.bucket = n.bucket
+                                  AND t.vec_id <> n.vec_id),
+        top AS (SELECT * FROM (SELECT *, row_number() OVER
+                  (PARTITION BY t_id ORDER BY cosine DESC, n_id ASC) AS rk
+                FROM cand) WHERE rk <= 5),
+        votes AS (SELECT t_id, t_label, n_label,
+                    CAST(count(*) AS BIGINT) AS votes
+                  FROM top GROUP BY 1, 2, 3),
+        pick AS (SELECT * FROM (SELECT *, row_number() OVER
+                   (PARTITION BY t_id ORDER BY votes DESC, n_label ASC) AS rv
+                 FROM votes) WHERE rv = 1)
+      SELECT t_label AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(CASE WHEN n_label = t_label THEN 1 ELSE 0 END)
+               AS BIGINT) AS correct,
+             ${oround(
+               "CAST(sum(CASE WHEN n_label = t_label THEN 1 ELSE 0 END) AS DOUBLE) / count(*)",
+               4)} AS accuracy
+      FROM pick GROUP BY t_label ORDER BY label"""))
+
   override def queries: Seq[QueryDef] =
     Seq(bruteForceTopK, lshTopK, ivfTopK, normStats, kmeansRefine,
-      lshMultiprobe, sq8Adc, jlProjection)
+      lshMultiprobe, sq8Adc, jlProjection, knnClassify)
 }

@@ -790,8 +790,64 @@ object InferenceQueries extends QueryModule {
       FROM test JOIN q90 ON test.event_type = q90.event_type
       ORDER BY test.event_type"""))
 
+  // -- Population Stability Index between the first and second calendar
+  //    halves of the event stream (the drift monitor every deployed
+  //    model/pipeline runs): PSI = Σ (p−q)·ln(p/q) over 16 fixed value
+  //    buckets, with add-one smoothing so empty buckets stay finite. One
+  //    conditional-count scan to a 16-row frame per type; every
+  //    proportion derives from exact counts.
+  private val psiDrift = QueryDef(
+    "q_psi_drift",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
+          expr(s"least(15, $centsEv div 3125)").as("bkt"))
+      Cached.withCached(ev) {
+        val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+        val cells = ev.crossJoin(broadcast(mid))
+          .groupBy("event_type", "bkt")
+          .agg(sum(when(col("day") < col("mid"), 1L).otherwise(0L)).as("ca"),
+            sum(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("cb"))
+        val tots = cells.groupBy(col("event_type").as("tt"))
+          .agg(sum("ca").as("na"), sum("cb").as("nb"),
+            count(lit(1)).as("k"))
+        cells.join(broadcast(tots), col("event_type") === col("tt"))
+          .withColumn("p", (col("ca") + 1L).cast("double")
+            / (col("na") + col("k")))
+          .withColumn("q", (col("cb") + 1L).cast("double")
+            / (col("nb") + col("k")))
+          .groupBy("event_type")
+          .agg(first("na").as("n_first"), first("nb").as("n_second"),
+            dround(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
+              .as("psi"))
+          .orderBy("event_type")
+      }
+    },
+    Some(s"""
+      WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                    least(15, $centsEv // 3125) AS bkt
+                  FROM events),
+        mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+        cells AS (SELECT event_type, bkt,
+                    CAST(sum(CASE WHEN day < mid.mid THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ca,
+                    CAST(sum(CASE WHEN day >= mid.mid THEN 1 ELSE 0 END)
+                      AS BIGINT) AS cb
+                  FROM ev, mid GROUP BY 1, 2),
+        tots AS (SELECT event_type AS tt, CAST(sum(ca) AS BIGINT) AS na,
+                   CAST(sum(cb) AS BIGINT) AS nb,
+                   CAST(count(*) AS BIGINT) AS k
+                 FROM cells GROUP BY 1),
+        sm AS (SELECT cells.event_type, tots.na, tots.nb,
+                 CAST(ca + 1 AS DOUBLE) / (na + k) AS p,
+                 CAST(cb + 1 AS DOUBLE) / (nb + k) AS q
+               FROM cells JOIN tots ON cells.event_type = tots.tt)
+      SELECT event_type, any_value(na) AS n_first, any_value(nb) AS n_second,
+             ${oround("sum((p - q) * ln(p / q))", 6)} AS psi
+      FROM sm GROUP BY event_type ORDER BY event_type"""))
+
   def queries: Seq[QueryDef] = Seq(
     ksTwoSample, mannWhitney, chiSquare, welchT, giniSpend, acfDaily,
     cusumChange, cupedAb, survivalKm, theilIndex, lorenzDeciles,
-    conformalInterval)
+    conformalInterval, psiDrift)
 }

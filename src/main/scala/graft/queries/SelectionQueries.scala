@@ -620,7 +620,45 @@ object SelectionQueries extends QueryModule {
              ${oround("max(CAST(score_i AS DOUBLE) / 1e6)", 6)} AS max_score
       FROM sc GROUP BY lang ORDER BY lang"""))
 
+  // -- K-fold target encoding with leakage protection: encode event_type
+  //    by the mean value computed from the OTHER four folds (fold =
+  //    event_id % 5), the standard out-of-fold trick that keeps a row's
+  //    own target out of its feature. enc(type, fold) =
+  //    (sum_type − sum_fold) / (cnt_type − cnt_fold) — two grouped exact
+  //    cents aggregates and a broadcast join, no per-row recompute.
+  private val targetEncoding = QueryDef(
+    "q_target_encoding",
+    (s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+        .select(col("event_type"), (col("event_id") % 5).as("fold"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      val perFold = ev.groupBy("event_type", "fold")
+        .agg(count(lit(1)).as("cf"), sum("v").as("sf"))
+      val perType = perFold.groupBy(col("event_type").as("tt"))
+        .agg(sum("cf").as("ct"), sum("sf").as("st"))
+      perFold.join(broadcast(perType), col("event_type") === col("tt"))
+        .select(col("event_type"), col("fold"), col("cf").as("n_fold"),
+          dround((col("st") - col("sf")).cast("double")
+            / (col("ct") - col("cf")) / 100.0, 4).as("encoding"))
+        .orderBy("event_type", "fold")
+    },
+    Some(s"""
+      WITH ev AS (SELECT event_type, event_id % 5 AS fold,
+                    CAST(round(value * 100) AS BIGINT) AS v
+                  FROM events),
+        pf AS (SELECT event_type, fold, CAST(count(*) AS BIGINT) AS cf,
+                 CAST(sum(v) AS BIGINT) AS sf
+               FROM ev GROUP BY 1, 2),
+        pt AS (SELECT event_type AS tt, CAST(sum(cf) AS BIGINT) AS ct,
+                 CAST(sum(sf) AS BIGINT) AS st
+               FROM pf GROUP BY 1)
+      SELECT event_type, fold, cf AS n_fold,
+             ${oround(
+               "CAST(st - sf AS DOUBLE) / (ct - cf) / 100.0", 4)} AS encoding
+      FROM pf JOIN pt ON pf.event_type = pt.tt
+      ORDER BY event_type, fold"""))
+
   def queries: Seq[QueryDef] =
     Seq(dsir, hybrid, bpeMerge, ppxBuckets, cdcChunks, tempMix,
-      qualityClassifier)
+      qualityClassifier, targetEncoding)
 }

@@ -1073,11 +1073,69 @@ object TemporalQueries extends QueryModule {
                6)} AS xcorr
       FROM m ORDER BY lag"""))
 
+  // -- Funnel conversion-time quantiles: seconds from a user's FIRST
+  //    signup to their FIRST subsequent purchase, with exact p50/p90 over
+  //    the converted population (HistQuantiles on the seconds grid — the
+  //    audited bounded-window two-pass) plus the conversion rate. One
+  //    conditional-min scan per user; non-converters (purchase before
+  //    signup or never) count only in the rate denominator.
+  private val conversionTime = QueryDef(
+    "q_conversion_time",
+    (s, dir) => {
+      import graft.operators.HistQuantiles
+      val firsts = Tables.events(s, dir)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup", col("ts_us"))).as("su"),
+          min(when(col("event_type") === "purchase", col("ts_us"))).as("pu"))
+        .filter(col("su").isNotNull)
+      Cached.withCached(firsts) {
+        val conv = firsts.filter(col("pu") > col("su"))
+          .select(expr("(pu - su) div 1000000").as("delay_s"))
+        val qs = HistQuantiles.quantiles(conv, col("delay_s"), Seq(0.5, 0.9))
+          .agg(min(when(col("q") === 0.5, col("value"))).as("p50_s"),
+            min(when(col("q") === 0.9, col("value"))).as("p90_s"))
+        val rates = firsts.agg(count(lit(1)).as("n_signup"),
+          sum(when(col("pu") > col("su"), 1L).otherwise(0L)).as("n_converted"))
+        rates.crossJoin(broadcast(qs))
+          .select(col("n_signup"), col("n_converted"),
+            dround(col("n_converted").cast("double") / col("n_signup"), 4)
+              .as("conversion_rate"),
+            dround(col("p50_s"), 2).as("p50_s"),
+            dround(col("p90_s"), 2).as("p90_s"))
+      }
+    },
+    Some(s"""
+      WITH firsts AS (SELECT user_id,
+                        min(CASE WHEN event_type = 'signup'
+                          THEN epoch_us(ts) END) AS su,
+                        min(CASE WHEN event_type = 'purchase'
+                          THEN epoch_us(ts) END) AS pu
+                      FROM events
+                      WHERE event_type IN ('signup', 'purchase')
+                      GROUP BY 1),
+        sgn AS (SELECT * FROM firsts WHERE su IS NOT NULL),
+        conv AS (SELECT (pu - su) // 1000000 AS delay_s FROM sgn
+                 WHERE pu > su),
+        qs AS (SELECT quantile_cont(delay_s, 0.5) AS p50_s,
+                      quantile_cont(delay_s, 0.9) AS p90_s
+               FROM conv),
+        rates AS (SELECT CAST(count(*) AS BIGINT) AS n_signup,
+                    CAST(sum(CASE WHEN pu > su THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_converted
+                  FROM sgn)
+      SELECT n_signup, n_converted,
+             ${oround("CAST(n_converted AS DOUBLE) / n_signup", 4)}
+               AS conversion_rate,
+             ${oround("p50_s", 2)} AS p50_s,
+             ${oround("p90_s", 2)} AS p90_s
+      FROM rates, qs"""))
+
   override def queries: Seq[QueryDef] =
     Seq(slidingSpend, clickAttribution, saltedSkewJoin,
       cohortRetention, funnelStages, eventTransitions, weeklyRevenueWow,
       skewProfile, ewmaValue, twapValue, intervalCoverage, ohlcBars,
       activityStreaks, seasonalAnomaly, gapFillLocf, rollingMedian,
       burstiness, runningAnomalyFlags, dauWauMau, seasonalityStrength,
-      xcorrLagged)
+      xcorrLagged, conversionTime)
 }

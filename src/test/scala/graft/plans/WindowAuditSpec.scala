@@ -57,7 +57,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_skyline_parts" -> "price-grid coarse buckets (two-pass cummax offsets)",
     "q_survival_km" -> "duration-grid frames (calendar-bounded; GridCum + log cumsum)",
     "q_lorenz_deciles" -> "spend-grid coarse buckets (GridCum offset pass)",
-    "q_rfm_scores" -> "histogram buckets (HistQuantiles quintile cuts ×3)")
+    "q_rfm_scores" -> "histogram buckets (HistQuantiles quintile cuts ×3)",
+    "q_conversion_time" -> "histogram buckets (HistQuantiles p50/p90 cuts)")
 
   private def constantKeyWindows(plan: SparkPlan): Seq[String] =
     plan.collect {

@@ -517,6 +517,99 @@ object RetrievalQueries extends QueryModule {
       GROUP BY phrase_id ORDER BY phrase_id"""
     })
 
+  // -- NDCG@10 ranking evaluation of the BM25 ranker against graded
+  //    relevance (rel(q,d) = total query-term frequency in d): the
+  //    standard offline eval every retrieval pipeline runs. BM25
+  //    positions come from the same 1e-6 integer-grid scores as
+  //    q_bm25_topk (deterministic ordering); DCG uses linear gains
+  //    rel/log2(pos+1); NDCG = DCG/IDCG with the ideal ordering ranked by
+  //    (rel desc, doc asc). Both rankings are per-query windows over
+  //    candidate sets — never a global sort.
+  private val ndcgEval = QueryDef(
+    "q_ndcg_bm25",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("dl", size(col("toks")))
+      val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val qs = bm25Queries.toDF("query_id", "term")
+      val qterms = qs.select("term").distinct()
+      val perDoc = tf
+        .join(broadcast(qs), "term")
+        .join(broadcast(df_.join(broadcast(qterms), "term")), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("contrib", col("idf") * (col("tf") * lit(K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+        .withColumn("contrib_u", floor(col("contrib") * lit(1e6)).cast("long"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum("contrib_u").as("score_u"), sum("tf").as("rel"))
+      val wRank = Window.partitionBy("query_id")
+        .orderBy(col("score_u").desc, col("doc_id").asc)
+      val wIdeal = Window.partitionBy("query_id")
+        .orderBy(col("rel").desc, col("doc_id").asc)
+      val gains = perDoc
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("ik", row_number().over(wIdeal))
+        .withColumn("dcg_t", when(col("rk") <= TopK,
+          col("rel").cast("double") / log2(col("rk") + 1)).otherwise(0.0))
+        .withColumn("idcg_t", when(col("ik") <= TopK,
+          col("rel").cast("double") / log2(col("ik") + 1)).otherwise(0.0))
+      gains.groupBy("query_id")
+        .agg(count(lit(1)).as("n_candidates"),
+          dround(sum("dcg_t") / sum("idcg_t"), 6).as("ndcg10"))
+        .orderBy("query_id")
+    },
+    Some {
+      val qvals = bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        tf AS (SELECT t.doc_id, dl.dl, term, CAST(count(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, unnest(toks) AS term FROM d) t
+               JOIN dl ON t.doc_id = dl.doc_id
+               GROUP BY 1, 2, 3),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+               FROM dl),
+        df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+               GROUP BY term),
+        qs AS (SELECT * FROM (VALUES $qvals) AS t(query_id, term)),
+        perdoc AS (
+          SELECT qs.query_id, tf.doc_id,
+            CAST(sum(CAST(floor(
+              ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ${K1 + 1.0})
+              / (tf.tf + $K1 * (${1.0 - B} + $B * tf.dl / st.avgdl))
+              * 1e6) AS BIGINT)) AS BIGINT) AS score_u,
+            CAST(sum(tf.tf) AS BIGINT) AS rel
+          FROM tf
+          JOIN qs ON tf.term = qs.term
+          JOIN df ON tf.term = df.term
+          CROSS JOIN st
+          GROUP BY 1, 2),
+        ranked AS (SELECT *,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score_u DESC, doc_id ASC) AS rk,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, doc_id ASC) AS ik
+          FROM perdoc),
+        gains AS (SELECT query_id,
+            CASE WHEN rk <= $TopK
+              THEN CAST(rel AS DOUBLE) / log2(rk + 1) ELSE 0.0 END AS dcg_t,
+            CASE WHEN ik <= $TopK
+              THEN CAST(rel AS DOUBLE) / log2(ik + 1) ELSE 0.0 END AS idcg_t
+          FROM ranked)
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates,
+             ${oround("sum(dcg_t) / sum(idcg_t)", 6)} AS ndcg10
+      FROM gains GROUP BY query_id ORDER BY query_id"""
+    })
+
   def queries: Seq[QueryDef] = Seq(bm25, fkIntegrity, semDedup,
-    incrementalPostings, mmrRerank, phraseSearch)
+    incrementalPostings, mmrRerank, phraseSearch, ndcgEval)
 }

@@ -1131,11 +1131,64 @@ object TemporalQueries extends QueryModule {
              ${oround("p90_s", 2)} AS p90_s
       FROM rates, qs"""))
 
+  // -- Cohort LTV curves: cumulative revenue per signup-week cohort by
+  //    age-week — the revenue companion to q_cohort_retention's user
+  //    counts. Cohort = the user's first event week, age = weeks since;
+  //    revenue accumulates along age via a window partitioned by cohort
+  //    (calendar-bounded frames). Exact cents end-to-end; LTV divides by
+  //    cohort size once at the end.
+  private val cohortLtv = QueryDef(
+    "q_cohort_ltv",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_us div 604800000000").as("wk"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      Cached.withCached(ev) {
+        val firstWk = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+        val sized = firstWk.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+        val rev = ev.join(firstWk, "user_id")
+          .groupBy(col("cohort"), (col("wk") - col("cohort")).as("age"))
+          .agg(sum("v").as("rev"))
+        val wC = org.apache.spark.sql.expressions.Window
+          .partitionBy("cohort").orderBy("age")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        rev.withColumn("cum_rev", sum("rev").over(wC))
+          .join(broadcast(sized), "cohort")
+          .select(col("cohort"), col("age"), col("n_users"),
+            dround(col("cum_rev") / 100.0, 2).as("cum_revenue"),
+            dround(col("cum_rev").cast("double") / col("n_users") / 100.0, 4)
+              .as("ltv_per_user"))
+          .orderBy("cohort", "age")
+      }
+    },
+    Some(s"""
+      WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+                    CAST(round(value * 100) AS BIGINT) AS v
+                  FROM events),
+        fw AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY 1),
+        sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+               FROM fw GROUP BY 1),
+        rev AS (SELECT fw.cohort, ev.wk - fw.cohort AS age,
+                  CAST(sum(v) AS BIGINT) AS rev
+                FROM ev JOIN fw ON ev.user_id = fw.user_id
+                GROUP BY 1, 2),
+        cum AS (SELECT cohort, age,
+                  CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY age)
+                    AS BIGINT) AS cum_rev
+                FROM rev)
+      SELECT cum.cohort, cum.age, sz.n_users,
+             ${oround("cum_rev / 100.0", 2)} AS cum_revenue,
+             ${oround("CAST(cum_rev AS DOUBLE) / sz.n_users / 100.0", 4)}
+               AS ltv_per_user
+      FROM cum JOIN sz ON cum.cohort = sz.cohort
+      ORDER BY cum.cohort, age"""))
+
   override def queries: Seq[QueryDef] =
     Seq(slidingSpend, clickAttribution, saltedSkewJoin,
       cohortRetention, funnelStages, eventTransitions, weeklyRevenueWow,
       skewProfile, ewmaValue, twapValue, intervalCoverage, ohlcBars,
       activityStreaks, seasonalAnomaly, gapFillLocf, rollingMedian,
       burstiness, runningAnomalyFlags, dauWauMau, seasonalityStrength,
-      xcorrLagged, conversionTime)
+      xcorrLagged, conversionTime, cohortLtv)
 }

@@ -658,7 +658,167 @@ object SelectionQueries extends QueryModule {
       FROM pf JOIN pt ON pf.event_type = pt.tt
       ORDER BY event_type, fold"""))
 
+  /** Shared frame for the classifier-eval trio: the hashed-linear
+    * quality score on its exact 1e-6 integer grid (same construction as
+    * q_quality_classifier) paired with an independent ground-truth label
+    * (long document: n_chars ≥ 200). */
+  private def scoredDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .withColumn("ws", expr(
+        s"""transform(
+              transform(filter(split(text, ' '), t -> length(t) > 0),
+                        t -> substring(sha2(t, 256), 1, 4)),
+              h -> cast(pmod(${hexDecode4("h")}, 1001) as bigint) - 500)"""))
+      .withColumn("n_toks", size(col("ws")))
+      .filter(col("n_toks") >= 1)
+      .withColumn("margin", expr(
+        "aggregate(ws, cast(0 as bigint), (a, x) -> a + x)"))
+      .withColumn("score_i",
+        round(col("margin") * lit(1000.0) / col("n_toks")).cast("long"))
+      .withColumn("label", when(col("n_chars") >= 200, 1L).otherwise(0L))
+      .select("score_i", "label")
+
+  private def scoredDocsSql =
+    s"""ws AS (SELECT n_chars,
+             list_transform(
+               list_transform(
+                 list_filter(string_split(text, ' '), t -> length(t) > 0),
+                 t -> substr(sha256(t), 1, 4)),
+               h -> (${oHexDecode4("h")}) % 1001 - 500) AS ws
+           FROM documents),
+      sc AS (SELECT
+               CAST(round(CAST(list_sum(ws) AS BIGINT) * 1000.0 / len(ws))
+                 AS BIGINT) AS score_i,
+               CASE WHEN n_chars >= 200 THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS label
+             FROM ws WHERE len(ws) >= 1)"""
+
+  // -- ROC AUC of the quality classifier against the long-document
+  //    label, by the exact rank-sum identity AUC = (R⁺ − n⁺(n⁺+1)/2) /
+  //    (n⁺·n⁻) with midranks for ties — the Mann-Whitney machinery
+  //    (GridCum two-pass on the score grid) reused as a model-eval
+  //    operator. All rank arithmetic stays in longs (2·midrank is
+  //    integral); one double division at the end.
+  private val rocAuc = QueryDef(
+    "q_roc_auc",
+    (s, dir) => {
+      import graft.operators.GridCum
+      val h = scoredDocs(s, dir)
+        .groupBy(col("score_i").as("v"))
+        .agg(sum("label").as("n1"),
+          sum(lit(1L) - col("label")).as("n2"))
+      Cached.withCached(h) {
+        val cum = GridCum.cum(h, Nil, "v", Seq("n1", "n2"),
+            bucketWidth = 65536L)
+          .withColumn("t", col("n1") + col("n2"))
+          .withColumn("below", col("cum_n1") + col("cum_n2") - col("t"))
+        cum.agg(
+          sum(col("n1") * (col("below") * 2L + col("t") + 1L)).as("r2x"),
+          sum("n1").as("n_pos"), sum("n2").as("n_neg"))
+          .select(
+            dround((col("r2x").cast("double") / 2.0
+              - col("n_pos").cast("double") * (col("n_pos") + 1L) / 2.0)
+              / (col("n_pos").cast("double") * col("n_neg")), 6).as("auc"),
+            col("n_pos"), col("n_neg"))
+      }
+    },
+    Some(s"""
+      WITH $scoredDocsSql,
+        h AS (SELECT score_i AS v,
+                CAST(sum(label) AS BIGINT) AS n1,
+                CAST(sum(1 - label) AS BIGINT) AS n2
+              FROM sc GROUP BY 1),
+        c AS (SELECT v, n1, n2, n1 + n2 AS t,
+                CAST(sum(n1 + n2) OVER (ORDER BY v) AS BIGINT)
+                  - (n1 + n2) AS below
+              FROM h),
+        a AS (SELECT CAST(sum(n1 * (below * 2 + t + 1)) AS BIGINT) AS r2x,
+                CAST(sum(n1) AS BIGINT) AS n_pos,
+                CAST(sum(n2) AS BIGINT) AS n_neg
+              FROM c)
+      SELECT ${oround(
+        """(CAST(r2x AS DOUBLE) / 2.0
+           - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0)
+           / (CAST(n_pos AS DOUBLE) * n_neg)""", 6)} AS auc,
+             n_pos, n_neg
+      FROM a"""))
+
+  // -- Calibration (reliability) bins: fixed-width score bins vs the
+  //    observed positive rate — does a higher classifier score actually
+  //    mean a higher long-doc probability? Floor-division binning (floor,
+  //    not DIV: scores go negative and Spark DIV truncates toward zero
+  //    while DuckDB // floors); per-bin means from exact integer sums.
+  private val calibrationBins = QueryDef(
+    "q_calibration_bins",
+    (s, dir) =>
+      scoredDocs(s, dir)
+        .groupBy(expr("CAST(floor(score_i / 100000.0) AS BIGINT)").as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          dround(sum("score_i").cast("double") / count(lit(1)) / 1e6, 6)
+            .as("mean_score"),
+          dround(sum("label").cast("double") / count(lit(1)), 4)
+            .as("pos_rate"))
+        .orderBy("bin"),
+    Some(s"""
+      WITH $scoredDocsSql
+      SELECT CAST(floor(score_i / 100000.0) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             ${oround(
+               "CAST(CAST(sum(score_i) AS BIGINT) AS DOUBLE) / count(*) / 1e6",
+               6)} AS mean_score,
+             ${oround("CAST(sum(label) AS DOUBLE) / count(*)", 4)} AS pos_rate
+      FROM sc GROUP BY 1 ORDER BY bin"""))
+
+  // -- Precision / recall / F1 threshold sweep over five operating
+  //    points: the decision-layer companion to q_roc_auc (which is
+  //    threshold-free). One conditional-count pass per threshold via a
+  //    5-row broadcast fan; zero-denominator cells surface as NULL (both
+  //    engines) rather than a fake 0.
+  private val thresholdSweep = QueryDef(
+    "q_threshold_sweep",
+    (s, dir) => {
+      import s.implicits._
+      val thr = Seq(-100000L, -50000L, 0L, 50000L, 100000L).toDF("thr")
+      scoredDocs(s, dir).crossJoin(broadcast(thr))
+        .groupBy("thr")
+        .agg(sum(when(col("score_i") > col("thr") && col("label") === 1L, 1L)
+          .otherwise(0L)).as("tp"),
+          sum(when(col("score_i") > col("thr") && col("label") === 0L, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("score_i") <= col("thr") && col("label") === 1L, 1L)
+            .otherwise(0L)).as("fn"))
+        .withColumn("precision",
+          dround(expr("CAST(tp AS DOUBLE) / nullif(tp + fp, 0)"), 4))
+        .withColumn("recall",
+          dround(expr("CAST(tp AS DOUBLE) / nullif(tp + fn, 0)"), 4))
+        .withColumn("f1",
+          dround(expr("2.0 * tp / nullif(tp * 2 + fp + fn, 0)"), 4))
+        .select(dround(col("thr") / 1e6, 2).as("threshold"),
+          col("tp"), col("fp"), col("fn"), col("precision"), col("recall"),
+          col("f1"))
+        .orderBy("threshold")
+    },
+    Some(s"""
+      WITH $scoredDocsSql,
+        t AS (SELECT unnest([-100000, -50000, 0, 50000, 100000]) AS thr),
+        agg AS (SELECT thr,
+                  CAST(sum(CASE WHEN score_i > thr AND label = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                  CAST(sum(CASE WHEN score_i > thr AND label = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                  CAST(sum(CASE WHEN score_i <= thr AND label = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fn
+                FROM sc CROSS JOIN t GROUP BY thr)
+      SELECT ${oround("thr / 1e6", 2)} AS threshold, tp, fp, fn,
+             ${oround("CAST(tp AS DOUBLE) / nullif(tp + fp, 0)", 4)}
+               AS precision,
+             ${oround("CAST(tp AS DOUBLE) / nullif(tp + fn, 0)", 4)}
+               AS recall,
+             ${oround("2.0 * tp / nullif(tp * 2 + fp + fn, 0)", 4)} AS f1
+      FROM agg ORDER BY threshold"""))
+
   def queries: Seq[QueryDef] =
     Seq(dsir, hybrid, bpeMerge, ppxBuckets, cdcChunks, tempMix,
-      qualityClassifier, targetEncoding)
+      qualityClassifier, targetEncoding, rocAuc, calibrationBins,
+      thresholdSweep)
 }

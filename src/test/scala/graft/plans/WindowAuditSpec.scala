@@ -58,7 +58,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_survival_km" -> "duration-grid frames (calendar-bounded; GridCum + log cumsum)",
     "q_lorenz_deciles" -> "spend-grid coarse buckets (GridCum offset pass)",
     "q_rfm_scores" -> "histogram buckets (HistQuantiles quintile cuts ×3)",
-    "q_conversion_time" -> "histogram buckets (HistQuantiles p50/p90 cuts)")
+    "q_conversion_time" -> "histogram buckets (HistQuantiles p50/p90 cuts)",
+    "q_roc_auc" -> "score-grid coarse buckets (GridCum offset pass)")
 
   private def constantKeyWindows(plan: SparkPlan): Seq[String] =
     plan.collect {

@@ -421,7 +421,67 @@ object CurationQueries extends QueryModule {
       FROM noise ORDER BY n_name"""
     })
 
+  // -- T5-style span-corruption statistics: tokens group into
+  //    consecutive length-3 spans, and a span masks when its seeded LCG
+  //    uniform (keyed by doc_id and span index — replayable in both
+  //    engines, swap in a training-run nonce in production) falls under
+  //    the 15% noise density. Reports the realized mask rate, sentinel
+  //    (span) counts, and corrupted-token totals per language — the
+  //    preflight a pretraining pipeline runs before committing a masking
+  //    config to a 100 TB corpus. Pure per-row expressions; one grouped
+  //    aggregate.
+  private val spanCorruption = QueryDef(
+    "q_span_corruption",
+    (s, dir) => {
+      val u = "((((((doc_id * 131 + sp) % 4294967296) * 69069 + 12345)" +
+        " % 4294967296) * 1664525 + 1013904223) % 4294967296" +
+        " + 0.5) / 4294967296.0"
+      val d = Tables.documents(s, dir)
+        .withColumn("n_toks",
+          size(expr("filter(split(text, ' '), t -> length(t) > 0)")))
+        .filter(col("n_toks") >= 3)
+        .withColumn("n_spans", expr("n_toks div 3"))
+        .withColumn("masked_spans", expr(
+          s"""aggregate(sequence(0, n_spans - 1), CAST(0 AS BIGINT),
+                (acc, sp) -> acc + (CASE WHEN ($u) < 0.15 THEN 1 ELSE 0 END))"""))
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_toks").cast("long").as("total_tokens"),
+          sum("masked_spans").as("total_sentinels"),
+          (sum("masked_spans") * 3L).as("masked_tokens"),
+          dround((sum("masked_spans") * 3L).cast("double")
+            / sum("n_toks"), 4).as("mask_rate"))
+        .orderBy("lang")
+    },
+    Some {
+      val u = "((((((doc_id * 131 + sp) % 4294967296) * 69069 + 12345)" +
+        " % 4294967296) * 1664525 + 1013904223) % 4294967296" +
+        " + 0.5) / 4294967296.0"
+      s"""
+      WITH d AS (SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '),
+                     t -> length(t) > 0)) AS n_toks
+                 FROM documents),
+        d2 AS (SELECT doc_id, lang, n_toks, n_toks // 3 AS n_spans
+               FROM d WHERE n_toks >= 3),
+        m AS (SELECT lang, n_toks,
+                CAST(list_sum(list_transform(
+                  generate_series(0, n_spans - 1),
+                  sp -> CASE WHEN ($u) < 0.15 THEN 1 ELSE 0 END))
+                  AS BIGINT) AS masked_spans
+              FROM d2)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+             CAST(sum(masked_spans) AS BIGINT) AS total_sentinels,
+             CAST(sum(masked_spans) * 3 AS BIGINT) AS masked_tokens,
+             ${oround(
+               "CAST(sum(masked_spans) * 3 AS DOUBLE) / CAST(sum(n_toks) AS BIGINT)",
+               4)} AS mask_rate
+      FROM m GROUP BY lang ORDER BY lang"""
+    })
+
   override def queries: Seq[QueryDef] =
     Seq(sourceCaps, stratifiedSample, tokenShards, zorderQuadrants,
-      langQualityGate, curationFunnel, datasetSplit, dpNoisyCounts)
+      langQualityGate, curationFunnel, datasetSplit, dpNoisyCounts,
+      spanCorruption)
 }

@@ -1205,9 +1205,96 @@ $rounds,
       FROM perdoc, mid WHERE doc_id >= mid.mid
       GROUP BY source ORDER BY source"""))
 
+  // -- MinHash-LSH recall/precision evaluation against exact ground
+  //    truth on a FIXED-SIZE eval sample (distinct contents with
+  //    doc_id < 200): the dedup-quality harness every production near-dup
+  //    pipeline keeps. Truth = all within-sample pairs with exact shingle
+  //    Jaccard ≥ 0.2 (the all-pairs join is bounded by the sample size,
+  //    never the corpus — the standard labeled-eval-set shape); LSH
+  //    candidates come from the same 4-band signatures as
+  //    q_minhash_lsh_neardup. Reported: truth size, candidate count in
+  //    the sample, recall and precision of the banding.
+  private val minhashRecall = QueryDef(
+    "q_minhash_recall",
+    (s, dir) => {
+      val d = shingled(collapseExactDups(Tables.documents(s, dir)))
+        .filter(col("doc_id") < 200 && size(col("shingles")) > 0)
+        .select(col("doc_id"), col("shingles"))
+      Cached.withCached(d) {
+        val truth = d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .withColumn("jaccard",
+            size(array_intersect(col("a.shingles"), col("b.shingles")))
+              .cast("double")
+              / size(array_union(col("a.shingles"), col("b.shingles"))))
+          .filter(col("jaccard") >= 0.2)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        val sh = d.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+          .withColumn("h", sha2(col("shingle"), 256))
+        val sigCols = (0 until 4).map(b =>
+          min(substring(col("h"), 1 + 16 * b, 16)).as(s"mh$b"))
+        val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        val bands = sigs.select(col("doc_id"),
+          posexplode(array((0 until 4).map(b => col(s"mh$b")): _*))
+            .as(Seq("band", "mh")))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        val hit = truth.join(cand, Seq("id_a", "id_b"))
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hits")))
+          // nullif guards: a scale regime whose sample holds no true
+          // near-dup pairs (the key-shifted sf1 corpus) reports NULL, not
+          // a crash or a fake 0 — the counts still certify the machinery
+          .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+            dround(expr("CAST(n_hits AS DOUBLE) / nullif(n_truth, 0)"), 4)
+              .as("recall"),
+            dround(expr("CAST(n_hits AS DOUBLE) / nullif(n_candidates, 0)"), 4)
+              .as("precision"))
+      }
+    },
+    Some(s"""
+      WITH d0 AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+                  FROM documents GROUP BY sha256(text)),
+        d AS (SELECT doc_id, $oracleShingles AS shingles
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d0)
+              WHERE doc_id < 200
+                AND len($oracleShingles) > 0),
+        truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM d a JOIN d b ON a.doc_id < b.doc_id
+                  WHERE CAST(len(list_filter(a.shingles,
+                          x -> list_contains(b.shingles, x))) AS DOUBLE)
+                        / (len(a.shingles) + len(b.shingles)
+                           - len(list_filter(a.shingles,
+                               x -> list_contains(b.shingles, x)))) >= 0.2),
+        sh AS (SELECT doc_id, sha256(unnest(shingles)) AS h FROM d),
+        bands AS (SELECT doc_id, band,
+                    min(substr(h, 1 + 16 * band, 16)) AS mh
+                  FROM (SELECT doc_id, h, unnest([0, 1, 2, 3]) AS band
+                        FROM sh)
+                  GROUP BY doc_id, band),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.mh = b.mh
+                  AND a.doc_id < b.doc_id),
+        hit AS (SELECT truth.id_a FROM truth
+                JOIN cand ON truth.id_a = cand.id_a
+                         AND truth.id_b = cand.id_b),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+        c AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+        h2 AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM hit)
+      SELECT n_truth, n_candidates, n_hits,
+             ${oround("CAST(n_hits AS DOUBLE) / nullif(n_truth, 0)", 4)}
+               AS recall,
+             ${oround("CAST(n_hits AS DOUBLE) / nullif(n_candidates, 0)", 4)}
+               AS precision
+      FROM t, c, h2"""))
+
   override def queries: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, minhashBandedR2, simhash, neardupClusters,
     ngramJaccard, embeddingNearDup, contamination, passageDedup,
     fuzzyNeardupJoin, bloomDedupGate, crossDupMass, entityResolutionJw,
-    dupSpanRemoval, containmentDedup, ngramNovelty)
+    dupSpanRemoval, containmentDedup, ngramNovelty, minhashRecall)
 }

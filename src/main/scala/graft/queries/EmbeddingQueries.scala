@@ -649,11 +649,23 @@ object EmbeddingQueries extends QueryModule {
   //    bucket-bounded, never corpus-bounded); votes break ties by
   //    (count desc, label asc) so the argmax is deterministic in both
   //    engines.
+  //
+  //    6 hyperplanes (64 buckets), not the shared 4-plane hash: the
+  //    all-points kNN-join is quadratic WITHIN buckets, and the sf1 sweep
+  //    measured 9.6× on 10× data at 16 buckets — widening the code is
+  //    exactly the occupancy lever the 100 TB path pulls (more bits as
+  //    the corpus grows, holding per-bucket population constant).
+  private[queries] val knnBucketSpark = (0 until 6).map(i =>
+    when(element_at(col("embedding"), i + 1) > 0f, lit(1 << i)).otherwise(lit(0)))
+    .reduce(_ + _)
+  private[queries] val knnBucketSql = (0 until 6).map(i =>
+    s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+
   private val knnClassify = QueryDef(
     "q_knn_classify",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-        .withColumn("bucket", bucketSpark)
+        .withColumn("bucket", knnBucketSpark)
         .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         .withColumn("nrm", graft.functions.VectorFunctions.vecNorm(col("vecd")))
         .select(col("vec_id"), col("label"), col("bucket"), col("vecd"),
@@ -687,7 +699,7 @@ object EmbeddingQueries extends QueryModule {
       }
     },
     Some(s"""
-      WITH e AS (SELECT vec_id, label, $bucketSql AS bucket,
+      WITH e AS (SELECT vec_id, label, $knnBucketSql AS bucket,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd,
                    sqrt(list_sum(list_transform(embedding,
                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
@@ -715,7 +727,154 @@ object EmbeddingQueries extends QueryModule {
                4)} AS accuracy
       FROM pick GROUP BY t_label ORDER BY label"""))
 
+  // -- Product quantization + asymmetric-distance search (Jégou et al.
+  //    2011): the 64-dim space splits into M=8 subspaces of 8 dims, each
+  //    with a K=16-entry codebook (subvectors of 16 deterministically
+  //    sampled corpus vectors — ids 0,7,…,105 — the "sampled codebook"
+  //    initializer; production would Lloyd-refine per subspace exactly as
+  //    q_kmeans_refine does). Every vector encodes to 8 nibbles (4 bytes
+  //    vs 256 — a 64× compression); search reconstructs from the
+  //    codebook and ranks by ADC cosine, reporting true cosine and
+  //    recall@3 against the exact ranking, like the SQ8 sibling.
+  //    Encoding is one embarrassingly parallel expression scan against a
+  //    1-row broadcast codebook; argmin ties resolve to the smallest code
+  //    via array_position-of-min, identical in both engines.
+  private val pqAdc = QueryDef(
+    "q_pq_adc",
+    (s, dir) => {
+      import graft.functions.VectorFunctions.{cosine, vecNorm}
+      val e = Tables.embeddings(s, dir)
+        .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("nrm", vecNorm(col("vecd")))
+        .select(col("vec_id"), col("vecd"), col("nrm"))
+      Cached.withCached(e) {
+        val cb = e.filter(col("vec_id") % 7 === 0 && col("vec_id") < 112)
+          .select((col("vec_id") / 7).cast("int").as("c"), col("vecd"))
+          .groupBy()
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(c, vecd))), s -> s.vecd)")
+            .as("cbv"))
+        val enc = e.crossJoin(broadcast(cb))
+          .withColumn("codes", expr(
+            """transform(sequence(0, 7), m ->
+                 array_position(
+                   transform(sequence(0, 15), c ->
+                     aggregate(sequence(8 * m, 8 * m + 7), CAST(0.0 AS DOUBLE),
+                       (a, j) -> a
+                         + (element_at(vecd, j + 1)
+                            - element_at(element_at(cbv, c + 1), j + 1))
+                         * (element_at(vecd, j + 1)
+                            - element_at(element_at(cbv, c + 1), j + 1)))),
+                   array_min(transform(sequence(0, 15), c ->
+                     aggregate(sequence(8 * m, 8 * m + 7), CAST(0.0 AS DOUBLE),
+                       (a, j) -> a
+                         + (element_at(vecd, j + 1)
+                            - element_at(element_at(cbv, c + 1), j + 1))
+                         * (element_at(vecd, j + 1)
+                            - element_at(element_at(cbv, c + 1), j + 1))))))
+                 - 1)"""))
+          .withColumn("xhatv", expr(
+            """transform(sequence(0, 63), i ->
+                 element_at(element_at(cbv,
+                   CAST(element_at(codes, CAST((i div 8) + 1 AS INT)) + 1
+                     AS INT)), i + 1))"""))
+          .withColumn("xnrm", vecNorm(col("xhatv")))
+          .select(col("vec_id"), col("vecd"), col("nrm"), col("xhatv"),
+            col("xnrm"))
+        val q = e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("q_id"), col("vecd").as("qv"),
+            col("nrm").as("qn"))
+        val scored = enc.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .withColumn("adc_cosine",
+            cosine(col("qv"), col("xhatv"), col("qn"), col("xnrm")))
+          .withColumn("true_cosine",
+            cosine(col("qv"), col("vecd"), col("qn"), col("nrm")))
+          .select("q_id", "vec_id", "adc_cosine", "true_cosine")
+        val wAdc = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("adc_cosine").desc, col("vec_id").asc)
+        val wTrue = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("true_cosine").desc, col("vec_id").asc)
+        val adc3 = scored.withColumn("rank", row_number().over(wAdc))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+            col("adc_cosine"), col("true_cosine"))
+        val ex3 = scored.withColumn("rank", row_number().over(wTrue))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"))
+        val rec = adc3.select("q_id", "neighbor_id")
+          .join(ex3, Seq("q_id", "neighbor_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("hits"))
+        adc3.join(broadcast(rec), Seq("q_id"), "left")
+          .select(col("q_id"), col("rank"), col("neighbor_id"),
+            dround(col("adc_cosine"), 4).as("adc_cosine"),
+            dround(col("true_cosine"), 4).as("true_cosine"),
+            dround(coalesce(col("hits"), lit(0L)).cast("double") / 3.0, 4)
+              .as("recall3"))
+          .orderBy("q_id", "rank")
+      }
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd,
+                   sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                 FROM embeddings),
+        cb AS (SELECT list_transform(
+                 list_sort(list(struct_pack(c := CAST(vec_id // 7 AS INT),
+                                            v := vecd))),
+                 s -> s.v) AS cbv
+               FROM e WHERE vec_id % 7 = 0 AND vec_id < 112),
+        enc AS (SELECT vec_id, vecd, nrm,
+                  list_transform(generate_series(0, 7), m ->
+                    list_position(
+                      list_transform(generate_series(0, 15), c ->
+                        list_sum(list_transform(generate_series(8*m, 8*m + 7),
+                          j -> (vecd[j + 1] - cbv[c + 1][j + 1])
+                             * (vecd[j + 1] - cbv[c + 1][j + 1])))),
+                      list_min(
+                        list_transform(generate_series(0, 15), c ->
+                          list_sum(list_transform(generate_series(8*m, 8*m + 7),
+                            j -> (vecd[j + 1] - cbv[c + 1][j + 1])
+                               * (vecd[j + 1] - cbv[c + 1][j + 1]))))))
+                    - 1) AS codes,
+                  cbv
+                FROM e, cb),
+        rec2 AS (SELECT vec_id, vecd, nrm,
+                   list_transform(generate_series(0, 63), i ->
+                     cbv[codes[(i // 8) + 1] + 1][i + 1]) AS xhatv
+                 FROM enc),
+        n2 AS (SELECT vec_id, vecd, nrm, xhatv,
+                 sqrt(list_sum(list_transform(xhatv, x -> x * x))) AS xnrm
+               FROM rec2),
+        q AS (SELECT vec_id AS q_id, vecd AS qv, nrm AS qn FROM e
+              WHERE vec_id < $NQueries),
+        scored AS (SELECT q.q_id, n2.vec_id,
+                     list_sum(list_transform(list_zip(q.qv, n2.xhatv),
+                       x -> x[1] * x[2])) / (q.qn * n2.xnrm) AS adc_cosine,
+                     list_sum(list_transform(list_zip(q.qv, n2.vecd),
+                       x -> x[1] * x[2])) / (q.qn * n2.nrm) AS true_cosine
+                   FROM n2 JOIN q ON n2.vec_id <> q.q_id),
+        adc3 AS (SELECT * FROM (SELECT *, row_number() OVER
+                   (PARTITION BY q_id
+                    ORDER BY adc_cosine DESC, vec_id ASC) AS rank
+                 FROM scored) WHERE rank <= 3),
+        ex3 AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
+                  (PARTITION BY q_id
+                   ORDER BY true_cosine DESC, vec_id ASC) AS rank
+                FROM scored) WHERE rank <= 3),
+        rec AS (SELECT adc3.q_id, CAST(count(*) AS BIGINT) AS hits
+                FROM adc3 JOIN ex3 ON adc3.q_id = ex3.q_id
+                                  AND adc3.vec_id = ex3.vec_id
+                GROUP BY 1)
+      SELECT adc3.q_id, adc3.rank, adc3.vec_id AS neighbor_id,
+             ${oround("adc_cosine", 4)} AS adc_cosine,
+             ${oround("true_cosine", 4)} AS true_cosine,
+             ${oround("CAST(coalesce(rec.hits, 0) AS DOUBLE) / 3.0", 4)}
+               AS recall3
+      FROM adc3 LEFT JOIN rec ON adc3.q_id = rec.q_id
+      ORDER BY adc3.q_id, adc3.rank"""))
+
   override def queries: Seq[QueryDef] =
     Seq(bruteForceTopK, lshTopK, ivfTopK, normStats, kmeansRefine,
-      lshMultiprobe, sq8Adc, jlProjection, knnClassify)
+      lshMultiprobe, sq8Adc, jlProjection, knnClassify, pqAdc)
 }

@@ -717,8 +717,57 @@ object GraphQueries extends QueryModule {
       LIMIT 10"""
     })
 
+  // -- Adamic–Adar link scores for supplier pairs: common shared orders
+  //    weighted by 1/ln(order breadth), so co-occurrence inside a rare
+  //    2-supplier order counts far more than inside a megaorder — the
+  //    rarity-weighted refinement of q_link_prediction's raw Jaccard.
+  //    Same per-order pair generation (≤21 pairs/order, linear candidate
+  //    mass); each pair's AA term snaps to the 1e-9 grid before the long
+  //    sum, so the ranking is partition-order-proof.
+  private val adamicAdar = QueryDef(
+    "q_adamic_adar",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("pk"))
+        .distinct()
+      Cached.withCached(li) {
+        val breadth = li.groupBy("ok").agg(count(lit(1)).as("nb"))
+          .filter(col("nb") >= 2)
+        val wide = li.join(breadth, "ok")
+          .withColumn("aa_i", expr("CAST(round(1e9 / ln(nb)) AS BIGINT)"))
+        val pairs = wide.as("x").join(
+            wide.select(col("ok"), col("pk").as("pk2")).as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk2"))
+          .groupBy(col("x.pk").as("a"), col("y.pk2").as("b"))
+          .agg(count(lit(1)).as("common"), sum(col("x.aa_i")).as("aa_sum"))
+        pairs
+          .select(col("a").as("s_a"), col("b").as("s_b"), col("common"),
+            dround(col("aa_sum").cast("double") / 1e9, 4).as("adamic_adar"))
+          .orderBy(col("adamic_adar").desc, col("s_a").asc, col("s_b").asc)
+          .limit(15)
+      }
+    },
+    Some(s"""
+      WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+                   l_suppkey AS pk FROM lineitem),
+        breadth AS (SELECT ok, CAST(count(*) AS BIGINT) AS nb
+                    FROM li GROUP BY ok HAVING count(*) >= 2),
+        wide AS (SELECT li.ok, li.pk,
+                   CAST(round(1e9 / ln(nb)) AS BIGINT) AS aa_i
+                 FROM li JOIN breadth ON li.ok = breadth.ok),
+        pairs AS (SELECT x.pk AS a, y.pk AS b,
+                    CAST(count(*) AS BIGINT) AS common,
+                    CAST(sum(x.aa_i) AS BIGINT) AS aa_sum
+                  FROM wide x JOIN wide y
+                    ON x.ok = y.ok AND x.pk < y.pk
+                  GROUP BY 1, 2)
+      SELECT a AS s_a, b AS s_b, common,
+             ${oround("CAST(aa_sum AS DOUBLE) / 1e9", 4)} AS adamic_adar
+      FROM pairs
+      ORDER BY adamic_adar DESC, s_a ASC, s_b ASC LIMIT 15"""))
+
   override def queries: Seq[QueryDef] =
     Seq(pagerankSuppliers, triangleCount, bfsLevels, kcorePeel, labelProp,
       pprSeeds, assortativity, ssspDelay, hitsRank, linkPrediction,
-      weightedPagerank)
+      weightedPagerank, adamicAdar)
 }

@@ -754,33 +754,41 @@ object EmbeddingQueries extends QueryModule {
           .agg(expr(
             "transform(array_sort(collect_list(struct(c, vecd))), s -> s.vecd)")
             .as("cbv"))
-        val enc = e.crossJoin(broadcast(cb))
+        // Expression hygiene (94 s → sub-second at sf0.1): higher-order
+        // functions are interpreted, and element_at(cbv, c) inside the
+        // distance fold re-materialized the 64-element codebook row on
+        // EVERY fold step (2048× per vector). Binding the row to a lambda
+        // variable (transform over cbv) makes it a reference; the
+        // single-element-array transform is the "let" that computes the
+        // 16-distance list once for both array_min and array_position.
+        val enc0 = e.crossJoin(broadcast(cb))
           .withColumn("codes", expr(
             """transform(sequence(0, 7), m ->
-                 array_position(
-                   transform(sequence(0, 15), c ->
-                     aggregate(sequence(8 * m, 8 * m + 7), CAST(0.0 AS DOUBLE),
-                       (a, j) -> a
-                         + (element_at(vecd, j + 1)
-                            - element_at(element_at(cbv, c + 1), j + 1))
-                         * (element_at(vecd, j + 1)
-                            - element_at(element_at(cbv, c + 1), j + 1)))),
-                   array_min(transform(sequence(0, 15), c ->
-                     aggregate(sequence(8 * m, 8 * m + 7), CAST(0.0 AS DOUBLE),
-                       (a, j) -> a
-                         + (element_at(vecd, j + 1)
-                            - element_at(element_at(cbv, c + 1), j + 1))
-                         * (element_at(vecd, j + 1)
-                            - element_at(element_at(cbv, c + 1), j + 1))))))
+                 element_at(
+                   transform(
+                     array(transform(cbv, cv ->
+                       aggregate(sequence(8 * m, 8 * m + 7),
+                         CAST(0.0 AS DOUBLE),
+                         (a, j) -> a
+                           + (element_at(vecd, CAST(j + 1 AS INT))
+                              - element_at(cv, CAST(j + 1 AS INT)))
+                           * (element_at(vecd, CAST(j + 1 AS INT))
+                              - element_at(cv, CAST(j + 1 AS INT)))))),
+                     ds -> array_position(ds, array_min(ds))),
+                   1)
                  - 1)"""))
           .withColumn("xhatv", expr(
-            """transform(sequence(0, 63), i ->
-                 element_at(element_at(cbv,
-                   CAST(element_at(codes, CAST((i div 8) + 1 AS INT)) + 1
-                     AS INT)), i + 1))"""))
+            """flatten(transform(sequence(0, 7), m ->
+                 slice(element_at(cbv,
+                     CAST(element_at(codes, CAST(m + 1 AS INT)) + 1 AS INT)),
+                   m * 8 + 1, 8)))"""))
           .withColumn("xnrm", vecNorm(col("xhatv")))
           .select(col("vec_id"), col("vecd"), col("nrm"), col("xhatv"),
             col("xnrm"))
+        // four consumers (two rankings + recall join + output): materialize
+        // the encode ONCE
+        Cached.withCached(enc0) {
+        val enc = enc0
         val q = e.filter(col("vec_id") < NQueries)
           .select(col("vec_id").as("q_id"), col("vecd").as("qv"),
             col("nrm").as("qn"))
@@ -811,6 +819,7 @@ object EmbeddingQueries extends QueryModule {
             dround(coalesce(col("hits"), lit(0L)).cast("double") / 3.0, 4)
               .as("recall3"))
           .orderBy("q_id", "rank")
+        }
       }
     },
     Some(s"""

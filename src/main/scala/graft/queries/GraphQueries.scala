@@ -766,8 +766,69 @@ object GraphQueries extends QueryModule {
       FROM pairs
       ORDER BY adamic_adar DESC, s_a ASC, s_b ASC LIMIT 15"""))
 
+  // -- Discrete power-law exponent of the purchase-graph degree
+  //    distributions (Newman's MLE with xmin = 1): α = 1 + n / Σ ln(dᵢ),
+  //    fitted separately for the customer side (suppliers per customer)
+  //    and the supplier side (customers per supplier) — the heavy-tail
+  //    diagnostic that tells a 100 TB graph job whether degree-ordered
+  //    orientation / hub-pruning levers will matter. ln terms snap to the
+  //    1e-9 grid per DISTINCT degree and multiply by multiplicity, so the
+  //    sum is an exact long.
+  private val powerLawFit = QueryDef(
+    "q_power_law_fit",
+    (s, dir) => {
+      val e = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+        .distinct()
+      Cached.withCached(e) {
+        def fit(df: org.apache.spark.sql.DataFrame, role: String) =
+          df.groupBy("node").agg(count(lit(1)).as("deg"))
+            .groupBy("deg").agg(count(lit(1)).as("m"))
+            .agg(sum("m").as("n"), max("deg").as("max_deg"),
+              sum(expr("m * deg")).as("sum_deg"),
+              sum(expr("m * CAST(round(ln(deg) * 1e9) AS BIGINT)")).as("sl"))
+            .select(lit(role).as("role"), col("n").as("n_nodes"),
+              col("max_deg"),
+              dround(col("sum_deg").cast("double") / col("n"), 4)
+                .as("mean_deg"),
+              dround(lit(1.0) + col("n").cast("double")
+                / (col("sl").cast("double") / 1e9), 4).as("alpha"))
+        fit(e.select(col("c").as("node")), "customer")
+          .unionByName(fit(e.select(col("p").as("node")), "supplier"))
+          .orderBy("role")
+      }
+    },
+    Some(s"""
+      WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        dc AS (SELECT deg, CAST(count(*) AS BIGINT) AS m FROM
+                 (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY c)
+               GROUP BY deg),
+        dp AS (SELECT deg, CAST(count(*) AS BIGINT) AS m FROM
+                 (SELECT p, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY p)
+               GROUP BY deg),
+        fc AS (SELECT 'customer' AS role, CAST(sum(m) AS BIGINT) AS n_nodes,
+                 CAST(max(deg) AS BIGINT) AS max_deg,
+                 CAST(sum(m * deg) AS BIGINT) AS sum_deg,
+                 CAST(sum(m * CAST(round(ln(deg) * 1e9) AS BIGINT))
+                   AS BIGINT) AS sl
+               FROM dc),
+        fp AS (SELECT 'supplier' AS role, CAST(sum(m) AS BIGINT) AS n_nodes,
+                 CAST(max(deg) AS BIGINT) AS max_deg,
+                 CAST(sum(m * deg) AS BIGINT) AS sum_deg,
+                 CAST(sum(m * CAST(round(ln(deg) * 1e9) AS BIGINT))
+                   AS BIGINT) AS sl
+               FROM dp),
+        u AS (SELECT * FROM fc UNION ALL SELECT * FROM fp)
+      SELECT role, n_nodes, max_deg,
+             ${oround("CAST(sum_deg AS DOUBLE) / n_nodes", 4)} AS mean_deg,
+             ${oround("1.0 + CAST(n_nodes AS DOUBLE) / (CAST(sl AS DOUBLE) / 1e9)", 4)}
+               AS alpha
+      FROM u ORDER BY role"""))
+
   override def queries: Seq[QueryDef] =
     Seq(pagerankSuppliers, triangleCount, bfsLevels, kcorePeel, labelProp,
       pprSeeds, assortativity, ssspDelay, hitsRank, linkPrediction,
-      weightedPagerank, adamicAdar)
+      weightedPagerank, adamicAdar, powerLawFit)
 }

@@ -721,8 +721,65 @@ object StatsQueries extends QueryModule {
       ORDER BY g.digit"""
     })
 
+  // -- Winsorized mean of order totals (clamp at the exact p05/p95): the
+  //    robust-mean companion to q_mad_outliers' flagging — report what
+  //    the mean WOULD be with tail influence capped. Quantile cuts come
+  //    from HistQuantiles (audited two-pass); the cuts snap to integer
+  //    cents via explicit floor(x+0.5) (NOT native round, which disagrees
+  //    between engines on repr boundaries), so the clamped sum is an
+  //    exact long.
+  private val winsorizedMean = QueryDef(
+    "q_winsorized_mean",
+    (s, dir) => {
+      import graft.operators.HistQuantiles
+      val o = Tables.orders(s, dir)
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      Cached.withCached(o) {
+        val cuts = HistQuantiles.quantiles(o, col("cents"), Seq(0.05, 0.95))
+          .agg(min(when(col("q") === 0.05,
+            floor(col("value") + 0.5).cast("long"))).as("lo"),
+            min(when(col("q") === 0.95,
+              floor(col("value") + 0.5).cast("long"))).as("hi"))
+        o.crossJoin(broadcast(cuts))
+          .agg(count(lit(1)).as("n"),
+            sum("cents").as("raw_sum"),
+            sum(least(greatest(col("cents"), col("lo")), col("hi")))
+              .as("win_sum"),
+            first("lo").as("lo"), first("hi").as("hi"))
+          .select(col("n"),
+            dround(col("raw_sum").cast("double") / col("n") / 100.0, 4)
+              .as("raw_mean"),
+            dround(col("win_sum").cast("double") / col("n") / 100.0, 4)
+              .as("winsorized_mean"),
+            dround(col("lo") / 100.0, 2).as("p05"),
+            dround(col("hi") / 100.0, 2).as("p95"))
+      }
+    },
+    Some(s"""
+      WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders),
+        cuts AS (SELECT
+                   CAST(floor(quantile_cont(cents, 0.05) + 0.5) AS BIGINT)
+                     AS lo,
+                   CAST(floor(quantile_cont(cents, 0.95) + 0.5) AS BIGINT)
+                     AS hi
+                 FROM o),
+        agg AS (SELECT count(*) AS n,
+                  CAST(sum(cents) AS BIGINT) AS raw_sum,
+                  CAST(sum(least(greatest(cents, lo), hi)) AS BIGINT)
+                    AS win_sum,
+                  any_value(lo) AS lo, any_value(hi) AS hi
+                FROM o, cuts)
+      SELECT n,
+             ${oround("CAST(raw_sum AS DOUBLE) / n / 100.0", 4)} AS raw_mean,
+             ${oround("CAST(win_sum AS DOUBLE) / n / 100.0", 4)}
+               AS winsorized_mean,
+             ${oround("lo / 100.0", 2)} AS p05,
+             ${oround("hi / 100.0", 2)} AS p95
+      FROM agg"""))
+
   override def queries: Seq[QueryDef] = Seq(
     semReliability, semBounds, upsertLastWins, dedupGate, pcaOlsCi,
     bootstrapCi, tableProfile, tableProfileHll, madOutliers, tableDiff,
-    quantileNormalize, benfordAudit)
+    quantileNormalize, benfordAudit, winsorizedMean)
 }

@@ -1073,6 +1073,77 @@ object TemporalQueries extends QueryModule {
                6)} AS xcorr
       FROM m ORDER BY lag"""))
 
+  // -- Multi-touch Shapley attribution vs last-touch: each converting
+  //    user's pre-purchase channel set splits the conversion credit
+  //    equally (the Shapley value under a symmetric coalition function —
+  //    the standard data-driven-attribution baseline), compared against
+  //    the last-touch count. Credits stay EXACT: with ≤4 channels the
+  //    per-channel share is 12/k twelfths — integer arithmetic end-to-end,
+  //    one /12 at the end. Windows partition by user.
+  private val shapleyAttribution = QueryDef(
+    "q_shapley_attribution",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type"))
+      Cached.withCached(ev) {
+        val fp = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min("ts_us").as("fp_ts"))
+        val pre = ev.join(fp, "user_id")
+          .filter(col("ts_us") < col("fp_ts")
+            && col("event_type") =!= "purchase")
+        val channels = pre.select("user_id", "event_type").distinct()
+        val k = channels.groupBy("user_id").agg(count(lit(1)).as("k"))
+        val shap = channels.join(k, "user_id")
+          .groupBy(col("event_type").as("channel"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(expr("12 div k")).as("credit_twelfths"))
+        val wL = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        val last = pre.withColumn("rn", row_number().over(wL))
+          .filter(col("rn") === 1)
+          .groupBy(col("event_type").as("channel"))
+          .agg(count(lit(1)).as("last_touch"))
+        shap.join(last, Seq("channel"), "full_outer")
+          .select(col("channel"),
+            coalesce(col("n_users"), lit(0L)).as("n_users"),
+            dround(coalesce(col("credit_twelfths"), lit(0L)).cast("double")
+              / 12.0, 4).as("shapley_credit"),
+            coalesce(col("last_touch"), lit(0L)).as("last_touch"))
+          .orderBy("channel")
+      }
+    },
+    Some(s"""
+      WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                    event_type FROM events),
+        fp AS (SELECT user_id, min(ts_us) AS fp_ts FROM ev
+               WHERE event_type = 'purchase' GROUP BY 1),
+        pre AS (SELECT ev.* FROM ev JOIN fp ON ev.user_id = fp.user_id
+                WHERE ev.ts_us < fp.fp_ts AND ev.event_type <> 'purchase'),
+        ch AS (SELECT DISTINCT user_id, event_type FROM pre),
+        k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS k
+              FROM ch GROUP BY 1),
+        shap AS (SELECT ch.event_type AS channel,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(12 // k.k) AS BIGINT) AS credit_twelfths
+                 FROM ch JOIN k ON ch.user_id = k.user_id
+                 GROUP BY 1),
+        last AS (SELECT event_type AS channel,
+                   CAST(count(*) AS BIGINT) AS last_touch
+                 FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts_us DESC, event_id DESC) AS rn
+                       FROM pre)
+                 WHERE rn = 1 GROUP BY 1)
+      SELECT coalesce(shap.channel, last.channel) AS channel,
+             CAST(coalesce(n_users, 0) AS BIGINT) AS n_users,
+             ${oround(
+               "CAST(coalesce(credit_twelfths, 0) AS DOUBLE) / 12.0", 4)}
+               AS shapley_credit,
+             CAST(coalesce(last_touch, 0) AS BIGINT) AS last_touch
+      FROM shap FULL OUTER JOIN last ON shap.channel = last.channel
+      ORDER BY channel"""))
+
   // -- Funnel conversion-time quantiles: seconds from a user's FIRST
   //    signup to their FIRST subsequent purchase, with exact p50/p90 over
   //    the converted population (HistQuantiles on the seconds grid — the
@@ -1190,5 +1261,5 @@ object TemporalQueries extends QueryModule {
       skewProfile, ewmaValue, twapValue, intervalCoverage, ohlcBars,
       activityStreaks, seasonalAnomaly, gapFillLocf, rollingMedian,
       burstiness, runningAnomalyFlags, dauWauMau, seasonalityStrength,
-      xcorrLagged, conversionTime, cohortLtv)
+      xcorrLagged, conversionTime, cohortLtv, shapleyAttribution)
 }

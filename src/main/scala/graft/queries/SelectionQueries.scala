@@ -817,8 +817,95 @@ object SelectionQueries extends QueryModule {
              ${oround("2.0 * tp / nullif(tp * 2 + fp + fn, 0)", 4)} AS f1
       FROM agg ORDER BY threshold"""))
 
+  // -- Decile lift / cumulative-gains chart for the quality classifier:
+  //    rank the population by score DESCENDING, split into positional
+  //    deciles, and report each decile's positive rate against the base
+  //    rate (lift) plus the cumulative share of all positives captured
+  //    (gains). Positions come from GridCum on the score grid; tie
+  //    groups straddling a decile boundary allocate members by integer
+  //    overlap and positives by the expected fraction p·c/m snapped to
+  //    the 1e-9 grid (ties are interchangeable, so the expectation IS the
+  //    exact allocation under any ordering both engines could pick). The
+  //    10-row decile cumsum runs under the audited pmod window.
+  private val decileLift = QueryDef(
+    "q_decile_lift",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.GridCum
+      val h = scoredDocs(s, dir)
+        .groupBy(col("score_i").as("v"))
+        .agg(count(lit(1)).as("m"), sum("label").as("p"))
+      Cached.withCached(h) {
+        val tot = h.agg(sum("m").as("n"), sum("p").as("np"))
+        val cum = GridCum.cum(h, Nil, "v", Seq("m"), bucketWidth = 65536L)
+        val deciles = (0 until 10).toDF("k")
+        val alloc = cum.crossJoin(broadcast(tot)).crossJoin(broadcast(deciles))
+          // positions FROM THE TOP: rows with higher scores sit above
+          .withColumn("above", col("n") - col("cum_m"))
+          .withColumn("lo", expr("(k * n) div 10"))
+          .withColumn("hi", expr("((k + 1) * n) div 10"))
+          .withColumn("c", greatest(lit(0L),
+            least(col("hi"), col("above") + col("m"))
+              - greatest(col("lo"), col("above"))))
+          .filter(col("c") > 0L)
+          .withColumn("pos_i", expr(
+            "CAST(round(p * c * 1e9 / m) AS BIGINT)"))
+        val perDec = alloc.groupBy("k")
+          .agg(sum("c").as("n_docs"), sum("pos_i").as("pos_sum_i"),
+            first("n").as("n"), first("np").as("np"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("k"), lit(1))).orderBy("k")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        perDec
+          .withColumn("cum_pos_i", sum("pos_sum_i").over(wCum))
+          .select(col("k").as("decile"), col("n_docs"),
+            dround(col("pos_sum_i").cast("double") / 1e9, 2).as("positives"),
+            dround((col("pos_sum_i").cast("double") / 1e9 / col("n_docs"))
+              / (col("np").cast("double") / col("n")), 4).as("lift"),
+            dround(col("cum_pos_i").cast("double") / 1e9 / col("np"), 4)
+              .as("cum_gain"))
+          .orderBy("decile")
+      }
+    },
+    Some(s"""
+      WITH $scoredDocsSql,
+        h AS (SELECT score_i AS v, CAST(count(*) AS BIGINT) AS m,
+                CAST(sum(label) AS BIGINT) AS p
+              FROM sc GROUP BY 1),
+        tot AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+                       CAST(sum(p) AS BIGINT) AS np FROM h),
+        c AS (SELECT v, m, p,
+                CAST(sum(m) OVER (ORDER BY v) AS BIGINT) AS cum_m
+              FROM h),
+        alloc AS (SELECT d.k, tot.n, tot.np, c.m, c.p,
+                    greatest(0, least(((d.k + 1) * tot.n) // 10,
+                        (tot.n - c.cum_m) + c.m)
+                      - greatest((d.k * tot.n) // 10, tot.n - c.cum_m))
+                      AS cc
+                  FROM c, tot,
+                    (SELECT unnest(generate_series(0, 9)) AS k) d),
+        a2 AS (SELECT k, n, np, cc,
+                 CAST(round(p * cc * 1e9 / m) AS BIGINT) AS pos_i
+               FROM alloc WHERE cc > 0),
+        perdec AS (SELECT k, CAST(sum(cc) AS BIGINT) AS n_docs,
+                     CAST(sum(pos_i) AS BIGINT) AS pos_sum_i,
+                     any_value(n) AS n, any_value(np) AS np
+                   FROM a2 GROUP BY k),
+        fin AS (SELECT *, CAST(sum(pos_sum_i) OVER (ORDER BY k) AS BIGINT)
+                  AS cum_pos_i
+                FROM perdec)
+      SELECT k AS decile, n_docs,
+             ${oround("CAST(pos_sum_i AS DOUBLE) / 1e9", 2)} AS positives,
+             ${oround(
+               "(CAST(pos_sum_i AS DOUBLE) / 1e9 / n_docs) / (CAST(np AS DOUBLE) / n)",
+               4)} AS lift,
+             ${oround("CAST(cum_pos_i AS DOUBLE) / 1e9 / np", 4)}
+               AS cum_gain
+      FROM fin ORDER BY decile"""))
+
   def queries: Seq[QueryDef] =
     Seq(dsir, hybrid, bpeMerge, ppxBuckets, cdcChunks, tempMix,
       qualityClassifier, targetEncoding, rocAuc, calibrationBins,
-      thresholdSweep)
+      thresholdSweep, decileLift)
 }

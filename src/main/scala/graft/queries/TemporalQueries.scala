@@ -1073,6 +1073,44 @@ object TemporalQueries extends QueryModule {
                6)} AS xcorr
       FROM m ORDER BY lag"""))
 
+  // -- Daily new-vs-returning active users: each day's actives split by
+  //    whether it is the user's FIRST observed day — the standard product
+  //    growth panel next to q_dau_wau_mau. One distinct (day, user) grid,
+  //    one min-day per user, one grouped count; day cardinality is
+  //    calendar-bounded.
+  private val newReturning = QueryDef(
+    "q_new_returning",
+    (s, dir) => {
+      val du = Tables.events(s, dir)
+        .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+        .distinct()
+      Cached.withCached(du) {
+        val first = du.groupBy("user_id").agg(min("day").as("first_day"))
+        du.join(first, "user_id")
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_active"),
+            sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+              .as("n_new"))
+          .select(col("day"), col("n_active"), col("n_new"),
+            (col("n_active") - col("n_new")).as("n_returning"),
+            dround(col("n_new").cast("double") / col("n_active"), 4)
+              .as("pct_new"))
+          .orderBy("day")
+      }
+    },
+    Some(s"""
+      WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+                    user_id FROM events),
+        f AS (SELECT user_id, min(day) AS first_day FROM du GROUP BY 1),
+        agg AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+                  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new
+                FROM du JOIN f ON du.user_id = f.user_id
+                GROUP BY day)
+      SELECT day, n_active, n_new, n_active - n_new AS n_returning,
+             ${oround("CAST(n_new AS DOUBLE) / n_active", 4)} AS pct_new
+      FROM agg ORDER BY day"""))
+
   // -- Multi-touch Shapley attribution vs last-touch: each converting
   //    user's pre-purchase channel set splits the conversion credit
   //    equally (the Shapley value under a symmetric coalition function —
@@ -1261,5 +1299,6 @@ object TemporalQueries extends QueryModule {
       skewProfile, ewmaValue, twapValue, intervalCoverage, ohlcBars,
       activityStreaks, seasonalAnomaly, gapFillLocf, rollingMedian,
       burstiness, runningAnomalyFlags, dauWauMau, seasonalityStrength,
-      xcorrLagged, conversionTime, cohortLtv, shapleyAttribution)
+      xcorrLagged, conversionTime, cohortLtv, shapleyAttribution,
+      newReturning)
 }

@@ -60,7 +60,8 @@ class WindowAuditSpec extends SparkSpec {
     "q_rfm_scores" -> "histogram buckets (HistQuantiles quintile cuts ×3)",
     "q_conversion_time" -> "histogram buckets (HistQuantiles p50/p90 cuts)",
     "q_roc_auc" -> "score-grid coarse buckets (GridCum offset pass)",
-    "q_winsorized_mean" -> "histogram buckets (HistQuantiles p05/p95 cuts)")
+    "q_winsorized_mean" -> "histogram buckets (HistQuantiles p05/p95 cuts)",
+    "q_decile_lift" -> "score-grid coarse buckets (GridCum) + 10 decile rows")
 
   private def constantKeyWindows(plan: SparkPlan): Seq[String] =
     plan.collect {

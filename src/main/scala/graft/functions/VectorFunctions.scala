@@ -10,4 +10,6 @@ object VectorFunctions {
     org.apache.spark.sql.graft.VectorFunctions.vecNorm(a)
   def cosine(a: Column, b: Column, aNorm: Column, bNorm: Column): Column =
     org.apache.spark.sql.graft.VectorFunctions.cosine(a, b, aNorm, bNorm)
+  def pqEncode(vec: Column, codebook: Column, m: Column): Column =
+    org.apache.spark.sql.graft.PqFunctions.pqEncode(vec, codebook, m)
 }

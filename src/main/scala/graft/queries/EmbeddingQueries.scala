@@ -754,33 +754,18 @@ object EmbeddingQueries extends QueryModule {
           .agg(expr(
             "transform(array_sort(collect_list(struct(c, vecd))), s -> s.vecd)")
             .as("cbv"))
-        // Expression hygiene (94 s → sub-second at sf0.1): higher-order
-        // functions are interpreted, and element_at(cbv, c) inside the
-        // distance fold re-materialized the 64-element codebook row on
-        // EVERY fold step (2048× per vector). Binding the row to a lambda
-        // variable (transform over cbv) makes it a reference; the
-        // single-element-array transform is the "let" that computes the
-        // 16-distance list once for both array_min and array_position.
+        // Native encode (the §2.11 tier-(b) path): the HOF formulation is
+        // interpreted — ~2k boxed lambda calls per vector — and even the
+        // lambda-bound rewrite ran ~5 s at sf0.1; pq_encode codegens to
+        // three tight loops with identical argmin/tie semantics
+        // (PqEncodeSpec proves codes equal the HOF expression).
         val enc0 = e.crossJoin(broadcast(cb))
-          .withColumn("codes", expr(
-            """transform(sequence(0, 7), m ->
-                 element_at(
-                   transform(
-                     array(transform(cbv, cv ->
-                       aggregate(sequence(8 * m, 8 * m + 7),
-                         CAST(0.0 AS DOUBLE),
-                         (a, j) -> a
-                           + (element_at(vecd, CAST(j + 1 AS INT))
-                              - element_at(cv, CAST(j + 1 AS INT)))
-                           * (element_at(vecd, CAST(j + 1 AS INT))
-                              - element_at(cv, CAST(j + 1 AS INT)))))),
-                     ds -> array_position(ds, array_min(ds))),
-                   1)
-                 - 1)"""))
+          .withColumn("codes", graft.functions.VectorFunctions.pqEncode(
+            col("vecd"), col("cbv"), lit(8)))
           .withColumn("xhatv", expr(
             """flatten(transform(sequence(0, 7), m ->
                  slice(element_at(cbv,
-                     CAST(element_at(codes, CAST(m + 1 AS INT)) + 1 AS INT)),
+                     element_at(codes, CAST(m + 1 AS INT)) + 1),
                    m * 8 + 1, 8)))"""))
           .withColumn("xnrm", vecNorm(col("xhatv")))
           .select(col("vec_id"), col("vecd"), col("nrm"), col("xhatv"),

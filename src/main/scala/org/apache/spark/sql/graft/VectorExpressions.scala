@@ -80,6 +80,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDotRegistration)
     ext.injectFunction(GraftExtensions.jaroWinklerRegistration)
+    ext.injectFunction(GraftExtensions.pqEncodeRegistration)
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
     ext.injectOptimizerRule(_ => JaroWinklerPrefilter)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
@@ -106,6 +107,15 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "jaro_winkler takes exactly 2 arguments")
       JaroWinkler(children.head, children(1))
+    })
+
+  val pqEncodeRegistration: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("pq_encode"),
+    new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "pq_encode takes exactly 3 arguments")
+      PqEncode(children.head, children(1), children(2))
     })
 }
 

@@ -1292,9 +1292,82 @@ $rounds,
                AS precision
       FROM t, c, h2"""))
 
+  // -- Incremental LSH-index maintenance: the MinHash band index as
+  //    MERGEABLE state over disjoint ingest batches (the near-dup sibling
+  //    of q_incremental_postings). State per batch = (content-key set,
+  //    band rows (band, mh, doc_id)) over that batch's DISTINCT contents;
+  //    a refresh shingles/hashes ONLY the new batch and (a) drops new
+  //    docs whose content key is already indexed (they'd collapse to the
+  //    old representative anyway — the exact-dup gate composes with the
+  //    index fold), (b) unions the new band rows in. Because every old
+  //    doc_id precedes every new one, the folded index is row-identical
+  //    to a from-scratch index over the full corpus — which is exactly
+  //    what the oracle computes (DIRECT build over all documents), so the
+  //    hash gate proves fold ≡ rebuild. At 100 TB this is the difference
+  //    between re-shingling the corpus nightly and appending O(batch)
+  //    rows to a band-bucketed store.
+  private val incrementalLsh = QueryDef(
+    "q_incremental_lsh",
+    (s, dir) => {
+      val all = Tables.documents(s, dir)
+      val splitAt = 350L // old batch: doc_id < 350 (70% at sf0.01 grid)
+      val oldC = collapseExactDups(all.filter(col("doc_id") < splitAt))
+      val newC = collapseExactDups(all.filter(col("doc_id") >= splitAt))
+        .join(oldC.select("ckey"), Seq("ckey"), "left_anti")
+      def bandRows(reps: org.apache.spark.sql.DataFrame) = {
+        val sh = shingled(reps)
+          .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+          .withColumn("h", sha2(col("shingle"), 256))
+        val sigCols = (0 until 4).map(b =>
+          min(substring(col("h"), 1 + 16 * b, 16)).as(s"mh$b"))
+        sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+          .select(col("doc_id"),
+            posexplode(array((0 until 4).map(b => col(s"mh$b")): _*))
+              .as(Seq("band", "mh")))
+      }
+      // the incremental fold: stored old-batch rows + new-batch-only work
+      val index = bandRows(oldC).unionByName(bandRows(newC))
+      Cached.withCached(index) {
+        val buckets = index.groupBy("band", "mh")
+          .agg(count(lit(1)).as("bc"))
+        val pairs = buckets
+          .filter(col("bc") <= MaxBucket)
+          .select(col("band"), expr("bc * (bc - 1) div 2").as("np"))
+          .groupBy("band").agg(sum("np").as("n_candidate_pairs"))
+        buckets.groupBy("band")
+          .agg(count(lit(1)).as("n_buckets"), sum("bc").as("n_rows"),
+            sum(when(col("bc") <= MaxBucket, 1L).otherwise(0L)).as("n_ok_buckets"))
+          .join(pairs, Seq("band"), "left_outer")
+          .withColumn("n_candidate_pairs",
+            coalesce(col("n_candidate_pairs"), lit(0L)))
+          .orderBy("band")
+      }
+    },
+    Some(s"""
+      WITH d0 AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+                  FROM documents GROUP BY sha256(text)),
+        d AS (SELECT doc_id, $oracleShingles AS shingles
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d0)),
+        sh AS (SELECT doc_id, sha256(unnest(shingles)) AS h FROM d),
+        bands AS (SELECT doc_id, band,
+                    min(substr(h, 1 + 16 * band, 16)) AS mh
+                  FROM (SELECT doc_id, h, unnest([0, 1, 2, 3]) AS band FROM sh)
+                  GROUP BY doc_id, band),
+        buckets AS (SELECT band, mh, CAST(count(*) AS BIGINT) AS bc
+                    FROM bands GROUP BY band, mh)
+      SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(bc) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN bc <= $MaxBucket THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ok_buckets,
+             CAST(sum(CASE WHEN bc <= $MaxBucket
+                           THEN bc * (bc - 1) // 2 ELSE 0 END) AS BIGINT)
+               AS n_candidate_pairs
+      FROM buckets GROUP BY band ORDER BY band"""))
+
   override def queries: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, minhashBandedR2, simhash, neardupClusters,
     ngramJaccard, embeddingNearDup, contamination, passageDedup,
     fuzzyNeardupJoin, bloomDedupGate, crossDupMass, entityResolutionJw,
-    dupSpanRemoval, containmentDedup, ngramNovelty, minhashRecall)
+    dupSpanRemoval, containmentDedup, ngramNovelty, minhashRecall,
+    incrementalLsh)
 }

@@ -136,7 +136,8 @@ object Registry {
     GraphQueries,
     RetrievalQueries,
     SelectionQueries,
-    InferenceQueries)
+    InferenceQueries,
+    TpchQueries)
 
   lazy val all: Seq[QueryDef] = {
     val qs = modules.flatMap(_.queries)

@@ -610,6 +610,116 @@ object RetrievalQueries extends QueryModule {
       FROM gains GROUP BY query_id ORDER BY query_id"""
     })
 
+  // -- MRR + recall@10 against BINARY conjunctive relevance (a doc is
+  //    relevant iff it contains EVERY term of the query) — the other half
+  //    of the offline-eval pair next to q_ndcg_bm25's graded relevance.
+  //    Relevance is decided from the same per-(query, doc) candidate
+  //    aggregate the ranker already builds (distinct matched terms =
+  //    query arity), so truth costs no extra corpus scan; relevant docs
+  //    are by construction a subset of the ranked candidates, making
+  //    MRR well-defined without a corpus-wide membership probe. All
+  //    metrics reduce per query over candidate rows only; the single
+  //    1/rank division is the only float, dround-pinned.
+  private val mrrEval = QueryDef(
+    "q_mrr_recall",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("dl", size(col("toks")))
+      val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val qs = bm25Queries.toDF("query_id", "term")
+      val qarity = qs.groupBy("query_id")
+        .agg(countDistinct("term").as("q_arity"))
+      val qterms = qs.select("term").distinct()
+      val perDoc = tf
+        .join(broadcast(qs), "term")
+        .join(broadcast(df_.join(broadcast(qterms), "term")), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("contrib", col("idf") * (col("tf") * lit(K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+        .withColumn("contrib_u", floor(col("contrib") * lit(1e6)).cast("long"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum("contrib_u").as("score_u"),
+          countDistinct("term").as("n_terms_hit"))
+        .join(broadcast(qarity), "query_id")
+        .withColumn("is_rel", (col("n_terms_hit") === col("q_arity")).cast("long"))
+      val wRank = Window.partitionBy("query_id")
+        .orderBy(col("score_u").desc, col("doc_id").asc)
+      perDoc.withColumn("rk", row_number().over(wRank))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum("is_rel").as("n_relevant"),
+          min(when(col("is_rel") === 1L, col("rk"))).as("first_rel_rank"),
+          sum(when(col("is_rel") === 1L && col("rk") <= TopK, 1L)
+            .otherwise(0L)).as("rel_in_top10"))
+        .select(col("query_id"), col("n_candidates"), col("n_relevant"),
+          col("first_rel_rank"),
+          dround(lit(1.0) / col("first_rel_rank"), 6).as("mrr"),
+          col("rel_in_top10"),
+          dround(col("rel_in_top10").cast("double") /
+            nullif(col("n_relevant"), lit(0L)), 6).as("recall10"))
+        .orderBy("query_id")
+    },
+    Some {
+      val qvals = bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        tf AS (SELECT t.doc_id, dl.dl, term, CAST(count(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, unnest(toks) AS term FROM d) t
+               JOIN dl ON t.doc_id = dl.doc_id
+               GROUP BY 1, 2, 3),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+               FROM dl),
+        df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+               GROUP BY term),
+        qs AS (SELECT * FROM (VALUES $qvals) AS t(query_id, term)),
+        qa AS (SELECT query_id, count(DISTINCT term) AS q_arity FROM qs
+               GROUP BY 1),
+        perdoc AS (
+          SELECT qs.query_id, tf.doc_id,
+            CAST(sum(CAST(floor(
+              ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ${K1 + 1.0})
+              / (tf.tf + $K1 * (${1.0 - B} + $B * tf.dl / st.avgdl))
+              * 1e6) AS BIGINT)) AS BIGINT) AS score_u,
+            count(DISTINCT tf.term) AS n_terms_hit
+          FROM tf
+          JOIN qs ON tf.term = qs.term
+          JOIN df ON tf.term = df.term
+          CROSS JOIN st
+          GROUP BY 1, 2),
+        flagged AS (
+          SELECT p.*, CASE WHEN p.n_terms_hit = qa.q_arity
+                           THEN 1 ELSE 0 END AS is_rel
+          FROM perdoc p JOIN qa USING (query_id)),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY score_u DESC, doc_id ASC) AS rk
+                   FROM flagged),
+        agg AS (
+          SELECT query_id,
+            CAST(count(*) AS BIGINT) AS n_candidates,
+            CAST(sum(is_rel) AS BIGINT) AS n_relevant,
+            CAST(min(CASE WHEN is_rel = 1 THEN rk END) AS BIGINT)
+              AS first_rel_rank,
+            CAST(sum(CASE WHEN is_rel = 1 AND rk <= $TopK THEN 1 ELSE 0 END)
+              AS BIGINT) AS rel_in_top10
+          FROM ranked GROUP BY query_id)
+      SELECT query_id, n_candidates, n_relevant, first_rel_rank,
+             ${oround("1.0 / first_rel_rank", 6)} AS mrr,
+             rel_in_top10,
+             ${oround("CAST(rel_in_top10 AS DOUBLE) / nullif(n_relevant, 0)", 6)}
+               AS recall10
+      FROM agg ORDER BY query_id"""
+    })
+
   def queries: Seq[QueryDef] = Seq(bm25, fkIntegrity, semDedup,
-    incrementalPostings, mmrRerank, phraseSearch, ndcgEval)
+    incrementalPostings, mmrRerank, phraseSearch, ndcgEval, mrrEval)
 }

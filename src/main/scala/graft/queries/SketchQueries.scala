@@ -443,7 +443,52 @@ object SketchQueries extends QueryModule {
              CAST(1 AS BIGINT) AS within_bounds
       FROM events GROUP BY 1 ORDER BY week"""))
 
+  // -- Apache DataSketches HLL rollup — the industry-standard sibling of
+  //    the KMV rollup above, using Spark's BUILT-IN sketch column
+  //    functions (hll_sketch_agg / hll_union_agg / hll_sketch_estimate,
+  //    backed by datasketches-java): per-day binary partials that a
+  //    warehouse stores as a sketch COLUMN, weekly answers by merging
+  //    partials — raw rows never re-scanned. Same certification contract
+  //    as q_sketch_rollup: the exact weekly countDistinct rides along and
+  //    an integer flag proves every merged estimate lands inside the HLL
+  //    3σ band (lgK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%, 3σ ≈ 4.9%); the
+  //    oracle emits the same exact counts with flag 1. Where the KMV
+  //    rollup certifies OUR native TypedImperativeAggregate, this one
+  //    certifies the engine-provided path a user would reach first —
+  //    both partial formats are storable and mergeable, which is the
+  //    100 TB property (pre-aggregated sketch tables, constant-size
+  //    state per (week, day)).
+  private val HllLgK = 12
+  private val HllBand = 3.0 * 1.04 / math.sqrt((1 << HllLgK).toDouble)
+
+  private val hllRollup = QueryDef(
+    "q_hll_sketch_rollup",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_us"))
+        .withColumn("day", expr("ts_us div 86400000000"))
+        .withColumn("week", expr("day div 7"))
+      val daily = ev.groupBy("week", "day")
+        .agg(hll_sketch_agg(col("user_id"), lit(HllLgK)).as("sk"))
+      val weeklyEst = daily.groupBy("week")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est"))
+      val weeklyExact = ev.groupBy("week")
+        .agg(countDistinct("user_id").as("n_exact"))
+      weeklyExact.join(weeklyEst, "week")
+        .select(col("week"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <=
+            greatest(lit(3.0), lit(HllBand) * col("n_exact")))
+            .cast("long").as("within_bounds"))
+        .orderBy("week")
+    },
+    Some("""
+      SELECT (epoch_us(ts) // 86400000000) // 7 AS week,
+             count(DISTINCT user_id) AS n_exact,
+             CAST(1 AS BIGINT) AS within_bounds
+      FROM events GROUP BY 1 ORDER BY week"""))
+
   override def queries: Seq[QueryDef] =
     Seq(kmvDistinct, thetaSetops, approxQuantiles, cmsHeavyHitters,
-      kmvNativeAgg, sketchRollup)
+      kmvNativeAgg, sketchRollup, hllRollup)
 }

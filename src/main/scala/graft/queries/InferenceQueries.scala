@@ -846,8 +846,137 @@ object InferenceQueries extends QueryModule {
              ${oround("sum((p - q) * ln(p / q))", 6)} AS psi
       FROM sm GROUP BY event_type ORDER BY event_type"""))
 
+  // -- Bradley–Terry preference strengths via fixed MM iterations
+  //    (Hunter 2004) — the aggregation a preference/reward-modeling
+  //    pipeline runs over pairwise comparison data. Contests: within
+  //    each (user, day), event type A beats B when A's exact cents total
+  //    is strictly larger (ties skipped). The duel generation is a
+  //    per-(user, day) self-join over ≤|types| rows — linear in events,
+  //    never corpus×corpus — and everything after the (winner, loser)
+  //    tally runs on a |types|²-row table.
+  //
+  //    Determinism: strengths live on a 1e-6 integer grid (micro-units).
+  //    Each MM term floor-quantizes (m_ij·1e12/(pu_i+pu_j)) — identical
+  //    double arithmetic in both engines — and sums as BIGINT, so the
+  //    order-dependent float summation never happens; the unrolled
+  //    DuckDB rounds replay bit-identically. The 1-micro floor clamp
+  //    keeps a never-winning type's strength positive so later
+  //    denominators stay finite, and bounds every intermediate under
+  //    2^63 (term ≤ m·1e12/2 with m ≤ ~1e6 at sf1 → < 9.2e18).
+  private val BtRounds = 8
+
+  private val bradleyTerry = QueryDef(
+    "q_bradley_terry",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), expr("ts_us div 86400000000").as("day"),
+          col("event_type"))
+        .agg(sum(expr(centsEv)).as("sv"))
+      val duels = daily.as("a").join(daily.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.day") === col("b.day") &&
+            col("a.event_type") < col("b.event_type"))
+        .filter(col("a.sv") =!= col("b.sv"))
+        .select(
+          when(col("a.sv") > col("b.sv"), col("a.event_type"))
+            .otherwise(col("b.event_type")).as("winner"),
+          when(col("a.sv") > col("b.sv"), col("b.event_type"))
+            .otherwise(col("a.event_type")).as("loser"))
+      val n = duels.groupBy("winner", "loser").agg(count(lit(1)).as("cnt"))
+      Cached.withCached(n) {
+        val m = n.select(col("winner").as("i"), col("loser").as("j"), col("cnt"))
+          .unionByName(n.select(col("loser").as("i"), col("winner").as("j"), col("cnt")))
+          .groupBy("i", "j").agg(sum("cnt").as("m"))
+        val types = m.select(col("i").as("t")).distinct()
+        val tcount = types.count()
+        val wins = types.join(
+            n.groupBy(col("winner").as("t")).agg(sum("cnt").as("w")),
+            Seq("t"), "left_outer")
+          .withColumn("w", coalesce(col("w"), lit(0L)))
+        var p = types.select(col("t"), lit(1000000L).as("pu"))
+        for (_ <- 1 to BtRounds) {
+          val denom = m
+            .join(p.select(col("t").as("i"), col("pu").as("pi")), Seq("i"))
+            .join(p.select(col("t").as("j"), col("pu").as("pj")), Seq("j"))
+            .withColumn("term",
+              floor(col("m").cast("double") * lit(1e12)
+                / (col("pi") + col("pj")).cast("double")).cast("long"))
+            .groupBy(col("i").as("t")).agg(sum("term").as("du"))
+          val raw = wins.join(denom, Seq("t"))
+            .withColumn("raw",
+              floor(col("w").cast("double") * lit(1e12)
+                / col("du").cast("double")).cast("long"))
+            .select("t", "raw")
+          val tot = raw.agg(sum("raw").as("tot"))
+          p = raw.crossJoin(broadcast(tot))
+            .select(col("t"),
+              greatest(lit(1L),
+                floor(col("raw").cast("double") * lit(tcount.toDouble) * lit(1e6)
+                  / col("tot").cast("double")).cast("long")).as("pu"))
+        }
+        val contests = m.groupBy(col("i").as("t")).agg(sum("m").as("contests"))
+        p.join(wins, Seq("t")).join(contests, Seq("t"))
+          .select(col("t").as("event_type"), col("w").as("wins"),
+            col("contests"), col("pu").as("strength_micro"))
+          .orderBy(col("strength_micro").desc, col("event_type").asc)
+      }
+    },
+    Some {
+      val rounds = (1 to BtRounds).map { r =>
+        val prev = if (r == 1) "p0" else s"p${r - 1}"
+        s"""denom$r AS (SELECT m.i AS t,
+               CAST(sum(CAST(floor(CAST(m.m AS DOUBLE) * 1e12
+                 / CAST(pi.pu + pj.pu AS DOUBLE)) AS BIGINT)) AS BIGINT) AS du
+             FROM m JOIN $prev pi ON m.i = pi.t
+                    JOIN $prev pj ON m.j = pj.t
+             GROUP BY m.i),
+        raw$r AS (SELECT w.t,
+               CAST(floor(CAST(w.w AS DOUBLE) * 1e12
+                 / CAST(d.du AS DOUBLE)) AS BIGINT) AS raw
+             FROM w JOIN denom$r d ON w.t = d.t),
+        p$r AS (SELECT t, greatest(1, CAST(floor(CAST(raw AS DOUBLE)
+                 * (SELECT CAST(count(*) AS DOUBLE) FROM types) * 1e6
+                 / (SELECT CAST(sum(raw) AS DOUBLE) FROM raw$r))
+               AS BIGINT)) AS pu
+             FROM raw$r)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                       event_type, CAST(sum($centsEv) AS BIGINT) AS sv
+                     FROM events GROUP BY 1, 2, 3),
+        duels AS (SELECT CASE WHEN a.sv > b.sv THEN a.event_type
+                              ELSE b.event_type END AS winner,
+                         CASE WHEN a.sv > b.sv THEN b.event_type
+                              ELSE a.event_type END AS loser
+                  FROM daily a JOIN daily b
+                    ON a.user_id = b.user_id AND a.day = b.day
+                   AND a.event_type < b.event_type
+                  WHERE a.sv <> b.sv),
+        n AS (SELECT winner, loser, CAST(count(*) AS BIGINT) AS cnt
+              FROM duels GROUP BY 1, 2),
+        m AS (SELECT i, j, CAST(sum(cnt) AS BIGINT) AS m
+              FROM (SELECT winner AS i, loser AS j, cnt FROM n
+                    UNION ALL
+                    SELECT loser AS i, winner AS j, cnt FROM n)
+              GROUP BY 1, 2),
+        types AS (SELECT DISTINCT i AS t FROM m),
+        w AS (SELECT types.t, CAST(coalesce(wn.w, 0) AS BIGINT) AS w
+              FROM types LEFT JOIN (SELECT winner AS t, CAST(sum(cnt) AS BIGINT) AS w
+                                    FROM n GROUP BY 1) wn
+                ON types.t = wn.t),
+        p0 AS (SELECT t, CAST(1000000 AS BIGINT) AS pu FROM types),
+        $rounds,
+        contests AS (SELECT i AS t, CAST(sum(m) AS BIGINT) AS contests
+                     FROM m GROUP BY 1)
+      SELECT p.t AS event_type, w.w AS wins, contests.contests,
+             p.pu AS strength_micro
+      FROM p$BtRounds p JOIN w ON p.t = w.t
+      JOIN contests ON p.t = contests.t
+      ORDER BY strength_micro DESC, event_type ASC"""
+    })
+
   def queries: Seq[QueryDef] = Seq(
     ksTwoSample, mannWhitney, chiSquare, welchT, giniSpend, acfDaily,
     cusumChange, cupedAb, survivalKm, theilIndex, lorenzDeciles,
-    conformalInterval, psiDrift)
+    conformalInterval, psiDrift, bradleyTerry)
 }

@@ -884,15 +884,25 @@ object InferenceQueries extends QueryModule {
             .otherwise(col("a.event_type")).as("loser"))
       val n = duels.groupBy("winner", "loser").agg(count(lit(1)).as("cnt"))
       Cached.withCached(n) {
+        // Loop-invariant inputs materialized ONCE (≤ |types|² rows) — the
+        // same discipline as PageRank.scala:46: every MM round below joins
+        // `m` and `wins`, and without truncation each reference re-derives
+        // the whole duel subtree into the plan.
         val m = n.select(col("winner").as("i"), col("loser").as("j"), col("cnt"))
           .unionByName(n.select(col("loser").as("i"), col("winner").as("j"), col("cnt")))
           .groupBy("i", "j").agg(sum("cnt").as("m"))
-        val types = m.select(col("i").as("t")).distinct()
-        val tcount = types.count()
+          .localCheckpoint(true)
+        val types = m.select(col("i").as("t")).distinct().localCheckpoint(true)
         val wins = types.join(
             n.groupBy(col("winner").as("t")).agg(sum("cnt").as("w")),
             Seq("t"), "left_outer")
           .withColumn("w", coalesce(col("w"), lit(0L)))
+          .localCheckpoint(true)
+        // |types| as a 1-row broadcast frame, NOT a driver-side count():
+        // an action inside the builder would make merely constructing the
+        // plan launch jobs (round-7 ADVICE), and every registry-walking
+        // audit constructs all plans.
+        val tc = types.agg(count(lit(1)).cast("double").as("tc"))
         var p = types.select(col("t"), lit(1000000L).as("pu"))
         for (_ <- 1 to BtRounds) {
           val denom = m
@@ -908,11 +918,17 @@ object InferenceQueries extends QueryModule {
                 / col("du").cast("double")).cast("long"))
             .select("t", "raw")
           val tot = raw.agg(sum("raw").as("tot"))
-          p = raw.crossJoin(broadcast(tot))
+          // Truncate EVERY round: p is referenced twice next round (pi/pj)
+          // and raw twice this round (raw + tot), so an untruncated plan
+          // grows ~4^rounds and Catalyst analysis never finishes — this
+          // exact shape emptied CORRECTNESS_r07 and timed out BENCH_r07.
+          // p is |types| rows; the eager materialization costs microseconds.
+          p = raw.crossJoin(broadcast(tot)).crossJoin(broadcast(tc))
             .select(col("t"),
               greatest(lit(1L),
-                floor(col("raw").cast("double") * lit(tcount.toDouble) * lit(1e6)
+                floor(col("raw").cast("double") * col("tc") * lit(1e6)
                   / col("tot").cast("double")).cast("long")).as("pu"))
+            .localCheckpoint(true)
         }
         val contests = m.groupBy(col("i").as("t")).agg(sum("m").as("contests"))
         p.join(wins, Seq("t")).join(contests, Seq("t"))
@@ -924,27 +940,27 @@ object InferenceQueries extends QueryModule {
     Some {
       val rounds = (1 to BtRounds).map { r =>
         val prev = if (r == 1) "p0" else s"p${r - 1}"
-        s"""denom$r AS (SELECT m.i AS t,
+        s"""denom$r AS MATERIALIZED (SELECT m.i AS t,
                CAST(sum(CAST(floor(CAST(m.m AS DOUBLE) * 1e12
                  / CAST(pi.pu + pj.pu AS DOUBLE)) AS BIGINT)) AS BIGINT) AS du
              FROM m JOIN $prev pi ON m.i = pi.t
                     JOIN $prev pj ON m.j = pj.t
              GROUP BY m.i),
-        raw$r AS (SELECT w.t,
+        raw$r AS MATERIALIZED (SELECT w.t,
                CAST(floor(CAST(w.w AS DOUBLE) * 1e12
                  / CAST(d.du AS DOUBLE)) AS BIGINT) AS raw
              FROM w JOIN denom$r d ON w.t = d.t),
-        p$r AS (SELECT t, greatest(1, CAST(floor(CAST(raw AS DOUBLE)
+        p$r AS MATERIALIZED (SELECT t, greatest(1, CAST(floor(CAST(raw AS DOUBLE)
                  * (SELECT CAST(count(*) AS DOUBLE) FROM types) * 1e6
                  / (SELECT CAST(sum(raw) AS DOUBLE) FROM raw$r))
                AS BIGINT)) AS pu
              FROM raw$r)"""
       }.mkString(",\n        ")
       s"""
-      WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      WITH daily AS MATERIALIZED (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
                        event_type, CAST(sum($centsEv) AS BIGINT) AS sv
                      FROM events GROUP BY 1, 2, 3),
-        duels AS (SELECT CASE WHEN a.sv > b.sv THEN a.event_type
+        duels AS MATERIALIZED (SELECT CASE WHEN a.sv > b.sv THEN a.event_type
                               ELSE b.event_type END AS winner,
                          CASE WHEN a.sv > b.sv THEN b.event_type
                               ELSE a.event_type END AS loser
@@ -952,21 +968,21 @@ object InferenceQueries extends QueryModule {
                     ON a.user_id = b.user_id AND a.day = b.day
                    AND a.event_type < b.event_type
                   WHERE a.sv <> b.sv),
-        n AS (SELECT winner, loser, CAST(count(*) AS BIGINT) AS cnt
+        n AS MATERIALIZED (SELECT winner, loser, CAST(count(*) AS BIGINT) AS cnt
               FROM duels GROUP BY 1, 2),
-        m AS (SELECT i, j, CAST(sum(cnt) AS BIGINT) AS m
+        m AS MATERIALIZED (SELECT i, j, CAST(sum(cnt) AS BIGINT) AS m
               FROM (SELECT winner AS i, loser AS j, cnt FROM n
                     UNION ALL
                     SELECT loser AS i, winner AS j, cnt FROM n)
               GROUP BY 1, 2),
-        types AS (SELECT DISTINCT i AS t FROM m),
-        w AS (SELECT types.t, CAST(coalesce(wn.w, 0) AS BIGINT) AS w
+        types AS MATERIALIZED (SELECT DISTINCT i AS t FROM m),
+        w AS MATERIALIZED (SELECT types.t, CAST(coalesce(wn.w, 0) AS BIGINT) AS w
               FROM types LEFT JOIN (SELECT winner AS t, CAST(sum(cnt) AS BIGINT) AS w
                                     FROM n GROUP BY 1) wn
                 ON types.t = wn.t),
-        p0 AS (SELECT t, CAST(1000000 AS BIGINT) AS pu FROM types),
+        p0 AS MATERIALIZED (SELECT t, CAST(1000000 AS BIGINT) AS pu FROM types),
         $rounds,
-        contests AS (SELECT i AS t, CAST(sum(m) AS BIGINT) AS contests
+        contests AS MATERIALIZED (SELECT i AS t, CAST(sum(m) AS BIGINT) AS contests
                      FROM m GROUP BY 1)
       SELECT p.t AS event_type, w.w AS wins, contests.contests,
              p.pu AS strength_micro

@@ -5,13 +5,15 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every registered query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
   *
-  * Methodology (round 2): queries run in sorted name order after a global
-  * untimed warmup; each query is timed TWICE with the best run reported,
-  * and the SQL cache is cleared between queries so one query's persisted
-  * intermediates can't eat a later query's execution memory. Best-of-2
-  * measures steady-state engine throughput and is robust to transient
-  * host contention (round 1's single-run numbers showed 4-5× outliers on
-  * a loaded machine that don't reproduce).
+  * Methodology (round 2, rebalanced round 8): queries run in sorted name
+  * order after a global untimed warmup, and the SQL cache is cleared
+  * between queries so one query's persisted intermediates can't eat a
+  * later query's execution memory. The primary sweep is a SINGLE timed
+  * run per query (at 220 queries, best-of-2 no longer fits the driver's
+  * sbt wall budget); the sf1 scaling sweep keeps best-of-2, where noise
+  * genuinely distorts conclusions (round 1/3 showed 4-5× transient
+  * outliers that don't reproduce). Every run is wall-clock boxed — see
+  * timeOnce below.
   *
   * Round 3: if a second, larger scale factor is present
   * (SPARK_GRAFT_SF1_DIR, default `/root/repo/testdata/sf1` — a
@@ -99,21 +101,53 @@ object Bench {
     // A query that THROWS must never look like a fast success — it would
     // silently corrupt the scaling evidence (a time-to-crash is not a
     // runtime). Failures are reported in their own `failed` list.
-    def timeOnce(q: graft.queries.QueryDef, dir: String): Option[Double] = {
-      val t0 = System.nanoTime()
-      val ok = try { q.build(spark, dir).count(); true }
-        catch { case _: Throwable => false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      if (ok) Some(sec) else None
-    }
-    val benched = graft.queries.Registry.all.filter(_.bench).sortBy(_.name)
-    val timed = benched.map { q =>
-      q.name -> ((timeOnce(q, sfDir), timeOnce(q, sfDir)) match {
-        case (Some(a), Some(b)) => Some(r3(math.min(a, b)))
-        case _ => None
+    //
+    // Round 8: every run is additionally WALL-CLOCK BOXED (default 150 s,
+    // env SPARK_GRAFT_BENCH_TIMEOUT) on a cached daemon pool — round 7's
+    // one exponential-planning query killed the entire sweep at rc=124;
+    // a runaway must cost one `failed` entry, not the round's bench
+    // artifact. Timing stays on the worker thread (the future measures
+    // build+count exactly as before); a thread hung in Catalyst analysis
+    // is abandoned (daemon) and the pool spins up a replacement.
+    val benchTimeout =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT", "150").toLong
+    val benchPool = java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"bench-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }
       })
+    def timeOnce(q: graft.queries.QueryDef, dir: String): Option[Double] = {
+      val fut = benchPool.submit(new java.util.concurrent.Callable[Option[Double]] {
+        def call(): Option[Double] = {
+          spark.sparkContext.setJobGroup(q.name, q.name, interruptOnCancel = true)
+          val t0 = System.nanoTime()
+          val ok = try { q.build(spark, dir).count(); true }
+            catch { case _: Throwable => false }
+          val sec = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.clearJobGroup()
+          if (ok) Some(sec) else None
+        }
+      })
+      val res = try fut.get(benchTimeout, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case _: Throwable =>
+          spark.sparkContext.cancelJobGroup(q.name)
+          fut.cancel(true)
+          None
+        }
+      spark.catalog.clearCache()
+      res
     }
+    // sf0.1 pass: SINGLE timed run (round-8 rebalance — best-of-2 at 220
+    // queries no longer fits the driver's sbt wall budget; the global
+    // warmup above already paid the per-code-path JIT, and best-of-2 is
+    // retained where noise actually distorts conclusions: the sf1
+    // scaling sweep).
+    val benched = graft.queries.Registry.all.filter(_.bench).sortBy(_.name)
+    val timed = benched.map { q => q.name -> timeOnce(q, sfDir).map(r3) }
     val results = timed.collect { case (n, Some(t)) => n -> t }
     val failed = timed.collect { case (n, None) => n }
     val total = r3(results.map(_._2).sum)
@@ -123,7 +157,7 @@ object Bench {
     // neighbor inflated q_passage_dedup 0.5 s → 11.2 s, which reads as
     // super-linear scaling when it is pure measurement noise).
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/testdata/sf1")
-    val sf1Budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "900").toDouble
+    val sf1Budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "420").toDouble
     val sf1 = if (!new java.io.File(sf1Dir, "lineitem.parquet").exists()) None
       else {
         var spent = 0.0
@@ -197,5 +231,8 @@ object Bench {
     spark.stop()
     // last line of stdout — the driver parses this
     println(compact)
+    Console.out.flush()
+    // abandoned timeout threads are daemons, but make exit unconditional
+    System.exit(0)
   }
 }

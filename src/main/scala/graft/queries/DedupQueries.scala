@@ -1310,9 +1310,19 @@ $rounds,
     "q_incremental_lsh",
     (s, dir) => {
       val all = Tables.documents(s, dir)
-      val splitAt = 350L // old batch: doc_id < 350 (70% at sf0.01 grid)
-      val oldC = collapseExactDups(all.filter(col("doc_id") < splitAt))
-      val newC = collapseExactDups(all.filter(col("doc_id") >= splitAt))
+      // Split threshold derived FROM THE DATA (round-7 ADVICE: a
+      // hard-coded 350 made one batch empty at other scale factors,
+      // turning the fold≡rebuild property vacuous): old batch = ids
+      // below min + 70% of the id span + 1, which is strictly above min
+      // and at most max — both batches non-empty whenever ≥2 distinct
+      // ids exist. A 1-row broadcast attach, not a driver-side action.
+      val thr = broadcast(all.agg(
+        expr("min(doc_id) + ((max(doc_id) - min(doc_id)) * 7) div 10 + 1")
+          .cast("long").as("thr")))
+      val oldC = collapseExactDups(
+        all.crossJoin(thr).filter(col("doc_id") < col("thr")).drop("thr"))
+      val newC = collapseExactDups(
+        all.crossJoin(thr).filter(col("doc_id") >= col("thr")).drop("thr"))
         .join(oldC.select("ckey"), Seq("ckey"), "left_anti")
       def bandRows(reps: org.apache.spark.sql.DataFrame) = {
         val sh = shingled(reps)

@@ -451,7 +451,11 @@ object SketchQueries extends QueryModule {
   //    partials — raw rows never re-scanned. Same certification contract
   //    as q_sketch_rollup: the exact weekly countDistinct rides along and
   //    an integer flag proves every merged estimate lands inside the HLL
-  //    3σ band (lgK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%, 3σ ≈ 4.9%); the
+  //    5σ band (lgK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%, 5σ ≈ 8.1%); 5σ, not
+  //    3σ, because the flag is folded into a pass/fail HASH gate — at 3σ
+  //    an unlucky-but-healthy estimate (~0.3% per week bucket) would fail
+  //    the round spuriously, while a genuinely broken merge path misses
+  //    by far more than 8% (round-7 ADVICE). The
   //    oracle emits the same exact counts with flag 1. Where the KMV
   //    rollup certifies OUR native TypedImperativeAggregate, this one
   //    certifies the engine-provided path a user would reach first —
@@ -459,7 +463,7 @@ object SketchQueries extends QueryModule {
   //    100 TB property (pre-aggregated sketch tables, constant-size
   //    state per (week, day)).
   private val HllLgK = 12
-  private val HllBand = 3.0 * 1.04 / math.sqrt((1 << HllLgK).toDouble)
+  private val HllBand = 5.0 * 1.04 / math.sqrt((1 << HllLgK).toDouble)
 
   private val hllRollup = QueryDef(
     "q_hll_sketch_rollup",

@@ -13,8 +13,11 @@ Test / fork := true
 run / fork := true
 // The driver parses the LAST stdout line of `runMain graft.Bench` as JSON;
 // sbt's "[success] Total time: …" trailer has made that parse fail (null)
-// in all seven rounds. Suppress it so the bench JSON is the final line.
+// in all seven rounds. Suppress it so the bench JSON is the final line,
+// and pass the forked JVM's stdout through RAW (StdoutOutput) instead of
+// via sbt's logger, which prefixes every line with "[info] ".
 Global / showSuccess := false
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

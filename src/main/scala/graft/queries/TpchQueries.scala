@@ -231,5 +231,271 @@ object TpchQueries extends QueryModule {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
 
-  override def queries: Seq[QueryDef] = Seq(q4, q13, q17, q21, q22)
+  // -- Q2 shape: correlated MIN scalar subquery over a multi-join
+  //    "supply" side (min-cost supplier per part within a region),
+  //    decorrelated to one per-part MIN aggregate joined back on
+  //    (partkey, cost). The driver schema has no partsupp, so the supply
+  //    relation is derived: cost of (part, supplier) = that supplier's
+  //    cheapest lineitem for the part (cents grid, exact equality).
+  //    Scale posture: region→nation→supplier is a broadcast dim chain;
+  //    the two aggregates shuffle on partkey-prefixed keys only; the
+  //    equality join back is on (partkey, cost) — no correlated
+  //    re-execution per part.
+  private val q2 = QueryDef(
+    "q_tpch_q2_min_cost_supp",
+    (s, dir) => {
+      val rk = Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+        .select("r_regionkey")
+      val nat = Tables.nation(s, dir).join(broadcast(rk),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val sup = Tables.supplier(s, dir).join(broadcast(nat),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("acctbal_cents"))
+      val ps = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"))
+        .join(broadcast(sup.select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min("pc").as("cost_c"))
+      Cached.withCached(ps) {
+        val minPerPart = ps.groupBy("l_partkey").agg(min("cost_c").as("min_c"))
+        val parts = Tables.part(s, dir).filter(col("p_type") === "LARGE")
+          .select("p_partkey")
+        ps.join(minPerPart, "l_partkey")
+          .filter(col("cost_c") === col("min_c"))
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+            col("n_name"), col("acctbal_cents"),
+            col("cost_c").as("min_cost_cents"))
+          .orderBy(col("acctbal_cents").desc, col("n_name").asc,
+            col("s_name").asc, col("p_partkey").asc, col("s_suppkey").asc)
+          .limit(100)
+      }
+    },
+    Some("""
+      WITH ps AS MATERIALIZED (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               CAST(min(round(l_extendedprice * 100)) AS BIGINT) AS cost_c
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+        GROUP BY 1, 2)
+      SELECT p.p_partkey, s.s_suppkey, s.s_name, n.n_name,
+             CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+             ps.cost_c AS min_cost_cents
+      FROM part p
+      JOIN ps ON ps.partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = ps.suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_type = 'LARGE'
+        AND ps.cost_c = (SELECT min(ps2.cost_c) FROM ps ps2
+                         WHERE ps2.partkey = p.p_partkey)
+      ORDER BY acctbal_cents DESC, n_name ASC, s_name ASC,
+               p_partkey ASC, s_suppkey ASC
+      LIMIT 100"""))
+
+  // -- Q11 shape: grouped aggregate filtered by HAVING > fraction of a
+  //    GLOBAL scalar subquery. Inventory value per part is derived as
+  //    the one-nation revenue sum (no partsupp in this schema). Stock
+  //    Q11 scales its fraction by 1/SF so the threshold tracks part
+  //    count; here that is built in: a part qualifies when its value
+  //    exceeds TWICE THE AVERAGE part's value, as the exact integer
+  //    cross-multiplication part_sum · n_parts > 2 · total_sum — no
+  //    division, no float compare, non-vacuous at every scale factor.
+  //    The (total, count) scalar attaches as a broadcast 1-row frame;
+  //    the oracle re-runs the textbook scalar subqueries.
+  private val q11 = QueryDef(
+    "q_tpch_q11_important_parts",
+    (s, dir) => {
+      val natSup = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+            .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val perPart = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"))
+        .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum("pc").as("value_cents"))
+      Cached.withCached(perPart) {
+        val total = perPart.agg(sum("value_cents").as("total_c"),
+          count(lit(1)).as("n_parts"))
+        perPart.crossJoin(broadcast(total))
+          .filter(col("value_cents") * col("n_parts")
+            > col("total_c") * lit(2L))
+          .select(col("l_partkey"), col("value_cents"))
+          .orderBy(col("value_cents").desc, col("l_partkey").asc)
+      }
+    },
+    Some("""
+      WITH ps AS MATERIALIZED (
+        SELECT l_partkey,
+               CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS value_cents
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+        GROUP BY 1)
+      SELECT l_partkey, value_cents
+      FROM ps
+      WHERE value_cents * (SELECT count(*) FROM ps)
+            > 2 * (SELECT CAST(sum(value_cents) AS BIGINT) FROM ps)
+      ORDER BY value_cents DESC, l_partkey ASC"""))
+
+  // -- Q15 shape: aggregate view + scalar MAX subquery with EQUALITY on
+  //    the aggregate (top-revenue supplier(s), ties kept). Revenue is
+  //    exact on the 1e-4 grid (cents × percent): round(price·100) ·
+  //    (100 − round(disc·100)) sums as BIGINT, so the max-equality join
+  //    is bit-exact in both engines — a float revenue could never be
+  //    equality-joined. The max attaches as a broadcast 1-row frame.
+  private val q15 = QueryDef(
+    "q_tpch_q15_top_supplier",
+    (s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_suppkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            * (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .as("re4"))
+        .groupBy("l_suppkey")
+        .agg(sum("re4").as("total_revenue_e4"))
+      Cached.withCached(rev) {
+        val mx = rev.agg(max("total_revenue_e4").as("mx"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("total_revenue_e4") === col("mx"))
+          .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue_e4"))
+          .orderBy(col("s_suppkey").asc)
+      }
+    },
+    Some("""
+      WITH revenue AS MATERIALIZED (
+        SELECT l_suppkey,
+               CAST(sum(round(l_extendedprice * 100)
+                        * (100 - round(l_discount * 100))) AS BIGINT)
+                 AS total_revenue_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, total_revenue_e4
+      FROM supplier
+      JOIN revenue ON l_suppkey = s_suppkey
+      WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM revenue)
+      ORDER BY s_suppkey ASC"""))
+
+  // -- Q18 shape: IN over a HAVING-filtered aggregate (large-quantity
+  //    orders), then the detail re-join with customer decoration. The IN
+  //    set is the same aggregate the output needs, so the decorrelation
+  //    computes it ONCE and inner-joins — the probe side never scans
+  //    lineitem twice. Quantity threshold on the cents grid (> 250 units
+  //    = 25000 cents, ~p99 of the per-order distribution).
+  private val q18 = QueryDef(
+    "q_tpch_q18_large_orders",
+    (s, dir) => {
+      val qty = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qc"))
+        .groupBy("l_orderkey")
+        .agg(sum("qc").as("qty_cents"))
+        .filter(col("qty_cents") > 25000L)
+      Tables.orders(s, dir)
+        .join(qty, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir).select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            .as("totalprice_cents"),
+          col("qty_cents"))
+        .orderBy(col("qty_cents").desc, col("o_orderkey").asc)
+        .limit(100)
+    },
+    Some("""
+      SELECT c.c_name, c.c_custkey, o.o_orderkey,
+             strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+             CAST(sum(round(l.l_quantity * 100)) AS BIGINT) AS qty_cents
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING CAST(sum(round(l_quantity * 100)) AS BIGINT)
+                                    > 25000)
+      GROUP BY 1, 2, 3, 4, 5
+      ORDER BY qty_cents DESC, o_orderkey ASC
+      LIMIT 100"""))
+
+  // -- Q20 shape: nested IN chain (supplier IN shippers-of IN-named
+  //    parts) with a correlated HALF-SUM comparison — the textbook
+  //    "availqty > 0.5 · correlated shipped quantity". Without partsupp,
+  //    the qualifying condition is "this supplier shipped MORE THAN HALF
+  //    of the part's total 1997 volume" — same correlated-scalar
+  //    structure, and exact: 2·sq > tq on the quantity-cents grid.
+  //    Decorrelation: one (part, supp) aggregate, one per-part rollup of
+  //    it, equality join on partkey — the correlated sum never re-runs
+  //    per row. Supplier/nation/region decoration is a broadcast chain.
+  private val q20 = QueryDef(
+    "q_tpch_q20_excess_share_supp",
+    (s, dir) => {
+      val smallParts = Tables.part(s, dir)
+        .filter(col("p_name").startsWith("small"))
+        .select("p_partkey")
+      val perPartSupp = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qc"))
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("qc").as("sq"))
+      Cached.withCached(perPartSupp) {
+        val perPart = perPartSupp.groupBy("l_partkey").agg(sum("sq").as("tq"))
+        val qualifying = perPartSupp.join(perPart, "l_partkey")
+          .filter(col("sq") * lit(2L) > col("tq"))
+          .select("l_suppkey").distinct()
+        val rk = Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+          .select("r_regionkey")
+        val nat = Tables.nation(s, dir).join(broadcast(rk),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        Tables.supplier(s, dir)
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+          .orderBy(col("s_suppkey").asc)
+      }
+    },
+    Some("""
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+      WHERE s_suppkey IN (
+        SELECT x.l_suppkey
+        FROM (SELECT l_partkey, l_suppkey,
+                     CAST(sum(round(l_quantity * 100)) AS BIGINT) AS sq
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'small%')
+                AND l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1, 2) x
+        WHERE 2 * x.sq > (SELECT CAST(sum(round(l2.l_quantity * 100)) AS BIGINT)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = x.l_partkey
+                            AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+                            AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
+      ORDER BY s_suppkey ASC"""))
+
+  override def queries: Seq[QueryDef] =
+    Seq(q2, q4, q11, q13, q15, q17, q18, q20, q21, q22)
 }

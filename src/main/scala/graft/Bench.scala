@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   * (SPARK_GRAFT_SF1_DIR, default `/root/repo/testdata/sf1` — a
   * deterministic 10× key-shifted scale-up of sf0.1, see graft.GenScale),
   * every bench query is ALSO timed once there under a wall-clock budget
-  * (SPARK_GRAFT_SF1_BUDGET seconds, default 900); queries not reached are
+  * (SPARK_GRAFT_SF1_BUDGET seconds, default 300); queries not reached are
   * listed in `sf1.skipped` — no silent caps. This is the 10×-scaling
   * evidence the 100 TB design claims rest on.
   *
@@ -157,7 +157,7 @@ object Bench {
     // neighbor inflated q_passage_dedup 0.5 s → 11.2 s, which reads as
     // super-linear scaling when it is pure measurement noise).
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/testdata/sf1")
-    val sf1Budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "420").toDouble
+    val sf1Budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "300").toDouble
     val sf1 = if (!new java.io.File(sf1Dir, "lineitem.parquet").exists()) None
       else {
         var spent = 0.0

@@ -83,4 +83,68 @@ object Compact {
 
     (before.size, dataFiles(path).size)
   }
+
+  /** Partition-preserving compaction for a Hive-layout store
+    * (`store/key=v1/key2=v2/part-*.parquet`): walks to the leaf
+    * partition directories and compacts EACH ONE with [[compactStore]],
+    * so the directory structure — and with it partition discovery and
+    * partition PRUNING on reads — survives byte-identically. A whole-
+    * store `read.parquet().repartition().write` would have to re-derive
+    * the layout with partitionBy (reshuffling every row by partition
+    * key); per-leaf rewrite touches only each leaf's own rows, which is
+    * the only shape that scales to a 100 TB store where one day's
+    * partitions need compacting and the other 10,000 must not be read
+    * at all.
+    *
+    * Leaves already at one file are skipped (already compact — a
+    * rewrite would only churn bytes). Leaf rewrites are independent
+    * Spark jobs, submitted `concurrency` at a time from a bounded pool
+    * (Spark's scheduler interleaves them; the swap in compactStore is
+    * per-leaf, so concurrent leaves never touch the same directory).
+    *
+    * Returns (filesBefore, filesAfter) summed over all leaves. */
+  def compactPartitionedStore(spark: SparkSession, storePath: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      concurrency: Int = 4): (Int, Int) = {
+    require(concurrency >= 1, s"concurrency must be >= 1, got $concurrency")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(conf)
+
+    def visible(st: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val st = fs.listStatus(p).toSeq.filter(visible)
+      val dirs = st.filter(_.isDirectory)
+      val files = st.filter(_.isFile)
+      // Hive layout never mixes data files with partition directories at
+      // one level — refuse rather than guess which half to compact
+      require(dirs.isEmpty || files.isEmpty,
+        s"mixed files and directories under $p — not a Hive-layout store")
+      if (dirs.isEmpty) Seq(p) else dirs.flatMap(d => leaves(d.getPath))
+    }
+    val leafDirs = leaves(root).filterNot(_ == root)
+    require(leafDirs.nonEmpty,
+      s"compactPartitionedStore: no partition directories under $storePath" +
+        " (use compactStore for flat stores)")
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(concurrency, leafDirs.size))
+    try {
+      val futs = leafDirs.map { leaf =>
+        pool.submit(new java.util.concurrent.Callable[(Int, Int)] {
+          def call(): (Int, Int) = {
+            val n = fs.listStatus(leaf).count(st => st.isFile && visible(st))
+            if (n <= 1) (n, n) // already compact
+            else compactStore(spark, leaf.toString, targetBytes)
+          }
+        })
+      }
+      futs.map(_.get()).foldLeft((0, 0)) { case ((b, a), (lb, la)) =>
+        (b + lb, a + la)
+      }
+    } finally pool.shutdown()
+  }
 }

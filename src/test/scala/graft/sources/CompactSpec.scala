@@ -41,6 +41,48 @@ class CompactSpec extends SparkSpec {
     assert(contentHash(store) === hashBefore)
   }
 
+  test("partitioned store compaction preserves layout, rows, content " +
+      "and partition pruning") {
+    val dir = Files.createTempDirectory("graft-compact-part").toString
+    val store = s"$dir/store"
+    // many tiny micro-batch appends into a 2-level Hive layout
+    (0 until 8).foreach { b =>
+      (0 until 40).map { i =>
+        val lang = if ((b + i) % 2 == 0) "en" else "fr"
+        (b * 40L + i, s"payload-$b-$i", lang, b % 2)
+      }.toDF("id", "payload", "lang", "shard")
+        .repartition(2)
+        .write.mode("append").partitionBy("lang", "shard").parquet(store)
+    }
+    val rowsBefore = spark.read.parquet(store).count()
+    val hashBefore = contentHash(store)
+
+    val (nBefore, nAfter) = Compact.compactPartitionedStore(spark, store,
+      targetBytes = 1L * 1024 * 1024, concurrency = 2)
+    assert(nBefore > nAfter, s"no collapse: $nBefore -> $nAfter")
+    assert(nAfter === 4, s"4 leaf partitions at 1 MiB target → 4 files, got $nAfter")
+
+    // rows, content, and the partition COLUMNS all survive
+    val after = spark.read.parquet(store)
+    assert(after.count() === rowsBefore)
+    assert(contentHash(store) === hashBefore)
+    assert(after.columns.sorted.toSeq === Seq("id", "lang", "payload", "shard"))
+
+    // partition pruning still works: a lang filter must reach the scan
+    // as a partition filter, not a data filter over the whole store
+    val plan = after.filter($"lang" === "en").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter did not prune partitions:\n${plan.take(1500)}")
+    assert(after.filter($"lang" === "en").count() ===
+      spark.read.parquet(store).filter($"lang" === "en").count())
+
+    // flat compactStore still refuses the partitioned layout loudly
+    val err = intercept[IllegalArgumentException] {
+      Compact.compactStore(spark, store, targetBytes = 1L * 1024 * 1024)
+    }
+    assert(err.getMessage.contains("partition subdirectories"))
+  }
+
   test("schema-evolved appends read back merged (new column null for " +
       "old rows) and survive compaction") {
     val dir = Files.createTempDirectory("graft-evolve").toString

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import Det.{dround, oround}
 
 /** TPC-H-shape correlated-subquery decorrelations (beyond-parity general
   * SQL semantics, SURVEY.md §2.3/§2.4 join+agg families at scale).
@@ -496,6 +497,372 @@ object TpchQueries extends QueryModule {
                             AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
       ORDER BY s_suppkey ASC"""))
 
+  // -- Q7 shape: volume shipping between nation PAIRS — the double
+  //    dim-decoration join (supplier→nation, customer→nation through
+  //    orders) with a grouped yearly volume. Stock Q7 pins two nations;
+  //    here all ordered pairs rank by volume (top 20) so the result is
+  //    non-vacuous at every scale factor. Revenue on the exact 1e-4
+  //    grid; both nation joins are broadcast dims.
+  private val q7 = QueryDef(
+    "q_tpch_q7_nation_volume",
+    (s, dir) => {
+      val nat = broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name"))
+      val sup = Tables.supplier(s, dir).join(nat,
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, dir).join(nat,
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            * (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .as("vol_e4"),
+          year(col("l_shipdate")).as("l_year"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum("vol_e4").as("volume_e4"))
+        .orderBy(col("volume_e4").desc, col("supp_nation").asc,
+          col("cust_nation").asc, col("l_year").asc)
+        .limit(20)
+    },
+    Some("""
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             CAST(sum(round(l.l_extendedprice * 100)
+                      * (100 - round(l.l_discount * 100))) AS BIGINT)
+               AS volume_e4
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      WHERE ns.n_name <> nc.n_name
+      GROUP BY 1, 2, 3
+      ORDER BY volume_e4 DESC, supp_nation ASC, cust_nation ASC, l_year ASC
+      LIMIT 20"""))
+
+  // -- Q8 shape: market share — a conditional-sum / total-sum ratio per
+  //    year (CASE inside the numerator aggregate), over a doubly
+  //    dim-filtered join (customers in region EUROPE, STANDARD parts).
+  //    Both sums stay exact BIGINT on the 1e-4 grid; only the final
+  //    share divides, through the shared Det rounding.
+  private val q8 = QueryDef(
+    "q_tpch_q8_market_share",
+    (s, dir) => {
+      val eurNat = Tables.nation(s, dir).join(
+          broadcast(Tables.region(s, dir)
+            .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")
+      val eurCust = Tables.customer(s, dir)
+        .join(broadcast(eurNat), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val natSup = Tables.supplier(s, dir).join(
+          broadcast(Tables.nation(s, dir)
+            .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val stdParts = Tables.part(s, dir)
+        .filter(col("p_type") === "STANDARD").select("p_partkey")
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            * (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .as("vol_e4"))
+        .join(broadcast(stdParts), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_custkey"),
+              year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(eurCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(natSup),
+          col("l_suppkey") === col("s_suppkey"), "left_outer")
+        .withColumn("nat_vol",
+          when(col("s_suppkey").isNotNull, col("vol_e4")).otherwise(lit(0L)))
+        .groupBy("o_year")
+        .agg(sum("nat_vol").as("nat_e4"), sum("vol_e4").as("tot_e4"))
+        .select(col("o_year"),
+          dround(col("nat_e4").cast("double") / col("tot_e4"), 6)
+            .as("mkt_share"),
+          col("tot_e4").as("total_volume_e4"))
+        .orderBy(col("o_year").asc)
+    },
+    Some(s"""
+      WITH v AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               CAST(round(l.l_extendedprice * 100)
+                    * (100 - round(l.l_discount * 100)) AS BIGINT) AS vol_e4,
+               s.s_nationkey IN (SELECT n_nationkey FROM nation
+                                 WHERE n_name = 'NATION_3') AS is_nat
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+                              JOIN nation ON n_nationkey = c_nationkey
+                              JOIN region ON r_regionkey = n_regionkey
+                              WHERE r_name = 'EUROPE'))
+      SELECT o_year,
+             ${oround("CAST(sum(CASE WHEN is_nat THEN vol_e4 ELSE 0 END) AS DOUBLE) / CAST(sum(vol_e4) AS BIGINT)", 6)}
+               AS mkt_share,
+             CAST(sum(vol_e4) AS BIGINT) AS total_volume_e4
+      FROM v GROUP BY o_year ORDER BY o_year ASC"""))
+
+  // -- Q9 shape: product-type profit by (nation, year). No partsupp
+  //    supply cost in this schema, so cost = p_retailprice · quantity —
+  //    profit stays an exact BIGINT on the 1e-4 grid: revenue
+  //    pc·(100−dc) minus cost retail_cents·qty·100 (quantity is
+  //    integral). Part filter = name contains 'red' (stock: '%green%').
+  private val q9 = QueryDef(
+    "q_tpch_q9_product_profit",
+    (s, dir) => {
+      val redParts = Tables.part(s, dir)
+        .filter(col("p_name").contains("red"))
+        .select(col("p_partkey"),
+          expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("retail_c"))
+      val natName = broadcast(Tables.nation(s, dir)
+        .select("n_nationkey", "n_name"))
+      val sup = Tables.supplier(s, dir).join(natName,
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("dc"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir)
+            .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("profit_e4",
+          col("pc") * (lit(100L) - col("dc"))
+            - col("retail_c") * col("qty") * lit(100L))
+        .groupBy("nation", "o_year")
+        .agg(sum("profit_e4").as("profit_e4"))
+        .orderBy(col("nation").asc, col("o_year").desc)
+    },
+    Some("""
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+             CAST(sum(round(l.l_extendedprice * 100)
+                        * (100 - round(l.l_discount * 100))
+                      - round(p.p_retailprice * 100)
+                        * round(l.l_quantity) * 100) AS BIGINT) AS profit_e4
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+      ORDER BY nation ASC, o_year DESC"""))
+
+  // -- Q10 shape: returned-item revenue ranking — fact join filtered on
+  //    both sides (quarter of orders, R-flag lines), grouped by the
+  //    customer decoration, top 20. The classic "who cost us the most
+  //    returns this quarter" report.
+  private val q10 = QueryDef(
+    "q_tpch_q10_returned_rev",
+    (s, dir) => {
+      val natName = broadcast(Tables.nation(s, dir)
+        .select("n_nationkey", "n_name"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            * (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .as("rev_e4"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+            .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum("rev_e4").as("revenue_e4"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(natName, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue_e4"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("acctbal_cents"),
+          col("n_name"))
+        .orderBy(col("revenue_e4").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+    Some("""
+      SELECT c.c_custkey, c.c_name,
+             CAST(sum(round(l.l_extendedprice * 100)
+                      * (100 - round(l.l_discount * 100))) AS BIGINT)
+               AS revenue_e4,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+             n.n_name
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-04-01'
+        AND l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, acctbal_cents, n.n_name
+      ORDER BY revenue_e4 DESC, c_custkey ASC
+      LIMIT 20"""))
+
+  // -- Q12 shape: late-shipment priority census — join + CASE-split
+  //    conditional aggregation. The schema has no l_shipmode /
+  //    l_commitdate, so the group is l_returnflag and "late" is
+  //    shipped >30 days after order date; the certified structure (one
+  //    join, two CASE sums per group) is stock Q12's.
+  private val q12 = QueryDef(
+    "q_tpch_q12_late_priority",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+        .join(Tables.orders(s, dir)
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_returnflag").asc)
+    },
+    Some("""
+      SELECT l.l_returnflag,
+             CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      GROUP BY l.l_returnflag
+      ORDER BY l_returnflag ASC"""))
+
+  // -- Q14 shape: promo-revenue share — a CASE-numerator / total ratio
+  //    over one month. p_type carries a literal 'PROMO' class in this
+  //    schema, so the stock predicate survives unchanged. Sums exact on
+  //    the 1e-4 grid; the single division goes through Det rounding.
+  private val q14 = QueryDef(
+    "q_tpch_q14_promo_share",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            * (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .as("rev_e4"))
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev_e4")).otherwise(0L))
+            .as("promo_e4"),
+          sum(col("rev_e4")).as("total_e4"))
+        .select(
+          dround(col("promo_e4").cast("double") * 100.0 / col("total_e4"), 6)
+            .as("promo_revenue_pct"),
+          col("promo_e4"), col("total_e4"))
+    },
+    Some(s"""
+      WITH v AS (
+        SELECT p.p_type,
+               CAST(round(l.l_extendedprice * 100)
+                    * (100 - round(l.l_discount * 100)) AS BIGINT) AS rev_e4
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+          AND l.l_shipdate < TIMESTAMP '1997-04-01')
+      SELECT ${oround("CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS DOUBLE) * 100.0 / CAST(sum(rev_e4) AS BIGINT)", 6)}
+               AS promo_revenue_pct,
+             CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS BIGINT)
+               AS promo_e4,
+             CAST(sum(rev_e4) AS BIGINT) AS total_e4
+      FROM v"""))
+
+  // -- Q16 shape: supplier census per part group with a NOT IN
+  //    exclusion subquery (stock: complaint suppliers; here: negative
+  //    account balance), decorrelated to a left-anti join before the
+  //    distinct count. The supplied relation is derived from lineitem
+  //    (no partsupp): every (part, supplier) pair that ever shipped.
+  private val q16 = QueryDef(
+    "q_tpch_q16_supplier_census",
+    (s, dir) => {
+      val badSupp = Tables.supplier(s, dir)
+        .filter(expr("CAST(round(s_acctbal * 100) AS BIGINT)") < 0L)
+        .select("s_suppkey")
+      val partMeta = broadcast(Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#1")
+        .select("p_partkey", "p_brand", "p_size"))
+      Tables.lineitem(s, dir)
+        .select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(badSupp),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(partMeta, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+          col("p_size").asc)
+    },
+    Some("""
+      SELECT p.p_brand, p.p_size,
+             CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      JOIN part p ON p.p_partkey = ps.l_partkey
+      WHERE p.p_brand <> 'Brand#1'
+        AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE round(s_acctbal * 100) < 0)
+      GROUP BY p.p_brand, p.p_size
+      ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC"""))
+
+  // -- Q19 shape: disjunctive multi-range predicate join (OR of three
+  //    brand × size-range × quantity-range conjunctions) — the classic
+  //    test that an engine pushes an OR-of-ANDs into the scan instead
+  //    of exploding it into a union of three joins. Quantities compare
+  //    as exact integers.
+  private val q19 = QueryDef(
+    "q_tpch_q19_disjunctive_rev",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            * (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .as("rev_e4"))
+      li.join(broadcast(Tables.part(s, dir)
+            .select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 10) &&
+            col("qty").between(1L, 15L)) ||
+          (col("p_brand") === "Brand#12" && col("p_size").between(11, 25) &&
+            col("qty").between(10L, 25L)) ||
+          (col("p_brand") === "Brand#21" && col("p_size").between(26, 50) &&
+            col("qty").between(25L, 50L)))
+        .agg(coalesce(sum("rev_e4"), lit(0L)).as("revenue_e4"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""
+      SELECT CAST(coalesce(sum(round(l.l_extendedprice * 100)
+                   * (100 - round(l.l_discount * 100))), 0) AS BIGINT)
+               AS revenue_e4,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 10
+             AND round(l.l_quantity) BETWEEN 1 AND 15)
+         OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 11 AND 25
+             AND round(l.l_quantity) BETWEEN 10 AND 25)
+         OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 26 AND 50
+             AND round(l.l_quantity) BETWEEN 25 AND 50)"""))
+
   override def queries: Seq[QueryDef] =
-    Seq(q2, q4, q11, q13, q15, q17, q18, q20, q21, q22)
+    Seq(q2, q4, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16, q17,
+      q18, q19, q20, q21, q22)
 }

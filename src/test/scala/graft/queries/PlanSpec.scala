@@ -199,6 +199,32 @@ class PlanSpec extends SparkSpec {
       "tiny per-type median frame fell back to SMJ")
   }
 
+  test("q_tpch_q19: disjunctive predicate runs as ONE broadcast join, " +
+      "not a union of three") {
+    val plan = physicalPlan("q_tpch_q19_disjunctive_rev")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), "part dim fell back to SMJ")
+    // one lineitem scan: the OR-of-ANDs must filter after the join, never
+    // explode into three scans unioned together
+    val liScans = plan.linesIterator.count(_.contains("lineitem.parquet"))
+    assert(liScans <= 1, s"lineitem scanned $liScans times")
+  }
+
+  test("q_tpch_q16: NOT IN exclusion plans as a broadcast anti join") {
+    val plan = physicalPlan("q_tpch_q16_supplier_census")
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "tiny exclusion list fell back to a shuffle anti join")
+  }
+
+  test("q_tpch_q10/q18: ranked top-k plans as TakeOrdered, not a global sort") {
+    for (q <- Seq("q_tpch_q10_returned_rev", "q_tpch_q18_large_orders")) {
+      val plan = physicalPlan(q)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q: limit+orderBy did not fuse into TakeOrdered\n${plan.take(1500)}")
+    }
+  }
+
   test("scoring pipeline plan contains no UDF nodes (codegen-friendly)") {
     val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),

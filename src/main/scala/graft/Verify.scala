@@ -57,7 +57,13 @@ object Verify {
             // job group = query name, so the watchdog can cancel exactly
             // this query's jobs on timeout (setJobGroup is thread-local)
             spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            // repartition(1), NOT coalesce(1): coalesce propagates the
+            // 1-task constraint upstream through every narrow stage, so a
+            // query whose heavy compute sits after its last shuffle runs
+            // single-threaded (q_ngram_jaccard_blocked: 2s parallel →
+            // timeout). repartition shuffles only the final small result
+            // into the one output file.
+            try fn(spark, sfDir).repartition(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")
             finally {
               spark.sparkContext.clearJobGroup()

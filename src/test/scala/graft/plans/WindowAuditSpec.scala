@@ -51,6 +51,7 @@ class WindowAuditSpec extends SparkSpec {
     "q_bpe_merge_step" -> "top-K survivors of TakeOrdered (≤ 20 rows)",
     "q_perplexity_buckets" -> "histogram buckets (HistQuantiles prefix sum)",
     "q_temperature_mix" -> "language rows (≤ #languages aggregate rows)",
+    "q_curation_e2e" -> "language rows (≤ #languages aggregate rows)",
     "q_ks_two_sample" -> "cents-grid coarse buckets (GridCum offset pass)",
     "q_mannwhitney_u" -> "cents-grid coarse buckets (GridCum offset pass)",
     "q_textrank_keywords" -> "top-V vocab survivors of TakeOrdered (≤ 30 rows)",

@@ -1,7 +1,8 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
-import java.util.concurrent.{Executors, TimeUnit, ThreadFactory, TimeoutException}
+import java.util.concurrent.{Executors, Semaphore, ThreadFactory, TimeUnit, TimeoutException}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
 
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
@@ -9,51 +10,60 @@ import java.util.concurrent.{Executors, TimeUnit, ThreadFactory, TimeoutExceptio
   * Round 8 harness hardening (round-7 postmortem: ONE query with an
   * exponential-lineage plan hung the sequential sweep forever and emptied
   * the round's correctness artifact):
-  *   - queries run CONCURRENTLY on a bounded daemon pool (default 8, env
-  *     SPARK_GRAFT_VERIFY_THREADS) sharing one SparkSession — Spark's
-  *     scheduler interleaves independent jobs fine, and the 220-query
+  *   - queries run CONCURRENTLY, `nThreads` at a time (default 8, env
+  *     SPARK_GRAFT_VERIFY_THREADS), sharing one SparkSession — Spark's
+  *     scheduler interleaves independent jobs fine, and the 230-query
   *     battery drops from ~15 min sequential to well under the driver
   *     budget;
   *   - each query is WALL-CLOCK BOXED (default 180 s, env
   *     SPARK_GRAFT_QUERY_TIMEOUT): on expiry its Spark job group is
-  *     cancelled and the sweep moves on, so a future planning/runaway bug
-  *     costs one query line, not the round's artifacts. A query hung in
-  *     Catalyst ANALYSIS (no jobs to cancel) permanently occupies one pool
-  *     slot — the other slots still drain the battery.
+  *     cancelled and the sweep moves on, so a planning/runaway bug costs
+  *     one query line, not the round's artifacts.
+  *
+  * Round 9 (closing round 8's residual): concurrency is bounded by a
+  * SEMAPHORE over an unbounded daemon pool, not by pool width. A query
+  * hung in Catalyst ANALYSIS has no Spark jobs to cancel and ignores
+  * interrupts — under the old fixed pool it permanently occupied one of
+  * the 8 slots (8 such bugs would wedge a round). Now, if the slot is
+  * still occupied one more timeout after cancellation (2× total), the
+  * watchdog logs the query and releases a replacement permit: the zombie
+  * thread keeps spinning harmlessly (daemon — can't block JVM exit) and
+  * the sweep keeps its full width. VerifySpec certifies the reclaim.
   */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg: comma-separated query names — dump only those
-    // (targeted re-gating after a fix; the driver always runs all)
-    val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
 
-    val nThreads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "8").toInt
-    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "180").toLong
-    val pool = Executors.newFixedThreadPool(nThreads, new ThreadFactory {
-      private val n = new java.util.concurrent.atomic.AtomicInteger(0)
-      def newThread(r: Runnable): Thread = {
-        val t = new Thread(r, s"verify-${n.getAndIncrement()}")
-        t.setDaemon(true) // a hung slot must not block JVM exit
-        t
-      }
-    })
-    val done = new java.util.concurrent.atomic.AtomicInteger(0)
-    val tasks = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        name -> pool.submit(new Runnable {
-          def run(): Unit = {
+  private def daemonFactory(prefix: String) = new ThreadFactory {
+    private val n = new AtomicInteger(0)
+    def newThread(r: Runnable): Thread = {
+      val t = new Thread(r, s"$prefix-${n.getAndIncrement()}")
+      t.setDaemon(true)
+      t
+    }
+  }
+
+  /** Run every (name, builder) through the bounded concurrent sweep,
+    * writing each result to `outDir/<name>` parquet. Returns per-query
+    * status: "ok" | "timeout" | "error: …". Exposed for VerifySpec. */
+  def runSweep(spark: SparkSession,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)],
+      sfDir: String, outDir: String,
+      nThreads: Int, timeoutSec: Long): Seq[(String, String)] = {
+    val pool = Executors.newCachedThreadPool(daemonFactory("verify"))
+    val sched = Executors.newSingleThreadScheduledExecutor(daemonFactory("verify-watchdog"))
+    val permits = new Semaphore(nThreads)
+    val done = new AtomicInteger(0)
+    val tasks = queries.map { case (name, fn) =>
+      // `released` guards the permit: exactly one of {task finally,
+      // watchdog reclaim} returns it (CAS), so a recovered zombie can
+      // never double-release
+      val released = new AtomicBoolean(false)
+      val startNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+      val fut = pool.submit(new Runnable {
+        def run(): Unit = {
+          permits.acquire() // outside try: an interrupt while queued must
+                            // not release a permit this task never held
+          startNanos.set(System.nanoTime())
+          try {
             // job group = query name, so the watchdog can cancel exactly
             // this query's jobs on timeout (setJobGroup is thread-local)
             spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
@@ -72,21 +82,82 @@ object Verify {
               // the leak without thrashing peers' in-flight caches
               if (done.incrementAndGet() % 32 == 0) spark.catalog.clearCache()
             }
+          } finally {
+            if (released.compareAndSet(false, true)) permits.release()
           }
-        })
-      }
-    tasks.foreach { case (name, fut) =>
-      try fut.get(timeoutSec, TimeUnit.SECONDS)
-      catch {
-        case _: TimeoutException =>
-          spark.sparkContext.cancelJobGroup(name)
-          fut.cancel(true)
-          System.err.println(s"[verify] $name failed: TIMEOUT after ${timeoutSec}s")
-        case e: Throwable =>
-          val msg = Option(e.getCause).getOrElse(e).getMessage
-          System.err.println(s"[verify] $name failed: $msg")
-      }
+        }
+      })
+      (name, fut, released, startNanos)
     }
+    // The run budget (`timeoutSec`) is measured from the task's ACTUAL
+    // start, not the waiter's arrival — a task whose clock expired while
+    // it sat queued behind a hung slot must not be cancelled un-run (that
+    // would waste exactly the permit the watchdog reclaimed for it).
+    // Queue wait gets its own, laxer cap (3× timeout from waiter arrival:
+    // by then every reclaim for the slots ahead of it has fired).
+    val statuses = tasks.map { case (name, fut, released, startNanos) =>
+      val arrival = System.nanoTime()
+      def secsSince(t0: Long) = (System.nanoTime() - t0) / 1e9
+      var status: String = null
+      while (status == null) {
+        try { fut.get(1, TimeUnit.SECONDS); status = "ok" }
+        catch {
+          case _: TimeoutException =>
+            val started = startNanos.get()
+            if (started != 0L && secsSince(started) > timeoutSec) {
+              spark.sparkContext.cancelJobGroup(name)
+              fut.cancel(true)
+              // analysis-hang fallback: if cancellation+interrupt didn't
+              // free the slot within one more timeout (2× total), reclaim
+              // it so the pool keeps its full width
+              sched.schedule(new Runnable {
+                def run(): Unit =
+                  if (released.compareAndSet(false, true)) {
+                    System.err.println(
+                      s"[verify] $name HUNG — slot reclaimed after ${2 * timeoutSec}s")
+                    permits.release()
+                  }
+              }, timeoutSec, TimeUnit.SECONDS)
+              System.err.println(s"[verify] $name failed: TIMEOUT after ${timeoutSec}s")
+              status = "timeout"
+            } else if (started == 0L && secsSince(arrival) > 3 * timeoutSec) {
+              fut.cancel(true) // never started → never held a permit
+              System.err.println(s"[verify] $name failed: QUEUED past ${3 * timeoutSec}s")
+              status = "timeout"
+            } // else: queued or within budget — keep waiting
+          case e: Throwable =>
+            val msg = Option(e.getCause).getOrElse(e).getMessage
+            System.err.println(s"[verify] $name failed: $msg")
+            status = s"error: $msg"
+        }
+      }
+      (name, status)
+    }
+    sched.shutdown()
+    statuses
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query names — dump only those
+    // (targeted re-gating after a fix; the driver always runs all)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+
+    val nThreads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "8").toInt
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "180").toLong
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    runSweep(spark, queries, sfDir, outDir, nThreads, timeoutSec)
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

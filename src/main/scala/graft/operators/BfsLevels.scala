@@ -23,19 +23,36 @@ object BfsLevels {
 
   /** (node, dist) for every node within `maxHops` of `seeds`.
     * `edges(src, dst)` is directed; symmetrize before calling for
-    * undirected semantics. */
+    * undirected semantics. The edge frame is materialized once into the
+    * compressed COLUMNAR cache — not `localCheckpoint`, whose
+    * deserialized row blocks cost ~200 s of heap+GC on a 117M-row frame,
+    * and not re-derived per round, which the round-9 sf10 probes showed
+    * is hostage to exchange reuse across a lineage that doubles per
+    * round (see [[Sssp.distances]] for the measured three-way
+    * comparison). `materializeEdges = false` opts out for single-round
+    * calls or callers that manage their own materialization. */
   def levels(edges: DataFrame, seeds: DataFrame, maxHops: Int,
-      checkpointEvery: Int = 3): DataFrame = {
+      checkpointEvery: Int = 1, materializeEdges: Boolean = true): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint()
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val e = if (materializeEdges)
+      e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else e0
     var dist = seeds.select(col("node").cast("long"))
       .distinct().withColumn("dist", lit(0))
     for (i <- 1 to maxHops) {
-      val next = e.join(dist.withColumnRenamed("node", "src"), "src")
+      // frontier broadcast by contract — see Sssp.distances: without the
+      // hint AQE sometimes re-shuffles the full edge frame every round
+      val frontier = broadcast(dist.withColumnRenamed("node", "src"))
+      val next = e.join(frontier, "src")
         .select(col("dst").as("node"), (col("dist") + lit(1)).as("dist"))
       dist = dist.unionByName(next)
         .groupBy("node").agg(min("dist").as("dist"))
+      // cadence default 1: dist_prev is referenced twice per round (union
+      // + broadcast) and broadcast exchanges never reuse shuffle
+      // exchanges, so an untruncated lineage re-executes ~2^rounds times
+      // — see Sssp.distances for the sf10 measurements; dist is ≤ |nodes|
+      // small rows, so per-round truncation is noise
       if (i % checkpointEvery == 0 && i < maxHops) dist = dist.localCheckpoint()
     }
     dist

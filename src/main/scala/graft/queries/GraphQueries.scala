@@ -478,20 +478,28 @@ object GraphQueries extends QueryModule {
   //    suppliers". The weighted sibling of q_bfs_levels; reported as a
   //    distance-bucket census so the result is a bounded frame at any
   //    scale. Same discipline: one min-dist shuffle per round, exact
-  //    integer distances (day sums), edge frame materialized once, oracle
-  //    unrolls identical rounds as materialized CTEs.
+  //    integer distances (day sums), oracle unrolls identical rounds as
+  //    materialized CTEs; the edge frame is cached COLUMNAR, once
+  //    (round-9 sf10 rework — see Sssp.distances for the measurements).
   private val SsspRounds = 4
   private val ssspDelay = QueryDef(
     "q_sssp_delay",
     (s, dir) => {
       import s.implicits._
+      // MULTIGRAPH edges, deliberately NO per-pair min aggregate (round-9
+      // sf10 rework): min-dist over parallel edges equals min-dist over
+      // min-weight edges (min∘clamp = clamp∘min, and Bellman-Ford is
+      // idempotent over edge multiplicity), so the near-unique-key
+      // groupBy — a full fact-table shuffle whose hash map degenerates at
+      // 58M groups — buys nothing. The oracle keeps its min-edge form:
+      // same distances either way, which the hash gate proves.
       val e0 = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir),
           col("l_orderkey") === col("o_orderkey"))
-        .groupBy((col("o_custkey") * 2).as("c"),
-          (col("l_suppkey") * 2 + 1).as("p"))
-        .agg(greatest(min(datediff(col("l_shipdate"), col("o_orderdate"))),
-          lit(1)).cast("long").as("w"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("p"),
+          greatest(datediff(col("l_shipdate"), col("o_orderdate")), lit(1))
+            .cast("long").as("w"))
       val edges = e0.select(col("c").as("src"), col("p").as("dst"), col("w"))
         .union(e0.select(col("p").as("src"), col("c").as("dst"), col("w")))
       val seeds = (0L until 5L).map(k => 2 * k + 1).toDF("node")

@@ -13,8 +13,14 @@ import org.apache.spark.sql.functions._
   * count and could never be hash-checked.
   *
   * Scale shape (the same discipline as [[ConnectedComponents]]):
+  *   - the degree-annotated edge list is built in ONE pass (a window
+  *     count over src — no self-join) and cached COLUMNAR, pre-hashed
+  *     and pre-sorted by src, so every round's rank join moves only the
+  *     |nodes|-sized rank side — zero exchange, zero re-sort on the
+  *     |edges| side (round-9 sf10 rework: the previous double
+  *     `localCheckpoint` of 117M-row frames plus a per-round edge-side
+  *     sort put q_ppr_seeds at 866 s; see the per-function docs);
   *   - each round is one shuffle on `dst` (the contribution aggregate);
-  *     the join with out-degrees reuses the edge partitioning;
   *   - NO driver-side graph state — ranks live in a DataFrame;
   *   - lineage is truncated every `checkpointEvery` rounds, NOT every
   *     round: the rank frame is referenced ONCE per round, so the plan
@@ -33,6 +39,22 @@ object PageRank {
 
   val One: Long = 1000000000L // rank 1.0 on the 1e-9 grid
 
+  /** Degree-annotate `e` (src, dst[, w]) with `aggCol` summed/counted over
+    * src in ONE pass: a window over src needs exactly one shuffle + sort,
+    * and its output is therefore hash-partitioned AND sorted by src — the
+    * columnar cache preserves both, so every later rank join plans with
+    * zero exchange and zero sort on this (the big) side. The alternatives
+    * both lost at sf10: a groupBy+self-join scans the edge lineage twice,
+    * and `localCheckpoint` materializes deserialized row blocks at ~10×
+    * the footprint of the compressed columnar cache (~200 s for 117M
+    * rows). */
+  private def degreeAnnotated(e: DataFrame, aggCol: org.apache.spark.sql.Column,
+      aggName: String): DataFrame = {
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    e.withColumn(aggName, aggCol.over(bySrc))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** Ranks after `iters` rounds over directed `edges(src, dst)`.
     * Returns (node, r) with r in 1e-9 units. Every node that appears as a
     * src or dst participates; sink nodes keep the 0.15 floor. */
@@ -40,17 +62,13 @@ object PageRank {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
-    // materialize the loop-invariant inputs ONCE — without this, every
-    // round's plan re-derives the edge list from its upstream joins
-    // (measured 7.7 s -> 2.6 s on the sf0.1 purchase graph)
+    // loop-invariant inputs materialize ONCE — the edge lineage is
+    // scanned exactly one time (inside eo's window pass); nodes derives
+    // from the cache, not from a re-scan of the caller's upstream joins
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint()
-    val out = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // degree-annotated edge list: join once, reuse every round (the rank
-    // join is the only per-round join left)
-    val eo = e.join(out, "src").localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val eo = degreeAnnotated(e, count(lit(1)), "outdeg")
+    val nodes = eo.select(col("src").as("node"))
+      .union(eo.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     var rank = nodes.withColumn("r", lit(One))
     for (i <- 1 to iters) {
@@ -82,11 +100,10 @@ object PageRank {
       checkpointEvery: Int = 4): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
-      col("w").cast("long")).filter(col("w") > 0).localCheckpoint()
-    val out = e.groupBy("src").agg(sum("w").as("wsum"))
-    val eo = e.join(out, "src").localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      col("w").cast("long")).filter(col("w") > 0)
+    val eo = degreeAnnotated(e, sum("w"), "wsum")
+    val nodes = eo.select(col("src").as("node"))
+      .union(eo.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     var rank = nodes.withColumn("r", lit(One))
     for (i <- 1 to iters) {
@@ -116,13 +133,11 @@ object PageRank {
       checkpointEvery: Int = 4): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint()
-    val out = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val eo = e.join(out, "src").localCheckpoint()
+    val eo = degreeAnnotated(e, count(lit(1)), "outdeg")
     val sd = seeds.select(col("node").cast("long")).distinct()
       .withColumn("is_seed", lit(1L)).localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val nodes = eo.select(col("src").as("node"))
+      .union(eo.select(col("dst").as("node"))).distinct()
       .join(org.apache.spark.sql.functions.broadcast(sd), Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
       .localCheckpoint()

@@ -650,22 +650,46 @@ object EmbeddingQueries extends QueryModule {
   //    (count desc, label asc) so the argmax is deterministic in both
   //    engines.
   //
-  //    6 hyperplanes (64 buckets), not the shared 4-plane hash: the
-  //    all-points kNN-join is quadratic WITHIN buckets, and the sf1 sweep
-  //    measured 9.6× on 10× data at 16 buckets — widening the code is
-  //    exactly the occupancy lever the 100 TB path pulls (more bits as
-  //    the corpus grows, holding per-bucket population constant).
-  private[queries] val knnBucketSpark = (0 until 6).map(i =>
-    when(element_at(col("embedding"), i + 1) > 0f, lit(1 << i)).otherwise(lit(0)))
-    .reduce(_ + _)
-  private[queries] val knnBucketSql = (0 until 6).map(i =>
-    s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+  //    The code width is DATA-DERIVED (round 9): the all-points kNN-join
+  //    is quadratic WITHIN buckets, so any fixed bit count is a scale
+  //    cliff — 6 bits measured 2.6 s at sf1 but 274 s at sf10 (the 10×
+  //    corpus made every bucket 10× denser = 100× the candidate mass).
+  //    nbits is the smallest b ≥ 6 with n ≤ 300·2^b (cap 20; the 64-dim
+  //    vectors have 64 sign bits available, and past ~300M vectors the
+  //    next lever is true random hyperplanes, q_ann_lsh_bucketed style),
+  //    so per-bucket occupancy — and with it cost-per-vector — stays
+  //    ~constant at every corpus size. The count enters the plan as a
+  //    1-row broadcast crossJoin (never a driver-side .count()), and the
+  //    ladder is exact integer compares both engines replay
+  //    bit-identically. At sf0.01/sf0.1 the ladder yields 6 — identical
+  //    buckets (and hashes) to the fixed-width rounds.
+  private val KnnTargetOcc = 300L
+  private val KnnMaxBits = 20
+  private[queries] def knnBitsSpark(n: org.apache.spark.sql.Column) =
+    (6 until KnnMaxBits).foldRight(lit(KnnMaxBits): org.apache.spark.sql.Column) {
+      (b, rest) => when(n <= lit(KnnTargetOcc << b), lit(b)).otherwise(rest)
+    }
+  private[queries] def knnBucketSpark(nb: org.apache.spark.sql.Column) =
+    (0 until KnnMaxBits).map(i =>
+      when(lit(i) < nb && element_at(col("embedding"), i + 1) > 0f,
+        lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  private[queries] val knnBitsSql =
+    (6 until KnnMaxBits).map(b => s"WHEN nvecs <= ${KnnTargetOcc << b} THEN $b")
+      .mkString("CASE ", " ", s" ELSE $KnnMaxBits END")
+  private[queries] val knnBucketSql =
+    (0 until KnnMaxBits).map(i =>
+      s"(CASE WHEN $i < nb AND embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
 
   private val knnClassify = QueryDef(
     "q_knn_classify",
     (s, dir) => {
+      val nv = Tables.embeddings(s, dir).agg(count(lit(1)).as("nvecs"))
       val e = Tables.embeddings(s, dir)
-        .withColumn("bucket", knnBucketSpark)
+        .crossJoin(broadcast(nv))
+        .withColumn("nb", knnBitsSpark(col("nvecs")))
+        .withColumn("bucket", knnBucketSpark(col("nb")))
         .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         .withColumn("nrm", graft.functions.VectorFunctions.vecNorm(col("vecd")))
         .select(col("vec_id"), col("label"), col("bucket"), col("vecd"),
@@ -699,11 +723,13 @@ object EmbeddingQueries extends QueryModule {
       }
     },
     Some(s"""
-      WITH e AS (SELECT vec_id, label, $knnBucketSql AS bucket,
+      WITH nv AS (SELECT count(*) AS nvecs FROM embeddings),
+        nb AS (SELECT $knnBitsSql AS nb FROM nv),
+        e AS (SELECT vec_id, label, $knnBucketSql AS bucket,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd,
                    sqrt(list_sum(list_transform(embedding,
                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-                 FROM embeddings),
+                 FROM embeddings, nb),
         cand AS (SELECT t.vec_id AS t_id, t.label AS t_label,
                    n.vec_id AS n_id, n.label AS n_label,
                    list_sum(list_transform(list_zip(t.vecd, n.vecd),

@@ -410,13 +410,17 @@ object GraphQueries extends QueryModule {
   //    the query certifies the measurement machinery (summing over BOTH
   //    edge directions IS the standard undirected double-count).
   //
-  //    Scale + determinism: degrees are one map-side-combined count; the
-  //    two degree joins are equi-joins on node id (AQE-skew-handled); all
-  //    five moments accumulate as EXACT BIGINT sums (x·y ≤ ~1e8 per edge,
-  //    Σ ≤ ~1e15 — inside Long), so partitioning cannot move them; the
-  //    final Pearson combination runs in doubles ONCE, as the identical
-  //    expression in both engines (M·Σxy overflows int64, so the
-  //    combination — not the accumulation — is float by design).
+  //    Scale + determinism: on the SYMMETRIZED multiset deg(v) equals
+  //    both the per-src and per-dst row count, so each endpoint degree
+  //    is a partitioned window count — one edge derivation and two
+  //    shuffles total, zero joins (round 9: the former groupBy+double
+  //    equi-join re-derived the 117M-row sf10 edge frame three times —
+  //    56 s vs this shape's single pass). All five moments accumulate
+  //    as EXACT BIGINT sums (x·y ≤ ~1e8 per edge, Σ ≤ ~1e15 — inside
+  //    Long), so partitioning cannot move them; the final Pearson
+  //    combination runs in doubles ONCE, as the identical expression in
+  //    both engines (M·Σxy overflows int64, so the combination — not
+  //    the accumulation — is float by design).
   private val assortativity = QueryDef(
     "q_graph_assortativity",
     (s, dir) => {
@@ -428,10 +432,11 @@ object GraphQueries extends QueryModule {
         .distinct()
       val edges = e0.select(col("c").as("src"), col("p").as("dst"))
         .union(e0.select(col("p").as("src"), col("c").as("dst")))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
+      val wDst = org.apache.spark.sql.expressions.Window.partitionBy("dst")
       val xy = edges
-        .join(deg.select(col("src"), col("deg").as("x")), "src")
-        .join(deg.select(col("src").as("dst"), col("deg").as("y")), "dst")
+        .withColumn("x", count(lit(1)).over(wSrc))
+        .withColumn("y", count(lit(1)).over(wDst))
       xy.agg(count(lit(1)).as("m"),
           sum(col("x") * col("y")).as("sxy"),
           sum("x").as("sx"), sum("y").as("sy"),

@@ -640,9 +640,13 @@ object GraphQueries extends QueryModule {
             col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
           .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
           .agg(count(lit(1)).as("common"))
+        // deg is supplier-cardinality (~100k rows at sf10) joined against
+        // the order-of-magnitude-larger pair frame — broadcast BOTH sides
+        // or each join shuffles the full pair mass (round 9: 160 s → the
+        // two broadcasts at sf10)
         pairs
-          .join(deg.select(col("pk").as("a"), col("deg").as("deg_a")), "a")
-          .join(deg.select(col("pk").as("b"), col("deg").as("deg_b")), "b")
+          .join(broadcast(deg.select(col("pk").as("a"), col("deg").as("deg_a"))), "a")
+          .join(broadcast(deg.select(col("pk").as("b"), col("deg").as("deg_b"))), "b")
           .withColumn("jaccard", dround(col("common").cast("double")
             / (col("deg_a") + col("deg_b") - col("common")), 6))
           .select(col("a").as("s_a"), col("b").as("s_b"), col("common"),

@@ -40,21 +40,45 @@ object BfsLevels {
     else e0
     var dist = seeds.select(col("node").cast("long"))
       .distinct().withColumn("dist", lit(0))
+    // DELTA expansion (round 10 — see Sssp.distances for the full
+    // rationale and the equality proof): only nodes discovered LAST
+    // round can discover new nodes this round, so the broadcast side is
+    // the true frontier wave — which saturates and shrinks — instead of
+    // the accumulated visited set, which approaches |V| on a connected
+    // graph and would eventually hit the 8 GB broadcast cliff at the
+    // design scale (the round-9 advisor finding). In level-synchronous
+    // BFS a visited node's level is FINAL (every later offer is larger),
+    // so the delta is exactly the first-visit set and the census after k
+    // rounds is bit-identical to full re-expansion — the oracle replays
+    // the full form and the hash gate proves it.
+    var frontier = dist
     for (i <- 1 to maxHops) {
       // frontier broadcast by contract — see Sssp.distances: without the
       // hint AQE sometimes re-shuffles the full edge frame every round
-      val frontier = broadcast(dist.withColumnRenamed("node", "src"))
-      val next = e.join(frontier, "src")
-        .select(col("dst").as("node"), (col("dist") + lit(1)).as("dist"))
-      dist = dist.unionByName(next)
-        .groupBy("node").agg(min("dist").as("dist"))
-      // cadence default 1: dist_prev is referenced twice per round (union
-      // + broadcast) and broadcast exchanges never reuse shuffle
-      // exchanges, so an untruncated lineage re-executes ~2^rounds times
-      // — see Sssp.distances for the sf10 measurements; dist is ≤ |nodes|
-      // small rows, so per-round truncation is noise
-      if (i % checkpointEvery == 0 && i < maxHops) dist = dist.localCheckpoint()
+      val fr = broadcast(frontier.withColumnRenamed("node", "src"))
+      val offers = e.join(fr, "src")
+        .select(col("dst").as("node"), (col("dist") + lit(1)).as("nd"))
+        .groupBy("node").agg(min("nd").as("nd"))
+      val merged = dist.withColumnRenamed("dist", "od")
+        .join(offers, Seq("node"), "full_outer")
+        .select(col("node"), least(col("od"), col("nd")).as("dist"),
+          col("od").isNull.as("chg")) // unit weights: improvement ⇔ first visit
+      // cadence default 1: merged_prev is referenced twice per round
+      // (merge + broadcast build) and broadcast exchanges never reuse
+      // shuffle exchanges, so an untruncated lineage re-executes
+      // ~2^rounds times — see Sssp.distances for the sf10 measurements;
+      // merged is ≤ |visited| small rows, so per-round truncation is noise
+      val m = if (i % checkpointEvery == 0 && i < maxHops) merged.localCheckpoint()
+        else merged
+      dist = m.select("node", "dist")
+      frontier = m.filter(col("chg")).select("node", "dist")
     }
-    dist
+    if (materializeEdges) {
+      // hygiene for long-lived sessions (round-9 advisor): pin the small
+      // result, release the edge cache
+      val out = dist.localCheckpoint()
+      e.unpersist()
+      out
+    } else dist
   }
 }

@@ -81,11 +81,22 @@ object PageRank {
         .select(col("node"),
           (lit(One * 15 / 100) +
             expr("(coalesce(sc, CAST(0 AS BIGINT)) * 85) DIV 100")).as("r"))
-      // periodic truncation only — the final rounds stay lazy so the
-      // caller's single action executes them as one DAG
+      // periodic truncation only — the intermediate rounds stay lazy so
+      // they execute as one DAG
       if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint()
     }
-    rank
+    finish(rank, eo)
+  }
+
+  /** Pin the (|nodes|-sized, KB-MB-scale) final rank frame and release
+    * the degree-annotated edge cache — hygiene for long-lived sessions
+    * (round-9 advisor: the persist leaked across repeated library calls;
+    * the harness's clearCache masked it). The one extra materialization
+    * of the small rank frame is noise next to the rounds. */
+  private def finish(rank: DataFrame, eo: DataFrame): DataFrame = {
+    val out = rank.localCheckpoint()
+    eo.unpersist()
+    out
   }
 
   /** WEIGHTED PageRank: identical integer-grid rounds, but each node
@@ -118,7 +129,7 @@ object PageRank {
             expr("(coalesce(sc, CAST(0 AS BIGINT)) * 85) DIV 100")).as("r"))
       if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint()
     }
-    rank
+    finish(rank, eo)
   }
 
   /** PERSONALIZED PageRank [Haveliwala 2002]: identical integer-grid
@@ -154,6 +165,6 @@ object PageRank {
             expr("(coalesce(sc, CAST(0 AS BIGINT)) * 85) DIV 100")).as("r"))
       if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint()
     }
-    rank
+    finish(rank, eo)
   }
 }

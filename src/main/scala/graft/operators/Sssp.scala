@@ -52,31 +52,57 @@ object Sssp {
     else e0
     var dist = seeds.select(col("node").cast("long"))
       .distinct().withColumn("dist", lit(0L))
+    // DELTA relaxation (round 10, the classic Bellman-Ford frontier
+    // optimization): only nodes whose distance CHANGED last round can
+    // offer a new distance this round — a node u with dist_i(u) =
+    // dist_{i-1}(u) already made the offer dist(u)+w to every neighbor
+    // in round i, so re-offering in round i+1 is a no-op. The fixed
+    // point after k rounds is bit-identical to full re-relaxation (the
+    // oracle replays the FULL form and the hash gate proves equality),
+    // but the broadcast side is now the true frontier — which SHRINKS
+    // after the expansion waves pass — instead of the accumulated
+    // visited set, which approaches |V| on a connected graph and would
+    // eventually hit Spark's 8 GB broadcast cliff at the design scale
+    // (the round-9 advisor finding). The frontier hint stays BROADCAST
+    // by contract: a seeded traversal's frontier is bounded by the wave,
+    // never the corpus; without the hint AQE sometimes plans the round
+    // as a sort-merge join, shuffling the FULL edge frame by src every
+    // round (measured 592 s vs 84 s at sf10, run to run).
+    var frontier = dist
     for (i <- 1 to rounds) {
-      // The frontier side is BROADCAST by contract: a seeded traversal's
-      // frontier is bounded by the seeds' component, never the corpus.
-      // Without the hint, AQE sometimes plans the round as a sort-merge
-      // join — shuffling the FULL edge frame by src every round (measured
-      // 592 s vs 84 s at sf10 for the same query, run to run). With it,
-      // the only exchange in the unmaterialized path is the one inside
-      // the edge derivation, which ReuseExchange collapses across rounds.
-      val frontier = broadcast(dist.withColumnRenamed("node", "src"))
-      val relaxed = e.join(frontier, "src")
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      dist = dist.unionByName(relaxed)
-        .groupBy("node").agg(min("dist").as("dist"))
-      // Cadence default is EVERY round, not every 3 (second round-9 sf10
-      // lesson): this loop references dist_prev TWICE — the union branch
-      // and the broadcast build — and a BroadcastExchange is never reused
-      // against a shuffle exchange of the same subplan, so an untruncated
-      // lineage re-executes ~2^rounds times (measured 343 s with cadence
-      // 3 vs the per-round-truncated time at sf10; the dist frame is
-      // ≤ |nodes| rows of 16 bytes — truncating it is noise). PageRank
-      // keeps cadence 3: its loop references the prior state ONCE, so
-      // its lineage grows linearly and eager truncation there only adds
-      // jobs (the round-4 lesson).
-      if (i % checkpointEvery == 0 && i < rounds) dist = dist.localCheckpoint()
+      val fr = broadcast(frontier.withColumnRenamed("node", "src"))
+      val offers = e.join(fr, "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("nd"))
+        .groupBy("node").agg(min("nd").as("nd"))
+      // one full-outer merge yields BOTH the new state and the delta:
+      // improved = first visit (od null) or a strictly better offer
+      val merged = dist.withColumnRenamed("dist", "od")
+        .join(offers, Seq("node"), "full_outer")
+        .select(col("node"), least(col("od"), col("nd")).as("dist"),
+          (col("od").isNull || (col("nd").isNotNull && col("nd") < col("od")))
+            .as("chg"))
+      // Cadence default is EVERY round, not every 3 (round-9 sf10
+      // lesson): the loop references merged_prev TWICE — the dist merge
+      // branch and the frontier broadcast build — and a
+      // BroadcastExchange is never reused against a shuffle exchange of
+      // the same subplan, so an untruncated lineage re-executes
+      // ~2^rounds times (measured 343 s with cadence 3 vs the per-round-
+      // truncated time at sf10; merged is ≤ |visited| rows of ~17 bytes
+      // — truncating it is noise). PageRank keeps cadence 3: its loop
+      // references the prior state ONCE, so its lineage grows linearly.
+      val m = if (i % checkpointEvery == 0 && i < rounds) merged.localCheckpoint()
+        else merged
+      dist = m.select("node", "dist")
+      frontier = m.filter(col("chg")).select("node", "dist")
     }
-    dist
+    if (materializeEdges) {
+      // hygiene for long-lived sessions (round-9 advisor): pin the small
+      // result, then release the edge cache — the harness's clearCache
+      // frees the pin; repeated library calls no longer accumulate
+      // executor storage
+      val out = dist.localCheckpoint()
+      e.unpersist()
+      out
+    } else dist
   }
 }

@@ -64,22 +64,35 @@ object Det {
   * The wrapper makes the builder eager so try/finally works: persist the
   * inputs, materialize each ONCE (so multi-branch consumers share one
   * compute instead of racing the cache fill), run the body to a small
-  * final result pinned by an eager localCheckpoint, then unpersist in
-  * `finally`. Post-return residue is only the KB-scale checkpointed
-  * result blocks, freed on GC. Bench times `build()` + the action
-  * together, so eagerness doesn't move cost out of the timed region.
+  * final result pinned by an eager COLUMNAR persist, then unpersist the
+  * inputs in `finally` (Dataset.unpersist is non-cascading, so the pinned
+  * result keeps its data). Bench times `build()` + the action together,
+  * so eagerness doesn't move cost out of the timed region.
+  *
+  * Round 10: the pin moved from `localCheckpoint(true)` to
+  * `persist(MEMORY_AND_DISK)` + count. Checkpoint blocks are deserialized
+  * row blocks that live in the block manager OUTSIDE the SQL cache —
+  * `spark.catalog.clearCache()` (the sweep runners' between-query
+  * hygiene) cannot free them, so across a one-JVM 230-query sweep with
+  * ~70 withCached call sites they accumulated until driver GC happened
+  * to trigger the ContextCleaner: the round-9 driver bench failed
+  * q_curation_e2e (13 s solo) at the 150 s box on exactly that pressure,
+  * and the same mechanism produced the recurring phantom-outlier class
+  * (q_tfidf_top_terms 3.7 s in-sweep vs 0.6 s solo). A persisted result
+  * registers in the CacheManager, so clearCache reclaims it
+  * deterministically, and the compressed columnar form is ~10x smaller
+  * to build and hold than row blocks (the round-9 sf10 lesson).
   */
 object Cached {
   private val audit = new ThreadLocal[java.lang.Boolean] {
     override def initialValue: java.lang.Boolean = false
   }
 
-  /** Build with [[withCached]] transparent — no persist, no checkpoint,
-    * nothing executed — so the FULL logical/physical plan of the body
-    * stays visible. For the fleet plan audits (PlanSpec/WindowAuditSpec/
-    * DumpPlans): an eager localCheckpoint truncates the returned plan to
-    * a `Scan ExistingRDD`, which would silently blind every audit on a
-    * wrapped query. */
+  /** Build with [[withCached]] transparent — no persist, nothing
+    * executed — so the FULL logical/physical plan of the body stays
+    * visible to the fleet plan audits (PlanSpec/WindowAuditSpec/
+    * DumpPlans) without the audits paying (or racing) the pins'
+    * materialization. */
   def auditPlan[T](body: => T): T = {
     audit.set(true)
     try body finally audit.set(false)
@@ -90,7 +103,16 @@ object Cached {
     inputs.foreach(_.persist())
     try {
       inputs.foreach(_.count())
-      body.localCheckpoint(true)
+      // pin the (small) final result in the SQL cache: eager, columnar,
+      // and — unlike a localCheckpoint — freed by the runner's
+      // clearCache. Nested withCached returns an already-pinned frame;
+      // re-persisting it is a documented Spark no-op (level kept).
+      // (Round-10 interleaved A/B, 6 JVMs: solo-time distributions of the
+      // two pins fully overlap — the switch costs nothing solo and buys
+      // deterministic reclaim in-sweep.)
+      val out = body.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
     } finally inputs.foreach(_.unpersist())
   }
 }

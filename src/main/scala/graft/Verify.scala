@@ -73,9 +73,18 @@ object Verify {
             // single-threaded (q_ngram_jaccard_blocked: 2s parallel →
             // timeout). repartition shuffles only the final small result
             // into the one output file.
-            try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-              .parquet(s"$outDir/$name")
-            finally {
+            try {
+              val df = fn(spark, sfDir)
+              // a zombie that wakes AFTER the watchdog reclaimed its slot
+              // must not write output for a query already reported
+              // `timeout` (round-9 advisor: it would race the sweep — and
+              // the downstream DuckDB read — at width nThreads+1); the
+              // job-group cancellation below also covers the window
+              // between cancel and reclaim
+              if (!released.get())
+                df.repartition(1).write.mode("overwrite")
+                  .parquet(s"$outDir/$name")
+            } finally {
               spark.sparkContext.clearJobGroup()
               // builders persist intermediates they can't always unpersist
               // (they never see their last action); periodic sweeps bound
@@ -105,8 +114,24 @@ object Verify {
           case _: TimeoutException =>
             val started = startNanos.get()
             if (started != 0L && secsSince(started) > timeoutSec) {
-              spark.sparkContext.cancelJobGroup(name)
+              // AndFutureJobs (round-9 advisor): a plain cancelJobGroup
+              // only kills jobs active AT CANCEL TIME — an analysis-hung
+              // zombie that wakes later would launch NEW jobs in the
+              // 'cancelled' group and overwrite output for a query
+              // reported timeout. The sticky cancellation makes any such
+              // job fail at submit.
+              spark.sparkContext.cancelJobGroupAndFutureJobs(name)
               fut.cancel(true)
+              // drop any partial/complete output the timed-out query got
+              // out before cancellation — a timeout row must not carry a
+              // parquet dir the DuckDB compare could read as a result
+              try {
+                def rm(f: java.io.File): Unit = {
+                  if (f.isDirectory) f.listFiles().foreach(rm)
+                  f.delete()
+                }
+                rm(new java.io.File(s"$outDir/$name"))
+              } catch { case _: Throwable => () }
               // analysis-hang fallback: if cancellation+interrupt didn't
               // free the slot within one more timeout (2× total), reclaim
               // it so the pool keeps its full width

@@ -23,6 +23,7 @@ class VerifySpec extends SparkSpec {
     (s, _) => s.range(n).toDF("id")
 
   test("a hung query does not wedge the sweep — other queries complete") {
+    VerifySpecState.stop = false // order/re-run independence (r9 advisor)
     val out = Files.createTempDirectory("verify-spec").toString
     try {
       val queries = ("q_hang" -> hang) +:

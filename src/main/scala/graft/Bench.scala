@@ -136,7 +136,7 @@ object Bench {
           col("a.vecd"), col("b.vecd")))
         .agg(sum("dot")).collect()
     } catch { case _: Throwable => () }
-    spark.catalog.clearCache()
+    graft.plans.CacheHygiene.tryClear(spark, 60)
 
     // A query that THROWS must never look like a fast success — it would
     // silently corrupt the scaling evidence (a time-to-crash is not a
@@ -172,7 +172,10 @@ object Bench {
       // targeted rerun, the sf1 pass) after a boxed kill
       val group = s"${q.name}#${runSeq.incrementAndGet()}"
       val fut = benchPool.submit(new java.util.concurrent.Callable[Option[Double]] {
-        def call(): Option[Double] = {
+        // the whole action runs under CacheHygiene's read gate so the
+        // between-query clearCache can never overlap a live cache
+        // materialization (the round-10 ABBA deadlock — see CacheHygiene)
+        def call(): Option[Double] = graft.plans.CacheHygiene.withQuery {
           spark.sparkContext.setJobGroup(group, q.name, interruptOnCancel = true)
           val t0 = System.nanoTime()
           val ok = try { q.build(spark, dir).count(); true }
@@ -190,7 +193,15 @@ object Bench {
           fut.cancel(true)
           None
         }
-      spark.catalog.clearCache()
+      // gated hygiene: after a boxed kill the zombie usually unwinds within
+      // a few seconds of its job-group cancellation; if it doesn't, skip
+      // the clear (retried at every later boundary) and relieve storage
+      // pressure at the BlockManager, which takes no SQL locks
+      if (!graft.plans.CacheHygiene.tryClear(spark, 15)) {
+        val n = graft.plans.CacheHygiene.emergencyUnpersist(spark)
+        System.err.println(s"[bench] clearCache skipped after ${q.name} " +
+          s"(zombie in flight) — emergency-unpersisted $n RDDs")
+      }
       res
     }
     // The frozen per-query minima (committed bench_freeze.json, ratcheted

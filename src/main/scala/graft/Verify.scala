@@ -64,32 +64,48 @@ object Verify {
                             // not release a permit this task never held
           startNanos.set(System.nanoTime())
           try {
-            // job group = query name, so the watchdog can cancel exactly
-            // this query's jobs on timeout (setJobGroup is thread-local)
-            spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-            // repartition(1), NOT coalesce(1): coalesce propagates the
-            // 1-task constraint upstream through every narrow stage, so a
-            // query whose heavy compute sits after its last shuffle runs
-            // single-threaded (q_ngram_jaccard_blocked: 2s parallel →
-            // timeout). repartition shuffles only the final small result
-            // into the one output file.
-            try {
-              val df = fn(spark, sfDir)
-              // a zombie that wakes AFTER the watchdog reclaimed its slot
-              // must not write output for a query already reported
-              // `timeout` (round-9 advisor: it would race the sweep — and
-              // the downstream DuckDB read — at width nThreads+1); the
-              // job-group cancellation below also covers the window
-              // between cancel and reclaim
-              if (!released.get())
-                df.repartition(1).write.mode("overwrite")
-                  .parquet(s"$outDir/$name")
-            } finally {
-              spark.sparkContext.clearJobGroup()
-              // builders persist intermediates they can't always unpersist
-              // (they never see their last action); periodic sweeps bound
-              // the leak without thrashing peers' in-flight caches
-              if (done.incrementAndGet() % 32 == 0) spark.catalog.clearCache()
+            // the action runs under CacheHygiene's read gate so the
+            // periodic clearCache below can never overlap a live cache
+            // materialization (the round-10 Bench ABBA deadlock: a
+            // cancelled worker inside buildBuffers holds the builder
+            // monitor and calls back into the CacheManager, while
+            // clearCache takes the same two monitors in opposite order)
+            graft.plans.CacheHygiene.withQuery {
+              // job group = query name, so the watchdog can cancel exactly
+              // this query's jobs on timeout (setJobGroup is thread-local)
+              spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+              // repartition(1), NOT coalesce(1): coalesce propagates the
+              // 1-task constraint upstream through every narrow stage, so a
+              // query whose heavy compute sits after its last shuffle runs
+              // single-threaded (q_ngram_jaccard_blocked: 2s parallel →
+              // timeout). repartition shuffles only the final small result
+              // into the one output file.
+              try {
+                val df = fn(spark, sfDir)
+                // a zombie that wakes AFTER the watchdog reclaimed its slot
+                // must not write output for a query already reported
+                // `timeout` (round-9 advisor: it would race the sweep — and
+                // the downstream DuckDB read — at width nThreads+1); the
+                // job-group cancellation below also covers the window
+                // between cancel and reclaim
+                if (!released.get())
+                  df.repartition(1).write.mode("overwrite")
+                    .parquet(s"$outDir/$name")
+              } finally spark.sparkContext.clearJobGroup()
+            }
+            // builders persist intermediates they can't always unpersist
+            // (they never see their last action); periodic sweeps bound
+            // the leak without thrashing peers' in-flight caches. Outside
+            // the read gate (a reader cannot upgrade to the write lock);
+            // with peers usually in flight the gated clear mostly skips,
+            // so ALSO relieve pressure at the BlockManager, which takes
+            // no SQL locks and is safe concurrent with anything.
+            if (done.incrementAndGet() % 32 == 0 &&
+                !graft.plans.CacheHygiene.tryClear(spark, 2)) {
+              val n = graft.plans.CacheHygiene.emergencyUnpersist(spark)
+              System.err.println(
+                s"[verify] clearCache skipped (queries in flight) — " +
+                  s"emergency-unpersisted $n RDDs")
             }
           } finally {
             if (released.compareAndSet(false, true)) permits.release()

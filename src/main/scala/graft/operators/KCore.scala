@@ -74,39 +74,58 @@ object KCore {
     // anyway) and drives the regime gate
     var edCount = ed.count()
     val out = Seq.newBuilder[(Int, Long, Long)]
+    // Fixed-point short-circuit (round-10 probe: the lineitem co-purchase
+    // graph converges after ONE peel — rounds 2..R recomputed identical
+    // results, a third of the query). Peeling is monotone deletion, so
+    // e_i ⊆ e_{i-1}; equal COUNTS therefore imply equal SETS, and an
+    // unchanged edge frame fixes every later round: deg_{i+1} = deg_i ⇒
+    // alive_{i+1} = alive_i ⇒ e_{i+1} = e_i. Once a round's output count
+    // equals its input count, the remaining census rows are emitted as
+    // copies with zero jobs. The oracle unrolls every round fully and the
+    // hash gate proves the equality. At 100 TB this is the dominant
+    // saving: real co-occurrence graphs reach their k-core in 1-2 sweeps,
+    // and each skipped sweep is three shuffles over the full edge frame.
+    var fixedPoint = false
+    var lastAlive = 0L
     for (i <- 1 to rounds) {
-      val deg = ed.select(col("a").as("node"))
-        .union(ed.select(col("b").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-      val alive = deg.filter(col("deg") >= k).select("node")
-      // the survivor set is consumed three times (census + two semi-joins):
-      // persist so the degree shuffle runs once, release before next round
-      // (measured: skipping this to save the count job loses 2.5× at sf1 —
-      // the 2-shuffle degree aggregate re-executes ~5×/round on a 5.8M-row
-      // frame)
-      alive.persist()
-      try {
-        val nAlive = alive.count()
-        val next = ed
-          .join(alive.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-          .join(alive.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-          .select("a", "b")
-        if (edCount > MaterializeThreshold) {
-          val nextM = next
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          edCount = nextM.count() // count materializes `nextM`, truncating
-          pinned.unpersist()      // the chain — the predecessor can go
-          pinned = nextM
-          ed = nextM
-        } else {
-          // small regime: truncate with a cheap eager localCheckpoint —
-          // KB-MB row blocks, freed on GC; the census count off the
-          // blocks is ~free. Once small, always small (frames shrink).
-          ed = next.localCheckpoint()
-          edCount = ed.count()
-        }
-        out += ((i, nAlive, edCount))
-      } finally alive.unpersist()
+      if (fixedPoint) out += ((i, lastAlive, edCount))
+      else {
+        val prevCount = edCount
+        val deg = ed.select(col("a").as("node"))
+          .union(ed.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val alive = deg.filter(col("deg") >= k).select("node")
+        // the survivor set is consumed three times (census + two
+        // semi-joins): persist so the degree shuffle runs once, release
+        // before next round (measured: skipping this to save the count
+        // job loses 2.5× at sf1 — the 2-shuffle degree aggregate
+        // re-executes ~5×/round on a 5.8M-row frame)
+        alive.persist()
+        try {
+          val nAlive = alive.count()
+          val next = ed
+            .join(alive.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+            .join(alive.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+            .select("a", "b")
+          if (edCount > MaterializeThreshold) {
+            val nextM = next
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            edCount = nextM.count() // count materializes `nextM`, truncating
+            pinned.unpersist()      // the chain — the predecessor can go
+            pinned = nextM
+            ed = nextM
+          } else {
+            // small regime: truncate with a cheap eager localCheckpoint —
+            // KB-MB row blocks, freed on GC; the census count off the
+            // blocks is ~free. Once small, always small (frames shrink).
+            ed = next.localCheckpoint()
+            edCount = ed.count()
+          }
+          out += ((i, nAlive, edCount))
+          lastAlive = nAlive
+          if (edCount == prevCount) fixedPoint = true
+        } finally alive.unpersist()
+      }
     }
     pinned.unpersist()
     out.result().toDF("round", "n_nodes", "n_edges")

@@ -40,8 +40,11 @@ object Triangles {
 
   /** Above this edge count the m^1.5-bounded degree-ordered enumeration
     * replaces the canonical one-pass (which is cheaper below it — see
-    * the class doc measurements). sf10's 24M-edge co-occurrence graph is
-    * above; sf1's 2.4M below. */
+    * the class doc measurements). Every benched SF stays below it (the
+    * sf10 co-occurrence graph measures 4.59M edges — round-10 probe —
+    * where canonical wins 3.7 s vs 6.4 s warm); the gate exists for the
+    * power-law corpora of the 100 TB design point, where a single
+    * degree-d hub puts d² wedges through the canonical join. */
   val DegreeOrderedThreshold: Long = 10000000L
 
   /** (n_wedges, n_triangles) for canonical edges `e(a, b)`; `nE` is the

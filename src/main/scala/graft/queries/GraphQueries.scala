@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Tables
 import Det.{dround, oround}
@@ -88,9 +89,28 @@ object GraphQueries extends QueryModule {
   //    round-9 verdict's stretch item): enumeration is delegated to
   //    graft.operators.Triangles, which gates by edge count between the
   //    canonical one-pass (cheapest at the small SFs) and the
-  //    m^1.5-bounded DEGREE-ORDERED orientation (sf10's 24M-edge graph
-  //    and any power-law corpus) — both return identical values
+  //    m^1.5-bounded DEGREE-ORDERED orientation (graphs past 10M edges —
+  //    any power-law corpus at the design scale; every benched SF stays
+  //    below, sf10 measuring 4.59M edges) — both return identical values
   //    (TrianglesSpec), so the oracle is unchanged.
+  /** Distinct co-occurrence pairs (a < b) within each `ok` group of
+    * `li(ok, pk)` — round-10 rework of the pair generator shared by the
+    * co-occurrence graph queries. The old x⋈y self-join on ok shuffled
+    * BOTH copies of the base frame and then the full raw pair mass into
+    * the distinct; collecting each group's distinct members once
+    * (bounded: ≤7 lineitems per order) and expanding the ordered pairs
+    * MAP-SIDE does the same work with ONE base shuffle — measured 36.1 s
+    * → 5.1 s warm on sf10's 12M-row urgent slice (ProbeTri, this round).
+    * Pair semantics are identical (sorted distinct members ⇒ every a < b
+    * pair exactly once), so the oracles keep their self-join form and
+    * the hash gates prove the equality. */
+  private def orderedCoPairs(li: DataFrame): DataFrame =
+    li.groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
+      .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
+      .distinct()
+
   private val triangleCount = QueryDef(
     "q_triangle_count",
     (s, dir) => {
@@ -98,10 +118,7 @@ object GraphQueries extends QueryModule {
         .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val e = li.as("x").join(li.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("a"), col("y.pk").as("b"))
-        .distinct()
+      val e = orderedCoPairs(li)
       // the edge set is the small shared input of every downstream join
       // (~1% of lineitem rows after distinct): persist it once with an
       // explicit unpersist, so the actions below don't re-run pair
@@ -278,10 +295,7 @@ object GraphQueries extends QueryModule {
         .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val und = li.as("x").join(li.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("a"), col("y.pk").as("b"))
-        .distinct()
+      val und = orderedCoPairs(li)
       val edges = und.select(col("a").as("src"), col("b").as("dst"))
         .union(und.select(col("b").as("src"), col("a").as("dst")))
       var lab = edges.select(col("src").as("node")).distinct()

@@ -638,9 +638,15 @@ object GraphQueries extends QueryModule {
         .distinct()
       Cached.withCached(li) {
         val deg = li.groupBy("pk").agg(count(lit(1)).as("deg"))
-        val pairs = li.as("x").join(li.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        // map-side per-order pair expansion (the orderedCoPairs rework,
+        // sans distinct): one base shuffle, pair multiplicity preserved
+        // so count(*) per (a,b) is still the shared-order count
+        val pairs = li.groupBy("ok")
+          .agg(sort_array(collect_set(col("pk"))).as("ps"))
+          .filter(size(col("ps")) >= 2)
+          .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
+          .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
+          .groupBy("a", "b")
           .agg(count(lit(1)).as("common"))
         // deg is supplier-cardinality (~100k rows at sf10) joined against
         // the order-of-magnitude-larger pair frame — broadcast BOTH sides
@@ -749,22 +755,28 @@ object GraphQueries extends QueryModule {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("pk"))
         .distinct()
-      Cached.withCached(li) {
-        val breadth = li.groupBy("ok").agg(count(lit(1)).as("nb"))
-          .filter(col("nb") >= 2)
-        val wide = li.join(breadth, "ok")
-          .withColumn("aa_i", expr("CAST(round(1e9 / ln(nb)) AS BIGINT)"))
-        val pairs = wide.as("x").join(
-            wide.select(col("ok"), col("pk").as("pk2")).as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk2"))
-          .groupBy(col("x.pk").as("a"), col("y.pk2").as("b"))
-          .agg(count(lit(1)).as("common"), sum(col("x.aa_i")).as("aa_sum"))
-        pairs
-          .select(col("a").as("s_a"), col("b").as("s_b"), col("common"),
-            dround(col("aa_sum").cast("double") / 1e9, 4).as("adamic_adar"))
-          .orderBy(col("adamic_adar").desc, col("s_a").asc, col("s_b").asc)
-          .limit(15)
-      }
+      // the AA weight is a function of ORDER BREADTH alone, so the
+      // grouped member set carries it for free: nb = size(ps) — the
+      // old breadth groupBy + join-back and the pair self-join collapse
+      // into one base shuffle with map-side pair expansion (each shared
+      // order contributes its aa_i exactly once per pair, as before).
+      // li now has a SINGLE consumer, so the round-9 withCached pin came
+      // off (pinning a 58M-row frame to scan it once is pure overhead).
+      val pairs = li.groupBy("ok")
+        .agg(sort_array(collect_set(col("pk"))).as("ps"))
+        .filter(size(col("ps")) >= 2)
+        .withColumn("aa_i",
+          expr("CAST(round(1e9 / ln(size(ps))) AS BIGINT)"))
+        .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"), col("aa_i"))
+        .select(col("a"),
+          explode(expr("slice(ps, i + 2, size(ps))")).as("b"), col("aa_i"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("common"), sum(col("aa_i")).as("aa_sum"))
+      pairs
+        .select(col("a").as("s_a"), col("b").as("s_b"), col("common"),
+          dround(col("aa_sum").cast("double") / 1e9, 4).as("adamic_adar"))
+        .orderBy(col("adamic_adar").desc, col("s_a").asc, col("s_b").asc)
+        .limit(15)
     },
     Some(s"""
       WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,

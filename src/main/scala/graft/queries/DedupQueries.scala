@@ -1087,6 +1087,10 @@ $rounds,
                     i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))
                   ELSE array() END)""").as("g"))
         .filter(size(col("g")) > 0)
+      // d feeds BOTH sides of the block join: pin it so the exact-dup
+      // collapse + 3-gram derivation (split/transform/distinct over every
+      // text) runs once, not once per side (round-10: 7.2 -> ~4 s sf0.1)
+      Cached.withCached(d) {
       val a = d.select(col("blk"), col("doc_id").as("doc_a"),
         col("g").as("g_a"))
       val b = d.select(col("blk"), col("doc_id").as("doc_b"),
@@ -1110,6 +1114,7 @@ $rounds,
           dround(col("cont_ba"), 4).as("cont_ba"),
           (greatest(col("cont_ab"), col("cont_ba")) >= 0.8)
             .cast("int").as("contained"))
+      }
     },
     Some(s"""
       WITH c AS (SELECT min(doc_id) AS doc_id, min(text) AS text

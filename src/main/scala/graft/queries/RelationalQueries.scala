@@ -1132,9 +1132,16 @@ object RelationalQueries extends QueryModule {
       Cached.withCached(li) {
         val nB = li.select("ok").distinct().count()
         val item = li.groupBy(col("pk")).agg(count(lit(1)).as("supp_i"))
-        val pair = li.as("x").join(li.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .groupBy(col("x.pk").as("p_a"), col("y.pk").as("p_b"))
+        // map-side per-order pair expansion (GraphQueries.orderedCoPairs
+        // discipline, multiplicity preserved): one base shuffle instead
+        // of self-joining both copies of the pinned frame
+        val pair = li.groupBy("ok")
+          .agg(sort_array(collect_set(col("pk"))).as("ps"))
+          .filter(size(col("ps")) >= 2)
+          .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
+          .select(col("a").as("p_a"),
+            explode(expr("slice(ps, i + 2, size(ps))")).as("p_b"))
+          .groupBy("p_a", "p_b")
           .agg(count(lit(1)).as("supp_ab"))
         pair
           .join(item.select(col("pk").as("p_a"), col("supp_i").as("supp_a")), "p_a")

@@ -1293,6 +1293,127 @@ object TemporalQueries extends QueryModule {
       FROM cum JOIN sz ON cum.cohort = sz.cohort
       ORDER BY cum.cohort, age"""))
 
+  // -- Holt linear (double exponential) smoothing of the per-type daily
+  //    revenue series — the trend-aware sibling of q_ewma_value (level
+  //    only) and the forecasting primitive a monitoring pipeline runs per
+  //    metric. A LEVEL+TREND recurrence is inherently sequential, so it
+  //    cannot be a window frame; the engine-honest shape is: collapse the
+  //    stream to one bounded series per key (calendar days — ≤ fixture
+  //    span regardless of corpus size), collect IN ORDER, and fold with
+  //    the `aggregate` higher-order function. Scale-out is across keys
+  //    (millions of metrics at 100 TB, each series bounded); the fold is
+  //    per-row driver-free codegen'd work, never a corpus-wide window.
+  //    Determinism: α = β = 1/2 with floor() after each halving keeps
+  //    level and trend on the INTEGER cent grid at every step (stored in
+  //    doubles — exact below 2^53), so the fold is bit-identical in both
+  //    engines; the zero-initial-trend variant (l₁ = y₁, b₁ = 0) keeps
+  //    the init single-element [Holt 1957 / Hyndman & Athanasopoulos §8.2
+  //    form with grid arithmetic]. The trend update folds the nested
+  //    floors into one: b' = ⌊(l' − l + b)/2⌋ = ⌊(x − l + 3b)/4⌋ for
+  //    integer inputs — each accumulator slot is then a pure function of
+  //    the OLD accumulator, and the state rides a 2-element DOUBLE array:
+  //    DuckDB 1.0's list_reduce evaluates STRUCT result fields in place
+  //    (a later field's `acc.l` sees the already-updated l), so a struct
+  //    accumulator silently computes a different recurrence; arrays
+  //    evaluate atomically in both engines.
+  private val holtLinear = QueryDef(
+    "q_holt_linear",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"))
+      daily.groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("day"), col("c")))).as("sd"))
+        .withColumn("xs", expr("transform(sd, e -> CAST(e.c AS DOUBLE))"))
+        .select(col("event_type"),
+          size(col("xs")).cast("long").as("n_days"),
+          expr("""aggregate(slice(xs, 2, size(xs) - 1),
+              array(xs[0], CAST(0.0 AS DOUBLE)),
+              (acc, x) -> array(
+                CAST(floor((x + acc[0] + acc[1]) / 2) AS DOUBLE),
+                CAST(floor((x - acc[0] + 3 * acc[1]) / 4) AS DOUBLE)))""")
+            .as("hb"))
+        .select(col("event_type"), col("n_days"),
+          dround(expr("hb[0]") / 100.0, 4).as("level"),
+          dround(expr("hb[1]") / 100.0, 4).as("trend"),
+          dround((expr("hb[0]") + lit(7) * expr("hb[1]")) / 100.0, 4)
+            .as("forecast_7d"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH daily AS (SELECT event_type,
+                       epoch_us(ts) // 86400000000 AS day,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                         AS BIGINT) AS c
+                     FROM events GROUP BY 1, 2),
+        s AS (SELECT event_type,
+                list_transform(list(c ORDER BY day), v -> CAST(v AS DOUBLE))
+                  AS xs
+              FROM daily GROUP BY event_type),
+        f AS (SELECT event_type, CAST(len(xs) AS BIGINT) AS n_days,
+                list_reduce(
+                  list_prepend([xs[1], CAST(0.0 AS DOUBLE)],
+                    list_transform(xs[2:],
+                      v -> [v, CAST(0.0 AS DOUBLE)])),
+                  (acc, e) -> [
+                    CAST(floor((e[1] + acc[1] + acc[2]) / 2) AS DOUBLE),
+                    CAST(floor((e[1] - acc[1] + 3 * acc[2]) / 4) AS DOUBLE)])
+                  AS hb
+              FROM s)
+      SELECT event_type, n_days,
+             ${oround("hb[1] / 100.0", 4)} AS level,
+             ${oround("hb[2] / 100.0", 4)} AS trend,
+             ${oround("(hb[1] + 7 * hb[2]) / 100.0", 4)} AS forecast_7d
+      FROM f ORDER BY event_type"""))
+
+  // -- Theil–Sen estimator [Sen 1968]: the median of all pairwise slopes
+  //    of the per-type daily revenue series — the robust trend that a
+  //    single anomalous day cannot move (the regression sibling of
+  //    q_mad_outliers' location robustness). O(n²) pairs per key, bounded
+  //    by the CALENDAR (30-day fixture → ≤435 pairs) — never by corpus
+  //    size — and generated map-side by the same collect+posexplode+slice
+  //    expansion as q_adamic_adar: one shuffle to the daily rollup, one to
+  //    the per-type median; no self-join of an exploded frame. Slopes are
+  //    exact-integer ratios evaluated once in IEEE double (identical in
+  //    both engines); the even-count median interpolates two identical
+  //    doubles identically (q_rolling_median_7d's certified pairing).
+  private val theilSen = QueryDef(
+    "q_theil_sen",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"))
+      daily.groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("day"), col("c")))).as("ps"))
+        .select(col("event_type"), posexplode(col("ps")).as(Seq("i", "a")),
+          col("ps"))
+        .select(col("event_type"), col("a"),
+          explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
+        .select(col("event_type"),
+          ((col("b.c") - col("a.c")).cast("double")
+            / (col("b.day") - col("a.day")).cast("double")).as("slope"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("percentile(slope, 0.5)").as("m"))
+        .select(col("event_type"), col("n_pairs"),
+          dround(col("m") / 100.0, 6).as("sen_slope"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH daily AS (SELECT event_type,
+                       epoch_us(ts) // 86400000000 AS day,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                         AS BIGINT) AS c
+                     FROM events GROUP BY 1, 2),
+        p AS (SELECT x.event_type,
+                CAST(y.c - x.c AS DOUBLE) / CAST(y.day - x.day AS DOUBLE)
+                  AS slope
+              FROM daily x JOIN daily y
+                ON x.event_type = y.event_type AND x.day < y.day)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             ${oround("quantile_cont(slope, 0.5) / 100.0", 6)} AS sen_slope
+      FROM p GROUP BY event_type ORDER BY event_type"""))
+
   override def queries: Seq[QueryDef] =
     Seq(slidingSpend, clickAttribution, saltedSkewJoin,
       cohortRetention, funnelStages, eventTransitions, weeklyRevenueWow,
@@ -1300,5 +1421,5 @@ object TemporalQueries extends QueryModule {
       activityStreaks, seasonalAnomaly, gapFillLocf, rollingMedian,
       burstiness, runningAnomalyFlags, dauWauMau, seasonalityStrength,
       xcorrLagged, conversionTime, cohortLtv, shapleyAttribution,
-      newReturning)
+      newReturning, holtLinear, theilSen)
 }

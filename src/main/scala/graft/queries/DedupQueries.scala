@@ -294,6 +294,34 @@ object DedupQueries extends QueryModule {
       .filter(col("hamming") <= 3)
   }
 
+  /** DuckDB CTEs for doc-level connected components over the simhash
+    * hamming-≤3 graph (shared by q_neardup_clusters / q_cluster_canonical):
+    * 8 rounds of min-label + pointer jumping (hop count doubles per round,
+    * so 8 rounds cover diameter ≥ 2^8) ending at c8(doc_id, comp). Each
+    * round is linear in |edges| — the WITH RECURSIVE transitive closure
+    * this replaced materialized O(n·|component|) reach rows and timed out
+    * at the 10× scale factor (round-3 residual). */
+  private def ccOracleCtes: String = {
+    val rounds = (1 to 8).map { k =>
+      s"""        e$k AS MATERIALIZED (SELECT c.doc_id,
+                    least(c.comp, coalesce(min(cm.comp), c.comp)) AS comp
+                  FROM c${k - 1} c
+                  LEFT JOIN edges2 e ON c.doc_id = e.src
+                  LEFT JOIN c${k - 1} cm ON e.dst = cm.doc_id
+                  GROUP BY c.doc_id, c.comp),
+        c$k AS MATERIALIZED (SELECT a.doc_id, b.comp
+                  FROM e$k a JOIN e$k b ON a.comp = b.doc_id)"""
+    }.mkString(",\n")
+    s"""        edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                  FROM sims a JOIN sims b
+                    ON a.lang = b.lang AND a.doc_id < b.doc_id
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        edges2 AS MATERIALIZED (SELECT src, dst FROM edges
+                   UNION ALL SELECT dst, src FROM edges),
+        c0 AS MATERIALIZED (SELECT doc_id, doc_id AS comp FROM sims),
+$rounds"""
+  }
+
   /** DuckDB CTEs shared by the simhash-family oracles: sims(doc_id, lang,
     * simhash) built the brute-force way. */
   private def simhashOracleCtes: String = {
@@ -418,26 +446,9 @@ object DedupQueries extends QueryModule {
       // and each round references the previous one twice — inlined, the
       // chain expands 2^8 ways and every leaf re-opens the parquet file
       // ("Too many open files").
-      val rounds = (1 to 8).map { k =>
-        s"""        e$k AS MATERIALIZED (SELECT c.doc_id,
-                    least(c.comp, coalesce(min(cm.comp), c.comp)) AS comp
-                  FROM c${k - 1} c
-                  LEFT JOIN edges2 e ON c.doc_id = e.src
-                  LEFT JOIN c${k - 1} cm ON e.dst = cm.doc_id
-                  GROUP BY c.doc_id, c.comp),
-        c$k AS MATERIALIZED (SELECT a.doc_id, b.comp
-                  FROM e$k a JOIN e$k b ON a.comp = b.doc_id)"""
-      }.mkString(",\n")
       s"""
       WITH $simhashOracleCtes,
-        edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
-                  FROM sims a JOIN sims b
-                    ON a.lang = b.lang AND a.doc_id < b.doc_id
-                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-        edges2 AS MATERIALIZED (SELECT src, dst FROM edges
-                   UNION ALL SELECT dst, src FROM edges),
-        c0 AS MATERIALIZED (SELECT doc_id, doc_id AS comp FROM sims),
-$rounds,
+$ccOracleCtes,
         comp AS (SELECT doc_id, comp FROM c8),
         cs AS (SELECT comp, count(*) AS sz FROM comp GROUP BY comp),
         per AS (SELECT s.lang, c.comp, cs.sz
@@ -450,6 +461,79 @@ $rounds,
       FROM per GROUP BY lang ORDER BY lang"""
     },
     bench = false) // iterative fixpoint — correctness query, not a timed one
+
+  // -- canonical-representative selection: near-dup clustering only says
+  //    WHICH docs are duplicates; a curation pipeline must then pick the
+  //    copy to KEEP. Rule: per cluster, the longest document (most
+  //    tokens), ties to the smallest doc_id — deterministic under any
+  //    partitioning, encoded as max(struct(ntok, -doc_id)) in Spark and
+  //    the matching (ntok DESC, doc_id ASC) row_number in the oracle.
+  //    `canon_id_sum` certifies the SELECTION identity (the actual kept
+  //    doc ids), not just counts: label VALUES differ between the two
+  //    engines' CC implementations, but the cluster PARTITION is the
+  //    same, so argmax-per-cluster must agree. Same corpus-scale-free
+  //    value-level CC as q_neardup_clusters (≤65,536 nodes per lang);
+  //    doc-level facts join back by (lang, simhash).
+  private val clusterCanonical = QueryDef(
+    "q_cluster_canonical",
+    (s, dir) => {
+      val sims = simhashFrame(s, dir)
+      Cached.withCached(sims) {
+        val vals = simhashValues(sims)
+        val comp = graft.operators.ConnectedComponents.run(
+          vals.select(col("vid").as("id")),
+          valueNearPairs(vals).select(col("vid_a").as("src"),
+            col("vid_b").as("dst")))
+        val docComp = sims
+          .join(vals.select(col("lang"), col("simhash"), col("vid")),
+            Seq("lang", "simhash"))
+          .join(comp, col("vid") === col("id"))
+          .select(col("doc_id"), col("lang"), col("comp"))
+        val toks = Tables.documents(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        val perCluster = docComp.join(toks, "doc_id")
+          .groupBy("lang", "comp")
+          .agg(count(lit(1)).as("sz"), sum("ntok").as("tok_total"),
+            max(struct(col("ntok"), (-col("doc_id")).as("nid"))).as("best"))
+        perCluster.groupBy("lang")
+          .agg(sum("sz").as("n_docs"),
+            count(lit(1)).as("n_clusters"),
+            (sum("sz") - count(lit(1))).as("n_dropped"),
+            sum(col("best.ntok")).as("tok_kept"),
+            sum("tok_total").as("tok_total"),
+            sum(expr("-best.nid")).as("canon_id_sum"))
+          .orderBy("lang")
+      }
+    },
+    Some(s"""
+      WITH $simhashOracleCtes,
+$ccOracleCtes,
+        comp AS (SELECT doc_id, comp FROM c8),
+        toks AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+                 FROM documents),
+        docs AS (SELECT s.lang, c.comp, s.doc_id, t.ntok
+                 FROM sims s JOIN comp c ON s.doc_id = c.doc_id
+                             JOIN toks t ON s.doc_id = t.doc_id),
+        ranked AS (SELECT lang, comp, doc_id, ntok,
+                     row_number() OVER (PARTITION BY lang, comp
+                       ORDER BY ntok DESC, doc_id ASC) AS rn
+                   FROM docs),
+        per AS (SELECT lang, comp, CAST(count(*) AS BIGINT) AS sz,
+                  CAST(sum(ntok) AS BIGINT) AS tok_total,
+                  CAST(max(CASE WHEN rn = 1 THEN ntok END) AS BIGINT)
+                    AS tok_kept,
+                  CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+                    AS canon
+                FROM ranked GROUP BY lang, comp)
+      SELECT lang, CAST(sum(sz) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(sum(sz) - count(*) AS BIGINT) AS n_dropped,
+             CAST(sum(tok_kept) AS BIGINT) AS tok_kept,
+             CAST(sum(tok_total) AS BIGINT) AS tok_total,
+             CAST(sum(canon) AS BIGINT) AS canon_id_sum
+      FROM per GROUP BY lang ORDER BY lang"""),
+    bench = false) // same iterative fixpoint as its clustering sibling
 
   // -- n-gram Jaccard blocked by (lang, token-count bucket): exact trigram
   //    Jaccard inside cheap blocks (the classic blocking alternative to LSH)
@@ -1381,8 +1465,8 @@ $rounds,
 
   override def queries: Seq[QueryDef] = Seq(
     exactDedup, minhashLsh, minhashBandedR2, simhash, neardupClusters,
-    ngramJaccard, embeddingNearDup, contamination, passageDedup,
-    fuzzyNeardupJoin, bloomDedupGate, crossDupMass, entityResolutionJw,
-    dupSpanRemoval, containmentDedup, ngramNovelty, minhashRecall,
-    incrementalLsh)
+    clusterCanonical, ngramJaccard, embeddingNearDup, contamination,
+    passageDedup, fuzzyNeardupJoin, bloomDedupGate, crossDupMass,
+    entityResolutionJw, dupSpanRemoval, containmentDedup, ngramNovelty,
+    minhashRecall, incrementalLsh)
 }

@@ -148,6 +148,67 @@ object EmbeddingQueries extends QueryModule {
       FROM norms JOIN cent ON norms.label = cent.label
       ORDER BY norms.label"""))
 
+  // -- centroid drift between two corpus snapshots (proxied by vec_id
+  //    parity — a deterministic 50/50 split both engines replay): per
+  //    label, the cosine between the two halves' centroids plus both
+  //    norms — the embedding-distribution drift monitor a training
+  //    pipeline runs when a new data batch lands (cosine ≈ 1 means the
+  //    label's region is stable; a drop flags upstream distribution
+  //    shift). Same columnar posexplode re-agg shape as
+  //    q_embedding_label_stats: state is (labels × 2 × 64) cells
+  //    regardless of corpus size, two map-side-combinable aggregations,
+  //    no window, no join bigger than the cell table.
+  private val centroidDrift = QueryDef(
+    "q_centroid_drift",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("half", (col("vec_id") % 2).cast("int"))
+        .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      val dims = e.select(col("label"), col("half"),
+          posexplode(col("vecd")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(avg(when(col("half") === 0, col("x"))).as("ma"),
+          avg(when(col("half") === 1, col("x"))).as("mb"))
+      val counts = e.groupBy("label")
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
+      dims.groupBy("label")
+        .agg(sum(col("ma") * col("mb")).as("dot"),
+          sum(col("ma") * col("ma")).as("na2"),
+          sum(col("mb") * col("mb")).as("nb2"))
+        .join(broadcast(counts), "label")
+        .select(col("label"), col("n_a"), col("n_b"),
+          dround(sqrt(col("na2")), 4).as("norm_a"),
+          dround(sqrt(col("nb2")), 4).as("norm_b"),
+          dround(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 4)
+            .as("cosine_drift"))
+        .orderBy("label")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, CAST(vec_id % 2 AS INT) AS half,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+                 FROM embeddings),
+        dims AS (SELECT label, i.i AS pos,
+                   avg(CASE WHEN half = 0 THEN vecd[i.i + 1] END) AS ma,
+                   avg(CASE WHEN half = 1 THEN vecd[i.i + 1] END) AS mb
+                 FROM e, (SELECT unnest(generate_series(0, 63)) AS i) i
+                 GROUP BY label, i.i),
+        agg AS (SELECT label, sum(ma * mb) AS dot, sum(ma * ma) AS na2,
+                  sum(mb * mb) AS nb2
+                FROM dims GROUP BY label),
+        counts AS (SELECT label,
+                     CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_a,
+                     CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_b
+                   FROM e GROUP BY label)
+      SELECT agg.label, n_a, n_b,
+             ${oround("sqrt(na2)", 4)} AS norm_a,
+             ${oround("sqrt(nb2)", 4)} AS norm_b,
+             ${oround("dot / (sqrt(na2) * sqrt(nb2))", 4)} AS cosine_drift
+      FROM agg JOIN counts ON agg.label = counts.label
+      ORDER BY agg.label"""))
+
   // -- IVF-style ANN: deterministic coarse quantizer (centroids = the first
   //    NCells corpus vectors), assign every vector to its nearest centroid
   //    (the inverted-file cell), then search only the query's cell. At
@@ -895,6 +956,6 @@ object EmbeddingQueries extends QueryModule {
       ORDER BY adc3.q_id, adc3.rank"""))
 
   override def queries: Seq[QueryDef] =
-    Seq(bruteForceTopK, lshTopK, ivfTopK, normStats, kmeansRefine,
-      lshMultiprobe, sq8Adc, jlProjection, knnClassify, pqAdc)
+    Seq(bruteForceTopK, lshTopK, ivfTopK, normStats, centroidDrift,
+      kmeansRefine, lshMultiprobe, sq8Adc, jlProjection, knnClassify, pqAdc)
 }

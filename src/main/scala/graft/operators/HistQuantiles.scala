@@ -131,4 +131,52 @@ object HistQuantiles {
       descale(col("v_lo").cast("double")
         + col("frac") * (col("v_hi") - col("v_lo")).cast("double")).as("value"))
   }
+
+  /** Per-GROUP exact quantiles at SEVERAL probe fractions in ONE pass —
+    * the grouped generalization of [[quantiles]] (same bucketed two-pass
+    * prefix sum with the group key added to every grouping, window and
+    * join key, so no global funnel exists at any width) and the
+    * multi-probe generalization of [[groupedQuantile]]. One histogram
+    * shuffle of distinct (group, value) pairs serves ALL probes; callers
+    * that previously ran one [[quantiles]] pass per metric (3 scans +
+    * 3 shuffles for q_rfm_scores) stack the metrics into (group, value)
+    * rows and pay one. Returns (groupCol, q, value). */
+  def groupedQuantiles(df: DataFrame, groupCol: String, gridCol: Column,
+      probes: Seq[Double],
+      descale: Column => Column = identity): DataFrame = {
+    val hist = df.select(col(groupCol).as("g"), gridCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("g", "v").agg(count(lit(1)).as("m"))
+      .withColumn("bkt", expr(s"v div $BucketWidth"))
+    val wIn = Window.partitionBy("g", "bkt").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = hist.withColumn("cum_in", sum("m").over(wIn))
+    val wOff = Window.partitionBy("g").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = hist.groupBy("g", "bkt").agg(sum("m").as("bm"))
+      .withColumn("boff", coalesce(sum("bm").over(wOff), lit(0L)))
+      .select("g", "bkt", "boff")
+    val nPer = hist.groupBy("g").agg(sum("m").as("n"))
+    val cum = intra.join(broadcast(off), Seq("g", "bkt"))
+      .withColumn("cum_hi", col("boff") + col("cum_in"))
+      .withColumn("cum_lo", col("cum_hi") - col("m"))
+      .join(broadcast(nPer), "g")
+      .withColumn("q", explode(array(probes.map(lit): _*)))
+      .withColumn("pos", col("q") * (col("n") - lit(1L)).cast("double"))
+      .withColumn("k", floor(col("pos")).cast("long"))
+      .withColumn("frac", col("pos") - col("k").cast("double"))
+      .withColumn("r_lo", col("k") + lit(1L))
+      .withColumn("r_hi", least(col("k") + lit(2L), col("n")))
+    cum.groupBy("g", "q")
+      .agg(
+        min(when(col("r_lo") > col("cum_lo") && col("r_lo") <= col("cum_hi"),
+          col("v"))).as("v_lo"),
+        min(when(col("r_hi") > col("cum_lo") && col("r_hi") <= col("cum_hi"),
+          col("v"))).as("v_hi"),
+        max("frac").as("frac")) // frac is a pure function of (n, q)
+      .select(col("g").as(groupCol), col("q"),
+        descale(col("v_lo").cast("double")
+          + col("frac") * (col("v_hi") - col("v_lo")).cast("double"))
+          .as("value"))
+  }
 }

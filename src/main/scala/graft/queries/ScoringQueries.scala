@@ -500,22 +500,25 @@ object ScoringQueries extends QueryModule {
         val withR = cust.crossJoin(broadcast(horizon))
           .withColumn("r", col("maxday") - col("lastday"))
         val probes = Seq(0.2, 0.4, 0.6, 0.8)
-        def wide(qdf: org.apache.spark.sql.DataFrame, pfx: String) =
-          qdf.agg(
-            min(when(col("q") === 0.2, col("value"))).as(s"${pfx}20"),
-            min(when(col("q") === 0.4, col("value"))).as(s"${pfx}40"),
-            min(when(col("q") === 0.6, col("value"))).as(s"${pfx}60"),
-            min(when(col("q") === 0.8, col("value"))).as(s"${pfx}80"))
-        val rq = wide(HistQuantiles.quantiles(withR, col("r"), probes), "r")
-        val fq = wide(HistQuantiles.quantiles(cust, col("f"), probes), "f")
-        val mq = wide(HistQuantiles.quantiles(cust, col("m"), probes), "m")
+        // ONE grouped-quantile pass for all 12 thresholds (round-10
+        // rework): the three metrics stack into (metric, v) rows and
+        // share a single histogram shuffle — the previous shape ran one
+        // full HistQuantiles pass per metric (3 scans + 3 shuffles)
+        val stacked = withR.selectExpr(
+          "stack(3, 'r', r, 'f', f, 'm', m) AS (metric, v)")
+        val qs = HistQuantiles.groupedQuantiles(stacked, "metric",
+          col("v"), probes)
+        val thrCols = for {
+          pfx <- Seq("r", "f", "m"); p <- probes
+        } yield min(when(col("metric") === pfx && col("q") === p,
+          col("value"))).as(s"$pfx${(p * 100).round}")
+        val thr = qs.agg(thrCols.head, thrCols.tail: _*)
         def band(c: String, pfx: String) =
           lit(1) + (col(c) > col(s"${pfx}20")).cast("int") +
             (col(c) > col(s"${pfx}40")).cast("int") +
             (col(c) > col(s"${pfx}60")).cast("int") +
             (col(c) > col(s"${pfx}80")).cast("int")
-        withR.crossJoin(broadcast(rq)).crossJoin(broadcast(fq))
-          .crossJoin(broadcast(mq))
+        withR.crossJoin(broadcast(thr))
           .withColumn("r_score", lit(6) - band("r", "r"))
           .withColumn("f_score", band("f", "f"))
           .withColumn("m_score", band("m", "m"))

@@ -53,6 +53,29 @@ class HistQuantilesSpec extends SparkSpec {
     assert(got === 2.0)
   }
 
+  test("groupedQuantiles (multi-probe) matches the per-group reference on " +
+      "every (group, probe), incl. negatives straddling bucket 0") {
+    // negative grid values exercise the trunc-div bucket key: bkt(v) must
+    // stay monotone in v so (bkt, v) order == v order
+    val rows = (0 until 2000).map { i =>
+      val h = (i.toLong * 69069 + 12345) % 4294967296L
+      (s"g${h % 3}", (h / 3) % 60000L - 30000L)
+    } ++ Seq(("solo", -42L))
+    val byGroup = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for (parts <- Seq(1, 8, 32)) {
+      val df = rows.toDF("g", "v").repartition(parts)
+      val got = HistQuantiles.groupedQuantiles(df, "g", col("v"), probes)
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      byGroup.foreach { case (g, vs) =>
+        probes.foreach { q =>
+          assert(math.abs(got((g, q)) - reference(vs, q)) < 1e-9,
+            s"group $g q=$q parts $parts: ${got((g, q))} vs ${reference(vs, q)}")
+        }
+      }
+    }
+  }
+
   test("groupedQuantile matches the per-group reference, incl. " +
       "single-row groups and nulls, any partitioning") {
     val rows = (0 until 3000).map { i =>

@@ -830,8 +830,79 @@ object StatsQueries extends QueryModule {
                AS rows_at_risk
       FROM g GROUP BY seg ORDER BY seg"""))
 
+  // -- Cohen's kappa [Cohen 1960] between two document-quality raters,
+  //    per language — the inter-annotator-agreement gate a labeling /
+  //    quality-filter pipeline runs before trusting either rule set
+  //    (kappa corrects raw agreement for chance: two raters that both
+  //    pass ~everything agree often but mean nothing). Raters here are
+  //    two fixed deterministic rule sets over (token count, avg word
+  //    length) — integer-grid comparisons, so the confusion cells are
+  //    exact longs and kappa is one double expression on them. One
+  //    groupBy over the corpus: linear, map-side-combinable, bounded
+  //    output (#langs). Degenerate guard: p_e = 1 (both raters constant)
+  //    defines kappa = 1 in both engines instead of 0/0.
+  private val cohensKappa = QueryDef(
+    "q_cohens_kappa",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+        .withColumn("char_mass",
+          (length(col("text")) - (col("n_toks") - 1)).cast("long"))
+        .withColumn("a", (col("n_toks") >= 10 &&
+          col("char_mass") <= col("n_toks") * 12).cast("long"))
+        .withColumn("b", (col("n_toks") >= 8 &&
+          col("char_mass") <= col("n_toks") * 11).cast("long"))
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("a").as("sa"), sum("b").as("sb"),
+          sum(col("a") * col("b")).as("s11"))
+        .withColumn("s00", col("n") - col("sa") - col("sb") + col("s11"))
+        .withColumn("po",
+          (col("s11") + col("s00")).cast("double") / col("n"))
+        .withColumn("pe",
+          (col("sa") * col("sb")
+            + (col("n") - col("sa")) * (col("n") - col("sb"))).cast("double")
+            / (col("n") * col("n")))
+        .select(col("lang"), col("n"), col("sa").as("a_pass"),
+          col("sb").as("b_pass"), col("s11").as("both_pass"),
+          dround(col("po"), 6).as("p_observed"),
+          dround(col("pe"), 6).as("p_chance"),
+          dround(when(col("pe") === 1.0, lit(1.0))
+            .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe"))), 6)
+            .as("kappa"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH d AS (SELECT lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                   CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                     AS BIGINT) AS char_mass
+                 FROM documents),
+        r AS (SELECT lang,
+                CASE WHEN n_toks >= 10 AND char_mass <= n_toks * 12
+                  THEN 1 ELSE 0 END AS a,
+                CASE WHEN n_toks >= 8 AND char_mass <= n_toks * 11
+                  THEN 1 ELSE 0 END AS b
+              FROM d),
+        agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(a) AS BIGINT) AS sa,
+                  CAST(sum(b) AS BIGINT) AS sb,
+                  CAST(sum(a * b) AS BIGINT) AS s11
+                FROM r GROUP BY lang),
+        k AS (SELECT lang, n, sa, sb, s11, n - sa - sb + s11 AS s00,
+                CAST(s11 + (n - sa - sb + s11) AS DOUBLE) / n AS po,
+                CAST(sa * sb + (n - sa) * (n - sb) AS DOUBLE) / (n * n) AS pe
+              FROM agg)
+      SELECT lang, n, sa AS a_pass, sb AS b_pass, s11 AS both_pass,
+             ${oround("po", 6)} AS p_observed,
+             ${oround("pe", 6)} AS p_chance,
+             ${oround(
+               "CASE WHEN pe = 1.0 THEN 1.0 ELSE (po - pe) / (1.0 - pe) END",
+               6)} AS kappa
+      FROM k ORDER BY lang"""))
+
   override def queries: Seq[QueryDef] = Seq(
     semReliability, semBounds, upsertLastWins, dedupGate, pcaOlsCi,
     bootstrapCi, tableProfile, tableProfileHll, madOutliers, tableDiff,
-    quantileNormalize, benfordAudit, winsorizedMean, kAnonymity)
+    quantileNormalize, benfordAudit, winsorizedMean, kAnonymity,
+    cohensKappa)
 }

@@ -93,6 +93,7 @@ object Verify {
                     .parquet(s"$outDir/$name")
               } finally spark.sparkContext.clearJobGroup()
             }
+          } finally {
             // builders persist intermediates they can't always unpersist
             // (they never see their last action); periodic sweeps bound
             // the leak without thrashing peers' in-flight caches. Outside
@@ -100,6 +101,10 @@ object Verify {
             // with peers usually in flight the gated clear mostly skips,
             // so ALSO relieve pressure at the BlockManager, which takes
             // no SQL locks and is safe concurrent with anything.
+            // In the FINALLY (round-10 advisor): a query that throws or is
+            // cancelled must still advance the sweep cadence — degraded
+            // runs (failure bursts) are exactly the ones that leak most,
+            // and a counter gated on success would stall the sweep then.
             if (done.incrementAndGet() % 32 == 0 &&
                 !graft.plans.CacheHygiene.tryClear(spark, 2)) {
               val n = graft.plans.CacheHygiene.emergencyUnpersist(spark)
@@ -107,7 +112,6 @@ object Verify {
                 s"[verify] clearCache skipped (queries in flight) — " +
                   s"emergency-unpersisted $n RDDs")
             }
-          } finally {
             if (released.compareAndSet(false, true)) permits.release()
           }
         }

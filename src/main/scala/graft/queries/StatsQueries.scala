@@ -858,10 +858,18 @@ object StatsQueries extends QueryModule {
         .withColumn("s00", col("n") - col("sa") - col("sb") + col("s11"))
         .withColumn("po",
           (col("s11") + col("s00")).cast("double") / col("n"))
+        // chance term from RATIOS, never integer products: sa*sb and n*n
+        // wrap silently past n ≈ 3e9 (the per-language counts the 100 TB
+        // design point implies) while DuckDB raises on BIGINT overflow —
+        // the engines would fail DIFFERENTLY at scale. (sa/n)*(sb/n) is
+        // exact IEEE on both sides and never leaves [0, 1]. The expression
+        // tree is kept textually identical in the oracle so the doubles
+        // are bit-identical.
         .withColumn("pe",
-          (col("sa") * col("sb")
-            + (col("n") - col("sa")) * (col("n") - col("sb"))).cast("double")
-            / (col("n") * col("n")))
+          (col("sa").cast("double") / col("n"))
+            * (col("sb").cast("double") / col("n"))
+            + ((col("n") - col("sa")).cast("double") / col("n"))
+            * ((col("n") - col("sb")).cast("double") / col("n")))
         .select(col("lang"), col("n"), col("sa").as("a_pass"),
           col("sb").as("b_pass"), col("s11").as("both_pass"),
           dround(col("po"), 6).as("p_observed"),
@@ -890,7 +898,9 @@ object StatsQueries extends QueryModule {
                 FROM r GROUP BY lang),
         k AS (SELECT lang, n, sa, sb, s11, n - sa - sb + s11 AS s00,
                 CAST(s11 + (n - sa - sb + s11) AS DOUBLE) / n AS po,
-                CAST(sa * sb + (n - sa) * (n - sb) AS DOUBLE) / (n * n) AS pe
+                (CAST(sa AS DOUBLE) / n) * (CAST(sb AS DOUBLE) / n)
+                  + (CAST(n - sa AS DOUBLE) / n) * (CAST(n - sb AS DOUBLE) / n)
+                  AS pe
               FROM agg)
       SELECT lang, n, sa AS a_pass, sb AS b_pass, s11 AS both_pass,
              ${oround("po", 6)} AS p_observed,

@@ -50,9 +50,16 @@ class CacheHygieneSpec extends SparkSpec {
 
   test("emergencyUnpersist frees tracked RDD blocks without the gate") {
     import spark.implicits._
+    // Assert on the RDD ids THIS test persisted, not on a global "nothing
+    // non-checkpointed remains" property of the shared SparkSession: a
+    // concurrent suite (or a later-added fixture) persisting an RDD
+    // between the call and the assertion would flake the global form
+    // (round-10 advisor).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val df = (1 to 1000).toDF("x").persist()
     df.count()
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    val mine = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(mine.nonEmpty, "persist+count registered no new persistent RDD")
     // simulate a zombie holding the gate: emergency relief must still work
     val release = new CountDownLatch(1)
     val inside = new CountDownLatch(1)
@@ -64,13 +71,10 @@ class CacheHygieneSpec extends SparkSpec {
     inside.await()
     try {
       assert(CacheHygiene.emergencyUnpersist(spark) >= 1)
-      // only CHECKPOINTED RDDs may survive (their blocks are the sole
-      // copy of their data — skipping them is the contract; other suites
-      // sharing this JVM legitimately leave such RDDs behind)
-      val left = spark.sparkContext.getPersistentRDDs.values
-      assert(left.forall(r =>
-        org.apache.spark.rdd.GraftRddIntrospect.isAnyCheckpointed(r)),
-        s"non-checkpointed RDDs survived: $left")
+      // this test's RDDs are plain persists (never checkpointed), so the
+      // relief must have dropped exactly them from the tracked set
+      val left = spark.sparkContext.getPersistentRDDs.keySet intersect mine
+      assert(left.isEmpty, s"this test's persisted RDD ids survived: $left")
     } finally {
       release.countDown()
       t.join(10000)

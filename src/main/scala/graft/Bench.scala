@@ -5,31 +5,38 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every registered query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
   *
-  * Methodology (round 2, rebalanced rounds 8/9): queries run in sorted
-  * name order after a global untimed warmup, and the SQL cache is cleared
-  * between queries so one query's persisted intermediates can't eat a
-  * later query's execution memory. The primary sweep is a SINGLE timed
-  * run per query (at 230 queries, best-of-2 no longer fits the driver's
-  * sbt wall budget), followed by a TARGETED re-run (min-of-2) of any
-  * query slower than 2× its frozen minimum in the committed
-  * bench_freeze.json (round-8 postmortem: single-run re-admitted 4-5×
-  * GC/neighbor transients that don't reproduce solo). Every run is
-  * wall-clock boxed — see timeOnce below.
+  * Methodology (round 2, rebalanced rounds 8/9/11): queries run
+  * EXPENSIVE-FIRST (frozen sf0.1 ≥ 3 s, most expensive first, each behind
+  * a pre-clear — round-11 verdict: the flagship e2e DAGs ran mid-sweep
+  * into ~200 queries of residual block-manager churn and measured 2.5×
+  * their solo time every round), then the rest in sorted name order,
+  * after a global untimed warmup; the SQL cache is cleared between
+  * queries so one query's persisted intermediates can't eat a later
+  * query's execution memory. The primary sweep is a SINGLE timed run per
+  * query (at 230 queries, best-of-2 no longer fits the driver's sbt wall
+  * budget), followed by a TARGETED re-run (min-of-2) of any query slower
+  * than 2× its frozen minimum in the committed bench_freeze.json
+  * (round-8 postmortem: single-run re-admitted 4-5× GC/neighbor
+  * transients that don't reproduce solo). Every run is wall-clock boxed
+  * — see timeOnce below.
   *
-  * Round 3/9: if a second, larger scale factor is present
+  * Round 3/9/11: if a second, larger scale factor is present
   * (SPARK_GRAFT_SF1_DIR, default `/root/repo/testdata/sf1` — a
   * deterministic 10× key-shifted scale-up of sf0.1, see graft.GenScale),
   * bench queries are ALSO timed there under a wall-clock budget
-  * (SPARK_GRAFT_SF1_BUDGET seconds, default 300) in RISK order —
-  * unfrozen first (cheapest-at-sf0.1 first within the tier), then stale
-  * (skipped last round), then descending frozen sf1/sf0.1 ratio — with
-  * the same targeted-re-run noise control and a PER-QUERY spend cap of a
-  * quarter of the remaining budget (round-10: one new expensive query
-  * must cost one `skipped` entry, not the round's sf1 coverage);
-  * queries not reached are listed in `sf1.skipped` — no silent caps.
-  * This is the 10×-scaling evidence the 100 TB design claims rest on,
-  * and the risk order guarantees the iterative-graph family is measured
-  * every round (the round-8 alphabetical sweep stopped at 'k').
+  * (SPARK_GRAFT_SF1_BUDGET seconds, default 300), packed ASCENDING by
+  * frozen sf1 time within risk tiers — new/unfrozen queries first, then
+  * stale (skipped last round), then the rest — so the budget buys
+  * maximum coverage (the 120 cheapest frozen minima sum to ~39 s; the
+  * round-9/10 worst-scaling-first order starved them behind the graph
+  * family, which carries solo sf10 evidence in BASELINE.md instead).
+  * Noise control is a DEFERRED min-of-2 pass over >2×-frozen outliers,
+  * behind a pre-clear, with a reserved budget slice (an inline
+  * back-to-back rerun inherits the pressure that made the phantom).
+  * A PER-QUERY spend cap of a quarter of the remaining budget keeps one
+  * new expensive query to one `skipped` entry; queries not reached are
+  * listed in `sf1.skipped` — no silent caps. This is the 10×-scaling
+  * evidence the 100 TB design claims rest on.
   *
   * Round 4 output contract: the driver captures only the LAST 2000 chars
   * of stdout, and rounds 1-3 proved a full per-query map (~4.5 KB) gets
@@ -93,6 +100,17 @@ object Bench {
     xs.map("\"" + _ + "\"").mkString("[", ",", "]")
 
   def main(args: Array[String]): Unit = {
+    // Stdout belongs EXCLUSIVELY to the final JSON artifact line: the
+    // driver tail-captures the last 2000 chars of stdout, and round 10
+    // proved anything else that reaches the stream (a library printing a
+    // stack trace, a stray println in a dependency) eats the budget the
+    // artifact needs. Hijack System.out for the whole sweep — anything
+    // that would have gone to stdout lands on stderr instead — and print
+    // the one artifact line to the SAVED stream at the end. (Belt to the
+    // log4j2.properties suspenders: that file reroutes log4j's default
+    // SYSTEM_OUT console appender, this covers every other writer.)
+    val realOut = System.out
+    System.setOut(System.err)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -224,8 +242,34 @@ object Bench {
     // the single-run sweep re-admits 4-5× GC/neighbor transients (45 s
     // phantom vs 1.9 s solo); the targeted pass kills those for ~10
     // queries' extra cost instead of best-of-2's full doubling.
-    val benched = graft.queries.Registry.all.filter(_.bench).sortBy(_.name)
-    val timed = benched.map { q => q.name -> timeOnce(q, sfDir).map(r3) }
+    // Round 11 (verdict #1): EXPENSIVE-FIRST sweep order. The alphabetical
+    // sweep ran the flagship e2e DAGs mid-sweep, where ~200 queries of
+    // residual block-manager churn systematically inflated them
+    // (q_curation_e2e: 35 s in-sweep every round vs 12-14 s solo — 2.5×
+    // its frozen minimum, reproducibly). Queries whose frozen sf0.1 time
+    // is ≥ 3 s now run FIRST, most expensive first, while the block
+    // manager is empty — and each gets an explicit pre-clear so no
+    // neighbor's leak is charged to its number. Everything else keeps
+    // alphabetical order. The freeze is a per-query min, so reordering
+    // can only tighten it.
+    val flagshipCut =
+      sys.env.getOrElse("SPARK_GRAFT_FLAGSHIP_CUT", "3.0").toDouble
+    val benchedAll = graft.queries.Registry.all.filter(_.bench)
+    val flagNames = benchedAll.map(_.name)
+      .filter(n => frozen01.get(n).exists(_ >= flagshipCut)).toSet
+    val benched = benchedAll.filter(q => flagNames(q.name))
+      .sortBy(q => (-frozen01(q.name), q.name)) ++
+      benchedAll.filterNot(q => flagNames(q.name)).sortBy(_.name)
+    def preClear(): Unit =
+      if (!graft.plans.CacheHygiene.tryClear(spark, 30)) {
+        val n = graft.plans.CacheHygiene.emergencyUnpersist(spark)
+        System.err.println(s"[bench] pre-clear skipped (zombie in flight)" +
+          s" — emergency-unpersisted $n RDDs")
+      }
+    val timed = benched.map { q =>
+      if (flagNames(q.name)) preClear()
+      q.name -> timeOnce(q, sfDir).map(r3)
+    }
     val byName = benched.map(q => q.name -> q).toMap
     // Rerun candidates carry their over-freeze ratio so the pass can be
     // CAPPED worst-first (round-9 advisor: with a missing freeze every
@@ -246,6 +290,7 @@ object Bench {
       sorted.take(rerunCap)
     }
     val rerunTimes = rerun.flatMap { n =>
+      preClear() // reruns exist to measure the query, not its neighbors
       timeOnce(byName(n), sfDir).map(t => n -> r3(t))
     }.toMap
     val results = timed.collect { case (n, Some(t)) =>
@@ -270,49 +315,60 @@ object Bench {
     val resultsMap = results.toMap
     val sf1 = if (!new java.io.File(sf1Dir, "lineitem.parquet").exists()) None
       else {
-        def ratio(n: String): Double =
-          (frozen1.get(n), frozen01.get(n)) match {
-            case (Some(a), Some(b)) if b > 0 => a / b
-            case _ => 0.0
-          }
-        // Tier 0 (never-frozen queries) orders by ASCENDING sf0.1 time
-        // this run (round-9 verdict #2: alphabetical tier-0 let one new
-        // 150 s query starve 20 cheap unmeasured ones); tiers 1/2 keep
-        // descending frozen scaling ratio so the worst-scaling family is
-        // always measured first.
+        // Round 11 (verdict #2): the sf1 budget is PACKED ascending by
+        // frozen sf1 time within risk tiers. The round-9/10 order
+        // (descending frozen scaling ratio) spent the 300 s budget on the
+        // expensive graph family and measured only 69/236 — the cheap
+        // unmeasured majority starved behind queries that already carry
+        // solo sf10 evidence in BASELINE.md. Sum of the 120 cheapest
+        // frozen sf1 minima is ~39 s, so cheap-first coverage is nearly
+        // free. Tier 0 (never-frozen, i.e. new queries) still leads,
+        // ordered by ascending sf0.1 time this run; tier 1 (not measured
+        // last round — the staleness rotation) before tier 2, both
+        // cheapest-frozen-first.
         val ordered = benched.sortBy { q =>
           val tier =
             if (!frozen1.contains(q.name)) 0
             else if (!prevSf1.contains(q.name)) 1
             else 2
           val key = if (tier == 0) resultsMap.getOrElse(q.name, Double.MaxValue)
-            else -ratio(q.name)
+            else frozen1(q.name)
           (tier, key, q.name)
         }
+        // Noise control (verdict #2): reruns move from inline (round 9/10)
+        // to a DEFERRED pass after the sweep, behind a pre-clear. An
+        // inline back-to-back rerun inherits the very block-manager
+        // pressure that produced the phantom (round-10 artifact:
+        // q_mrr_recall 8.15 s in-sweep with its immediate rerun agreeing,
+        // vs 1.15 s judge-solo) — min-of-2 only helps if the second run
+        // is decorrelated from the first. A slice of the budget is
+        // RESERVED for that pass so a long main sweep can't starve it.
+        val rerunReserve = math.min(60.0, sf1Budget * 0.2)
         var spent = 0.0
-        val done = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+        val done = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+        val suspect = scala.collection.mutable.ListBuffer.empty[(String, Double)]
         val skipped = scala.collection.mutable.ListBuffer.empty[String]
         val sfailed = scala.collection.mutable.ListBuffer.empty[String]
         ordered.foreach { q =>
-          if (spent < sf1Budget) {
+          if (spent < sf1Budget - rerunReserve) {
             // per-query spend cap (round-9 verdict #2): no single query
             // may eat more than a quarter of what's left of the budget —
             // a boxed kill costs its cap and lands in `skipped` (it is
             // NOT a failure; it was never allowed to finish)
             val box = math.min(benchTimeout.toDouble,
-              math.max(1.0, (sf1Budget - spent) / 4)).toLong
+              math.max(1.0, (sf1Budget - rerunReserve - spent) / 4)).toLong
             val t0 = System.nanoTime()
             def elapsed = (System.nanoTime() - t0) / 1e9
             timeOnce(q, sf1Dir, box) match {
               case Some(t1) =>
-                val suspicious = frozen1.get(q.name).exists(f => t1 > 2 * f) ||
-                  (!frozen1.contains(q.name) &&
-                    resultsMap.get(q.name).exists(b => t1 > 3 * b))
-                val best = if (suspicious)
-                  timeOnce(q, sf1Dir, box).fold(t1)(math.min(t1, _))
-                else t1
-                spent += elapsed // all runs cost budget
-                done += (q.name -> r3(best))
+                spent += elapsed
+                done += (q.name -> t1)
+                val ratio = frozen1.get(q.name).map(f => t1 / f).getOrElse(
+                  resultsMap.get(q.name).filter(_ > 0).map(t1 / 3 / _)
+                    .getOrElse(0.0))
+                if (ratio > 2.0 ||
+                    (!frozen1.contains(q.name) && ratio > 1.0))
+                  suspect += (q.name -> ratio)
               case None =>
                 val boxed = elapsed >= box * 0.95
                 spent += elapsed // crashes and boxed kills cost budget too
@@ -320,7 +376,28 @@ object Bench {
             }
           } else skipped += q.name
         }
-        Some((done.toList.sortBy(_._1), skipped.toList.sorted, sfailed.toList))
+        // deferred min-of-2 pass: worst-over-freeze first, whatever budget
+        // remains (the reserve plus anything the main sweep left over)
+        val rr = suspect.sortBy(-_._2).map(_._1).toList
+        var rerun1 = 0
+        rr.foreach { n =>
+          if (spent < sf1Budget) {
+            preClear()
+            val box = math.min(benchTimeout.toDouble,
+              math.max(1.0, (sf1Budget - spent) / 2)).toLong
+            val t0 = System.nanoTime()
+            timeOnce(byName(n), sf1Dir, box).foreach { t2 =>
+              done(n) = math.min(done(n), t2); rerun1 += 1
+            }
+            spent += (System.nanoTime() - t0) / 1e9
+          }
+        }
+        if (rr.size > rerun1)
+          System.err.println(s"[bench] sf1 rerun pass covered $rerun1 of " +
+            s"${rr.size} suspects before the budget ran out: " +
+            rr.drop(rerun1).mkString(","))
+        Some((done.toList.map { case (n, t) => n -> r3(t) }.sortBy(_._1),
+          skipped.toList.sorted, sfailed.toList))
       }
 
     // FULL artifact → file: every query at both scale factors.
@@ -368,9 +445,10 @@ object Bench {
     val compact = line(k)
 
     spark.stop()
-    // last line of stdout — the driver parses this
-    println(compact)
-    Console.out.flush()
+    // last line of stdout — the driver parses this (realOut is the true
+    // process stdout saved before the sweep-long hijack above)
+    realOut.println(compact)
+    realOut.flush()
     // abandoned timeout threads are daemons, but make exit unconditional
     System.exit(0)
   }

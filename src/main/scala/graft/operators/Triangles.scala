@@ -44,14 +44,29 @@ object Triangles {
     * sf10 co-occurrence graph measures 4.59M edges — round-10 probe —
     * where canonical wins 3.7 s vs 6.4 s warm); the gate exists for the
     * power-law corpora of the 100 TB design point, where a single
-    * degree-d hub puts d² wedges through the canonical join. */
-  val DegreeOrderedThreshold: Long = 10000000L
+    * degree-d hub puts d² wedges through the canonical join.
+    *
+    * Env-overridable (SPARK_GRAFT_TRI_GATE) for PROBE runs only: the two
+    * branches return identical values by construction (TrianglesSpec),
+    * so forcing the large-graph branch at a benched SF exercises it
+    * against the unchanged DuckDB oracle — an oracle-green run with the
+    * gate at 0 is the correctness certificate for the path the 100 TB
+    * design relies on (round-10 verdict: an untested branch guarding
+    * scale behavior is a liability). */
+  val DegreeOrderedThreshold: Long =
+    sys.env.get("SPARK_GRAFT_TRI_GATE").map(_.toLong).getOrElse(10000000L)
 
   /** (n_wedges, n_triangles) for canonical edges `e(a, b)`; `nE` is the
-    * (already materialized) edge count driving the path gate. `e` should
+    * (already materialized) edge count driving the path gate (callers
+    * pass [[DegreeOrderedThreshold]]; specs force a branch). `e` should
     * be persisted by the caller — both paths consume it repeatedly. */
-  def wedgeTriangleCounts(e: DataFrame, nE: Long): (Long, Long) =
-    if (nE > DegreeOrderedThreshold) degreeOrdered(e) else canonicalOnePass(e)
+  def wedgeTriangleCounts(e: DataFrame, nE: Long,
+      threshold: Long = DegreeOrderedThreshold): (Long, Long) =
+    if (nE > threshold) {
+      System.err.println(
+        s"[triangles] degree-ordered branch: $nE edges > gate $threshold")
+      degreeOrdered(e)
+    } else canonicalOnePass(e)
 
   /** Wedges and closures in ONE pass: the edge set is distinct and the
     * closure join hits at most one e3 per wedge, so a left join counts

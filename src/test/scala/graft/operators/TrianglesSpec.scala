@@ -43,6 +43,18 @@ class TrianglesSpec extends SparkSpec {
     assert(dk == ((10L, 10L)))
   }
 
+  test("gate dispatch: threshold 0 forces the degree-ordered branch") {
+    // the same API the query calls, with the gate forced low — what the
+    // SPARK_GRAFT_TRI_GATE=0 oracle probe run exercises end-to-end
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b").persist()
+    try {
+      val n = e.count()
+      assert(Triangles.wedgeTriangleCounts(e, n, threshold = 0L) == ((3L, 1L)))
+      assert(Triangles.wedgeTriangleCounts(e, n, threshold = Long.MaxValue)
+        == ((3L, 1L)))
+    } finally e.unpersist()
+  }
+
   test("equality on seeded skewed random graphs (hub-heavy)") {
     // deterministic LCG; hub-heavy: node h in [1,4] with prob ~1/2,
     // partner uniform in [1,400] — power-law-ish wedge concentration

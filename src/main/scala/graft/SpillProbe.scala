@@ -38,9 +38,35 @@ object SpillProbe {
     val sfDir = args(0)
     val names = args.drop(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // Partition sizing is PART OF what this probe certifies. A small heap
+    // demands per-task working sets sized to it — the same two knobs a
+    // real memory-constrained cluster sets, applied here instead of the
+    // bench default (shuffle.partitions = cores, maxPartitionBytes 128m):
+    //   - shuffle partitions at 8× cores, so a reduce-side sort/agg holds
+    //     1/64th of the shuffle, not 1/8th;
+    //   - scan splits at 32 MB of PARQUET, because decoded size is what
+    //     hits memory: a 128 MB split of delta-encoded int64 columns
+    //     decodes to >30M rows, and the map-side shuffle sorter's pointer
+    //     array for such a task is a single ~268 MB long[] — a humongous
+    //     allocation that OOMs a 4g G1 heap before the (accounted) pool
+    //     would have told it to spill. Measured: q_kcore_peel at sf10/4g
+    //     OOMs under the default sizing, spills green under this one.
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      (cpus.toInt * 8).toString)
+    val maxPart = sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "33554432")
+    // AQE coalesces post-shuffle partitions by COMPRESSED shuffle bytes;
+    // two sorted-long columns lz4 to ~2 bytes/row, so the default 64 MB
+    // advisory size re-merges the 64 partitions above into tasks of >30M
+    // decoded rows — the same humongous pointer array, now built by the
+    // coalesced reader (measured: q_pagerank_suppliers OOMed exactly
+    // there). 16 MB advisory keeps the decoded working set heap-sized;
+    // on a real small-executor cluster this is the standard knob.
+    val advisory = sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "16777216")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
+      .config("spark.sql.files.maxPartitionBytes", maxPart)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -54,16 +54,26 @@ object RetrievalQueries extends QueryModule {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .withColumn("dl", size(col("toks")))
-      val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
       val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
         avg(col("dl")).as("avgdl"))
-      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val qs = bm25Queries.toDF("query_id", "term")
       val qterms = qs.select("term").distinct()
+      // Posting-filtered tf (round 11): the broadcast query-term semi-
+      // filter runs BEFORE the tf aggregate, so the shuffle carries only
+      // posting rows for the handful of query terms — never the corpus
+      // vocabulary. The previous shape aggregated EVERY token into a
+      // vocab-sized tf/df pair of shuffles (169+125 MB at sf10) whose
+      // rows were then inner-joined down to the same posting set; at
+      // 100 TB that shuffle scales with the corpus, this one with the
+      // match mass. df over the filtered tf is identical (the old df was
+      // inner-joined to qterms anyway) and stays a mergeable broadcast.
+      val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .join(broadcast(qterms), "term")
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val scored = tf
         .join(broadcast(qs), "term")
-        .join(broadcast(df_.join(broadcast(qterms), "term")), Seq("term"))
+        .join(broadcast(df_), Seq("term"))
         .crossJoin(broadcast(stats))
         .withColumn("idf", log(lit(1.0) +
           (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
@@ -532,16 +542,20 @@ object RetrievalQueries extends QueryModule {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .withColumn("dl", size(col("toks")))
-      val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
       val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
         avg(col("dl")).as("avgdl"))
-      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val qs = bm25Queries.toDF("query_id", "term")
       val qterms = qs.select("term").distinct()
+      // posting-filtered tf — see q_bm25_topk: the query-term semi-filter
+      // precedes the aggregate, so the shuffle is match-mass-, not
+      // vocabulary-, sized
+      val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .join(broadcast(qterms), "term")
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val perDoc = tf
         .join(broadcast(qs), "term")
-        .join(broadcast(df_.join(broadcast(qterms), "term")), Seq("term"))
+        .join(broadcast(df_), Seq("term"))
         .crossJoin(broadcast(stats))
         .withColumn("idf", log(lit(1.0) +
           (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
@@ -627,18 +641,22 @@ object RetrievalQueries extends QueryModule {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .withColumn("dl", size(col("toks")))
-      val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
       val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
         avg(col("dl")).as("avgdl"))
-      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val qs = bm25Queries.toDF("query_id", "term")
       val qarity = qs.groupBy("query_id")
         .agg(countDistinct("term").as("q_arity"))
       val qterms = qs.select("term").distinct()
+      // posting-filtered tf — see q_bm25_topk: the query-term semi-filter
+      // precedes the aggregate, so the shuffle is match-mass-, not
+      // vocabulary-, sized
+      val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .join(broadcast(qterms), "term")
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val perDoc = tf
         .join(broadcast(qs), "term")
-        .join(broadcast(df_.join(broadcast(qterms), "term")), Seq("term"))
+        .join(broadcast(df_), Seq("term"))
         .crossJoin(broadcast(stats))
         .withColumn("idf", log(lit(1.0) +
           (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))

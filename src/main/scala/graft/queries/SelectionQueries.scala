@@ -144,15 +144,19 @@ object SelectionQueries extends QueryModule {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .withColumn("dl", size(col("toks")))
-      val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
       val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
         avg(col("dl")).as("avgdl"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val qs = hybridQueries.toDF("query_id", "term")
+      // posting-filtered tf — see q_bm25_topk: the query-term semi-filter
+      // precedes the aggregate, so the shuffle is match-mass-, not
+      // vocabulary-, sized
+      val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .join(broadcast(qs.select("term").distinct()), "term")
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val lex = tf
         .join(broadcast(qs), "term")
-        .join(broadcast(dfreq.join(broadcast(qs.select("term").distinct()), "term")), Seq("term"))
+        .join(broadcast(dfreq), Seq("term"))
         .crossJoin(broadcast(stats))
         .withColumn("contrib", log(lit(1.0) +
           (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *

@@ -1414,6 +1414,85 @@ object TemporalQueries extends QueryModule {
              ${oround("quantile_cont(slope, 0.5) / 100.0", 6)} AS sen_slope
       FROM p GROUP BY event_type ORDER BY event_type"""))
 
+  // -- Mann–Kendall trend test [Mann 1945; Kendall 1975]: the
+  //    non-parametric S statistic over the per-type daily revenue series
+  //    — Theil–Sen's hypothesis-test sibling (Sen estimates the slope,
+  //    MK decides whether a monotone trend exists at all). S, the tie
+  //    term, and the variance NUMERATOR are exact BIGINT (the /18 and
+  //    sqrt happen once, in double, identically in both engines — the
+  //    q_cohens_kappa lesson: never let an integer intermediate differ
+  //    from the oracle's). Pair mass is CALENDAR-bounded (≤435 pairs per
+  //    key on the 30-day fixture) via the same map-side collect+
+  //    posexplode+slice expansion as q_theil_sen — one shuffle to the
+  //    daily rollup, zero self-joins.
+  private val mannKendall = QueryDef(
+    "q_mann_kendall",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"))
+      val sStat = daily.groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("day"), col("c")))).as("ps"))
+        .select(col("event_type"), posexplode(col("ps")).as(Seq("i", "a")),
+          col("ps"))
+        .select(col("event_type"), col("a"),
+          explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
+        .groupBy("event_type")
+        .agg(sum(when(col("b.c") > col("a.c"), 1L)
+          .when(col("b.c") < col("a.c"), -1L).otherwise(0L)).as("s_stat"))
+      // tie correction: groups of equal daily values; Σ t(t-1)(2t+5)
+      val ties = daily.groupBy("event_type", "c")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_term"))
+      sStat.join(ties, "event_type")
+        .withColumn("var_num",
+          col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5)
+            - col("tie_term"))
+        .withColumn("z", when(col("var_num") <= 0, lit(0.0))
+          .when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double")
+              / sqrt(col("var_num").cast("double") / 18.0))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double")
+              / sqrt(col("var_num").cast("double") / 18.0))
+          .otherwise(lit(0.0)))
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          col("var_num"), dround(col("z"), 6).as("z"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH daily AS (SELECT event_type,
+                       epoch_us(ts) // 86400000000 AS day,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                         AS BIGINT) AS c
+                     FROM events GROUP BY 1, 2),
+        sp AS (SELECT x.event_type,
+                 CAST(sum(CASE WHEN y.c > x.c THEN 1
+                               WHEN y.c < x.c THEN -1 ELSE 0 END)
+                   AS BIGINT) AS s_stat
+               FROM daily x JOIN daily y
+                 ON x.event_type = y.event_type AND x.day < y.day
+               GROUP BY 1),
+        tie AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+                FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+                      FROM daily GROUP BY 1, 2)
+                GROUP BY 1),
+        j AS (SELECT sp.event_type, tie.n_days, sp.s_stat,
+                n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+                  AS var_num
+              FROM sp JOIN tie ON sp.event_type = tie.event_type)
+      SELECT event_type, n_days, s_stat, CAST(var_num AS BIGINT) AS var_num,
+             ${oround("""CASE WHEN var_num <= 0 THEN 0.0
+               WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                 / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+               WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                 / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+               ELSE 0.0 END""", 6)} AS z
+      FROM j ORDER BY event_type"""))
+
   override def queries: Seq[QueryDef] =
     Seq(slidingSpend, clickAttribution, saltedSkewJoin,
       cohortRetention, funnelStages, eventTransitions, weeklyRevenueWow,
@@ -1421,5 +1500,5 @@ object TemporalQueries extends QueryModule {
       activityStreaks, seasonalAnomaly, gapFillLocf, rollingMedian,
       burstiness, runningAnomalyFlags, dauWauMau, seasonalityStrength,
       xcorrLagged, conversionTime, cohortLtv, shapleyAttribution,
-      newReturning, holtLinear, theilSen)
+      newReturning, holtLinear, theilSen, mannKendall)
 }

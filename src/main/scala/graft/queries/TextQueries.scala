@@ -1453,10 +1453,61 @@ object TextQueries extends QueryModule {
       FROM pick WHERE rn = 1
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // -- Good–Turing count-of-counts [Good 1953]: N_r = number of trigram
+  //    types observed exactly r times, and the smoothed count
+  //    r* = (r+1)·N_{r+1}/N_r — the frequency-of-frequencies table every
+  //    smoothing LM (and the unseen-mass estimate N_1/N) starts from.
+  //    TRIGRAMS, not unigrams: the fixture vocabulary is 31 words (every
+  //    unigram appears hundreds of times — no tail), while its ~16.5k
+  //    trigram types are singleton-dominated, which is the regime GT
+  //    smoothing exists for. Vocab-shaped by construction: the
+  //    corpus-sized trigram stream collapses to per-type counts
+  //    (map-side combinable), those collapse to the count-of-counts
+  //    histogram (≤ distinct frequencies rows), and N_{r+1} attaches via
+  //    a self-join on r+1 — no window, so nothing unpartitioned ever
+  //    sorts (WindowAuditSpec). r* is an exact integer ratio evaluated
+  //    once in double, identically cross-engine.
+  private val goodTuring = QueryDef(
+    "q_good_turing",
+    (s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("toks"))
+        .select(explode(expr(
+          """CASE WHEN size(toks) >= 3
+                  THEN transform(sequence(0, size(toks) - 3),
+                                 i -> concat_ws(' ', slice(toks, i + 1, 3)))
+                  ELSE array() END""")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("r"))
+      val nr = tf.groupBy("r").agg(count(lit(1)).as("n_r"))
+      nr.as("a")
+        .join(nr.as("b"), col("a.r") + 1 === col("b.r"), "left")
+        .select(col("a.r").as("r"), col("a.n_r").as("n_r"),
+          dround((col("a.r") + 1).cast("double")
+            * coalesce(col("b.n_r"), lit(0L)).cast("double")
+            / col("a.n_r").cast("double"), 6).as("r_star"))
+        .filter(col("r") <= 10)
+        .orderBy("r")
+    },
+    Some(s"""
+      WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        tf AS (SELECT g, CAST(count(*) AS BIGINT) AS r
+               FROM (SELECT unnest(list_transform(
+                        generate_series(1, len(ts) - 2),
+                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+                     FROM toks)
+               GROUP BY g),
+        nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tf GROUP BY r)
+      SELECT a.r, a.n_r,
+             ${oround("""CAST(a.r + 1 AS DOUBLE)
+               * CAST(coalesce(b.n_r, 0) AS DOUBLE)
+               / CAST(a.n_r AS DOUBLE)""", 6)} AS r_star
+      FROM nr a LEFT JOIN nr b ON a.r + 1 = b.r
+      WHERE a.r <= 10 ORDER BY a.r"""))
+
   override def queries: Seq[QueryDef] =
     Seq(tokenStats, docQuality, langId, fingerprint, keywordHits, tokenCountsBpe,
       tfidfTop, weightedSample, docRepetition, mixtureRates, qualityFilterRules,
       unigramLogprob, piiRedaction, vocabEncode, bigramLogprob, knBigramLogprob,
       tokenEntropy, zipfSlope, bigramMi, vocabOverlap, textrankKeywords,
-      nbLangClassify)
+      nbLangClassify, goodTuring)
 }

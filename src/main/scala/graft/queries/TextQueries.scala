@@ -1504,10 +1504,89 @@ object TextQueries extends QueryModule {
       FROM nr a LEFT JOIN nr b ON a.r + 1 = b.r
       WHERE a.r <= 10 ORDER BY a.r"""))
 
+  // -- Jensen–Shannon divergence [Lin 1991] between per-language unigram
+  //    LMs — the symmetric, bounded (≤1 bit) corpus-drift metric a
+  //    mixture pipeline tracks between sources (PSI's info-theoretic
+  //    sibling; q_psi_drift buckets a score column, this compares whole
+  //    token distributions). Distributions are exact-integer counts
+  //    normalized once in double; each term's JS contribution is floored
+  //    to the 1e-8 grid and summed as BIGINT, so the per-pair total is
+  //    order-independent (the q_bm25_topk/q_kn_bigram_logprob ln-grid
+  //    discipline — ln() on identical doubles, never engine-specific
+  //    log2()). The (lang-pair × vocab) grid is dimension-sized: langs
+  //    and the vocabulary histogram are both tiny next to the corpus,
+  //    and the one corpus-sized stage is the map-side-combinable
+  //    (lang, term) count.
+  private val jsDivergence = QueryDef(
+    "q_js_divergence",
+    (s, dir) => {
+      val c = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+      val n = c.groupBy("lang").agg(sum("c").as("n"))
+      val pairsL = n.as("la").join(n.as("lb"), col("la.lang") < col("lb.lang"))
+        .select(col("la.lang").as("lang_a"), col("la.n").as("na"),
+          col("lb.lang").as("lang_b"), col("lb.n").as("nb"))
+      val terms = c.select("term").distinct()
+      broadcast(pairsL).crossJoin(terms)
+        .join(c.select(col("lang").as("lang_a"), col("term"),
+          col("c").as("ca")), Seq("lang_a", "term"), "left")
+        .join(c.select(col("lang").as("lang_b"), col("term"),
+          col("c").as("cb")), Seq("lang_b", "term"), "left")
+        .withColumn("p",
+          coalesce(col("ca"), lit(0L)).cast("double") / col("na").cast("double"))
+        .withColumn("q",
+          coalesce(col("cb"), lit(0L)).cast("double") / col("nb").cast("double"))
+        .withColumn("contrib_u", floor(lit(1e8) *
+          (when(col("p") > 0, col("p") *
+             (log(col("p") * 2 / (col("p") + col("q"))) / log(lit(2.0))))
+            .otherwise(lit(0.0)) * 0.5 +
+           when(col("q") > 0, col("q") *
+             (log(col("q") * 2 / (col("p") + col("q"))) / log(lit(2.0))))
+            .otherwise(lit(0.0)) * 0.5)).cast("long"))
+        .groupBy("lang_a", "lang_b")
+        .agg(count(when(coalesce(col("ca"), lit(0L)) > 0 &&
+            coalesce(col("cb"), lit(0L)) > 0, 1)).as("shared_terms"),
+          sum("contrib_u").as("jsd_u"))
+        .select(col("lang_a"), col("lang_b"), col("shared_terms"),
+          dround(col("jsd_u").cast("double") / 1e8, 6).as("jsd_bits"))
+        .orderBy("lang_a", "lang_b")
+    },
+    Some(s"""
+      WITH c AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+                 FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+                       FROM documents)
+                 WHERE len(term) > 0 GROUP BY 1, 2),
+        n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        pairs AS (SELECT la.lang AS lang_a, la.n AS na,
+                         lb.lang AS lang_b, lb.n AS nb
+                  FROM n la JOIN n lb ON la.lang < lb.lang),
+        terms AS (SELECT DISTINCT term FROM c),
+        g AS (SELECT p.lang_a, p.lang_b,
+                coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb,
+                CAST(coalesce(ca.c, 0) AS DOUBLE) / CAST(p.na AS DOUBLE) AS pp,
+                CAST(coalesce(cb.c, 0) AS DOUBLE) / CAST(p.nb AS DOUBLE) AS qq
+              FROM pairs p CROSS JOIN terms t
+              LEFT JOIN c ca ON ca.lang = p.lang_a AND ca.term = t.term
+              LEFT JOIN c cb ON cb.lang = p.lang_b AND cb.term = t.term)
+      SELECT lang_a, lang_b,
+             CAST(count(CASE WHEN ca > 0 AND cb > 0 THEN 1 END) AS BIGINT)
+               AS shared_terms,
+             ${oround("""CAST(sum(CAST(floor(1e8 * (
+               CASE WHEN pp > 0
+                 THEN pp * (ln(pp * 2 / (pp + qq)) / ln(2.0)) ELSE 0.0
+               END * 0.5 +
+               CASE WHEN qq > 0
+                 THEN qq * (ln(qq * 2 / (pp + qq)) / ln(2.0)) ELSE 0.0
+               END * 0.5)) AS BIGINT)) AS BIGINT)
+               / 1e8""", 6)} AS jsd_bits
+      FROM g GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   override def queries: Seq[QueryDef] =
     Seq(tokenStats, docQuality, langId, fingerprint, keywordHits, tokenCountsBpe,
       tfidfTop, weightedSample, docRepetition, mixtureRates, qualityFilterRules,
       unigramLogprob, piiRedaction, vocabEncode, bigramLogprob, knBigramLogprob,
       tokenEntropy, zipfSlope, bigramMi, vocabOverlap, textrankKeywords,
-      nbLangClassify, goodTuring)
+      nbLangClassify, goodTuring, jsDivergence)
 }

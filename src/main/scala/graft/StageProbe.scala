@@ -49,6 +49,11 @@ object StageProbe {
 
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     spark.catalog.clearCache()
+    // the listener bus is async: drain it once here or the warm-up's
+    // stage-completed events can land AFTER the first stages.clear() and
+    // be attributed to the first named query (round-11 advisor)
+    try org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext, 30000)
+    catch { case _: Throwable => () }
     val byName = graft.queries.Registry.all.map(q => q.name -> q).toMap
     names.foreach { n =>
       stages.synchronized(stages.clear())

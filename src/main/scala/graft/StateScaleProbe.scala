@@ -76,7 +76,11 @@ object StateScaleProbe {
     runBatch("seed", (0 until nKeys).map(obs(_, 0L)))
     (1 to nDelta).foreach { b =>
       val lo = (b - 1) * delta % nKeys
-      runBatch(s"delta$b", (lo until lo + delta).map(obs(_, b.toLong)))
+      // wrap every index into [0, nKeys): an unwrapped `lo until lo+delta`
+      // runs past nKeys when delta does not divide nKeys, silently seeding
+      // NEW keys mid-run and breaking the probe's own "numRowsTotal stays
+      // N" pass criterion (round-11 advisor)
+      runBatch(s"delta$b", (lo until lo + delta).map(i => obs(i % nKeys, b.toLong)))
     }
     q.stop()
     spark.stop()

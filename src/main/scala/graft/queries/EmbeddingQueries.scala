@@ -955,7 +955,211 @@ object EmbeddingQueries extends QueryModule {
       FROM adc3 LEFT JOIN rec ON adc3.q_id = rec.q_id
       ORDER BY adc3.q_id, adc3.rank"""))
 
+  // -- IVF + PQ composed into the production ANN shape (FAISS IVFPQ,
+  //    Jégou et al. 2011 §IV): the coarse quantizer (the q_ann_ivf cells)
+  //    bounds CANDIDATE GENERATION — each query probes its nprobe=2
+  //    nearest cells, so candidate mass is cell-bounded, never
+  //    corpus-bounded — and ranking inside the probed cells runs on PQ
+  //    codes of the RESIDUAL (x − cell centroid), the detail FAISS adds
+  //    over plain PQ: residuals are centered, so a shared codebook covers
+  //    them far better than raw vectors. Reconstruction is
+  //    x̂ = centroid + decode(codes); ranking is ADC cosine against x̂,
+  //    with true cosine and recall@3 vs the exact full-corpus ranking
+  //    reported in-result (the labelled-baseline discipline of the PQ/SQ8
+  //    siblings).
+  //
+  //    Scale: assignment is a corpus × NCells broadcast cross join (the
+  //    certified q_ann_ivf shape); encode is one embarrassingly parallel
+  //    pass against a 1-row broadcast codebook (native codegen'd
+  //    pq_encode); search joins the tiny probes table (n_queries ×
+  //    nprobe rows, broadcast) on the cell key — at 100 TB the encoded
+  //    corpus is written partitioned by cell, so the probe join is
+  //    partition-pruned and touches only nprobe cells per query. The
+  //    exact ranking exists ONLY as the labelled recall baseline.
+  private val IvfPqNProbe = 2
+
+  private val ivfPq = QueryDef(
+    "q_ann_ivfpq",
+    (s, dir) => {
+      import graft.functions.VectorFunctions.{cosine, vecNorm}
+      val e = Tables.embeddings(s, dir)
+        .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("nrm", vecNorm(col("vecd")))
+        .select(col("vec_id"), col("vecd"), col("nrm"))
+      Cached.withCached(e) {
+        val cents = e.filter(col("vec_id") < NCells)
+          .select(col("vec_id").as("cent_id"), col("vecd").as("cv"),
+            col("nrm").as("cn"))
+        // coarse assignment: nearest centroid by cosine (ties → lowest id)
+        val wAssign = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)
+        val cells = e.crossJoin(broadcast(cents))
+          .withColumn("sim", cosine(col("vecd"), col("cv"), col("nrm"), col("cn")))
+          .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("cent_id").as("cell"), col("vecd"),
+            col("nrm"), col("cv"))
+          .withColumn("resid", expr("zip_with(vecd, cv, (x, c) -> x - c)"))
+        Cached.withCached(cells) {
+          // residual codebook: sampled ids 0,7,…,105 (the q_pq_adc
+          // initializer), but of RESIDUALS — ordered by sample index
+          val cb = cells.filter(col("vec_id") % 7 === 0 && col("vec_id") < 112)
+            .select((col("vec_id") / 7).cast("int").as("c"), col("resid"))
+            .groupBy()
+            .agg(expr(
+              "transform(array_sort(collect_list(struct(c, resid))), s -> s.resid)")
+              .as("cbv"))
+          val enc = cells.crossJoin(broadcast(cb))
+            .withColumn("codes", graft.functions.VectorFunctions.pqEncode(
+              col("resid"), col("cbv"), lit(8)))
+            .withColumn("rhat", expr(
+              """flatten(transform(sequence(0, 7), m ->
+                   slice(element_at(cbv,
+                       element_at(codes, CAST(m + 1 AS INT)) + 1),
+                     m * 8 + 1, 8)))"""))
+            .withColumn("xhatv", expr("zip_with(cv, rhat, (c, r) -> c + r)"))
+            .withColumn("xnrm", vecNorm(col("xhatv")))
+            .select(col("vec_id"), col("cell"), col("xhatv"), col("xnrm"))
+          // queries are NOT the centroids (ids NCells..NCells+NQueries),
+          // so probe selection is non-degenerate
+          val q = e.filter(col("vec_id") >= NCells &&
+              col("vec_id") < NCells + NQueries)
+            .select(col("vec_id").as("q_id"), col("vecd").as("qv"),
+              col("nrm").as("qn"))
+          val wProbe = org.apache.spark.sql.expressions.Window
+            .partitionBy("q_id").orderBy(col("csim").desc, col("cent_id").asc)
+          val probes = q.crossJoin(broadcast(cents))
+            .withColumn("csim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+            .withColumn("pr", row_number().over(wProbe))
+            .filter(col("pr") <= IvfPqNProbe)
+            .select(col("q_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
+          val scored = enc.join(broadcast(probes), Seq("cell"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .withColumn("adc_cosine",
+              cosine(col("qv"), col("xhatv"), col("qn"), col("xnrm")))
+          val wAdc = org.apache.spark.sql.expressions.Window
+            .partitionBy("q_id").orderBy(col("adc_cosine").desc, col("vec_id").asc)
+          val adc3 = scored.withColumn("rank", row_number().over(wAdc))
+            .filter(col("rank") <= 3)
+            .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+              col("cell"), col("adc_cosine"))
+          // exact full-corpus ranking — the labelled recall baseline
+          val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+            .withColumn("true_cosine",
+              cosine(col("qv"), col("vecd"), col("qn"), col("nrm")))
+            .select(col("q_id"), col("vec_id").as("neighbor_id"),
+              col("true_cosine"))
+          val wTrue = org.apache.spark.sql.expressions.Window
+            .partitionBy("q_id").orderBy(col("true_cosine").desc,
+              col("neighbor_id").asc)
+          val ex3 = exact.withColumn("rk", row_number().over(wTrue))
+            .filter(col("rk") <= 3).select("q_id", "neighbor_id")
+          val rec = adc3.select("q_id", "neighbor_id")
+            .join(ex3, Seq("q_id", "neighbor_id"))
+            .groupBy("q_id").agg(count(lit(1)).as("hits"))
+          adc3.join(exact, Seq("q_id", "neighbor_id"))
+            .join(broadcast(rec), Seq("q_id"), "left")
+            .select(col("q_id"), col("rank"), col("neighbor_id"), col("cell"),
+              dround(col("adc_cosine"), 4).as("adc_cosine"),
+              dround(col("true_cosine"), 4).as("true_cosine"),
+              dround(coalesce(col("hits"), lit(0L)).cast("double") / 3.0, 4)
+                .as("recall3"))
+            .orderBy("q_id", "rank")
+        }
+      }
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd,
+                   sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                 FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, vecd AS cv, nrm AS cn FROM e
+                  WHERE vec_id < $NCells),
+        assigned AS (SELECT e.vec_id, cents.cent_id, cents.cv,
+                       list_sum(list_transform(list_zip(e.vecd, cents.cv),
+                         x -> x[1] * x[2])) / (e.nrm * cents.cn) AS sim
+                     FROM e CROSS JOIN cents),
+        cells AS (SELECT vec_id, cent_id AS cell, cv
+                  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, cent_id ASC) AS rn
+                        FROM assigned)
+                  WHERE rn = 1),
+        ec AS MATERIALIZED (
+              SELECT e.vec_id, cells.cell, e.vecd, e.nrm, cells.cv,
+                     list_transform(list_zip(e.vecd, cells.cv),
+                       x -> x[1] - x[2]) AS resid
+               FROM e JOIN cells ON e.vec_id = cells.vec_id),
+        cb AS (SELECT list_transform(
+                 list_sort(list(struct_pack(c := CAST(vec_id // 7 AS INT),
+                                            v := resid))),
+                 s -> s.v) AS cbv
+               FROM ec WHERE vec_id % 7 = 0 AND vec_id < 112),
+        enc AS (SELECT vec_id, cell, cv,
+                  list_transform(generate_series(0, 7), m ->
+                    list_position(
+                      list_transform(generate_series(0, 15), c ->
+                        list_sum(list_transform(generate_series(8*m, 8*m + 7),
+                          j -> (resid[j + 1] - cbv[c + 1][j + 1])
+                             * (resid[j + 1] - cbv[c + 1][j + 1])))),
+                      list_min(
+                        list_transform(generate_series(0, 15), c ->
+                          list_sum(list_transform(generate_series(8*m, 8*m + 7),
+                            j -> (resid[j + 1] - cbv[c + 1][j + 1])
+                               * (resid[j + 1] - cbv[c + 1][j + 1]))))))
+                    - 1) AS codes,
+                  cbv
+                FROM ec, cb),
+        rec2 AS (SELECT vec_id, cell,
+                   list_transform(generate_series(0, 63), i ->
+                     cv[i + 1] + cbv[codes[(i // 8) + 1] + 1][i + 1]) AS xhatv
+                 FROM enc),
+        n2 AS (SELECT vec_id, cell, xhatv,
+                 sqrt(list_sum(list_transform(xhatv, x -> x * x))) AS xnrm
+               FROM rec2),
+        q AS (SELECT vec_id AS q_id, vecd AS qv, nrm AS qn FROM e
+              WHERE vec_id >= $NCells AND vec_id < ${NCells + NQueries}),
+        probes AS (SELECT q_id, qv, qn, cell FROM (
+                     SELECT q.q_id, q.qv, q.qn, cents.cent_id AS cell,
+                            row_number() OVER (PARTITION BY q.q_id ORDER BY
+                              list_sum(list_transform(list_zip(q.qv, cents.cv),
+                                x -> x[1] * x[2])) / (q.qn * cents.cn) DESC,
+                              cents.cent_id ASC) AS pr
+                     FROM q CROSS JOIN cents)
+                   WHERE pr <= $IvfPqNProbe),
+        scored AS (SELECT p.q_id, n2.vec_id, n2.cell,
+                     list_sum(list_transform(list_zip(p.qv, n2.xhatv),
+                       x -> x[1] * x[2])) / (p.qn * n2.xnrm) AS adc_cosine
+                   FROM n2 JOIN probes p ON n2.cell = p.cell
+                                        AND n2.vec_id <> p.q_id),
+        adc3 AS (SELECT * FROM (SELECT *, row_number() OVER
+                   (PARTITION BY q_id
+                    ORDER BY adc_cosine DESC, vec_id ASC) AS rank
+                 FROM scored) WHERE rank <= 3),
+        exact AS MATERIALIZED (
+                 SELECT q.q_id, e.vec_id,
+                        list_sum(list_transform(list_zip(q.qv, e.vecd),
+                          x -> x[1] * x[2])) / (q.qn * e.nrm) AS true_cosine
+                 FROM e JOIN q ON e.vec_id <> q.q_id),
+        ex3 AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
+                  (PARTITION BY q_id
+                   ORDER BY true_cosine DESC, vec_id ASC) AS rk
+                FROM exact) WHERE rk <= 3),
+        rc AS (SELECT adc3.q_id, CAST(count(*) AS BIGINT) AS hits
+               FROM adc3 JOIN ex3 ON adc3.q_id = ex3.q_id
+                                 AND adc3.vec_id = ex3.vec_id
+               GROUP BY 1)
+      SELECT adc3.q_id, adc3.rank, adc3.vec_id AS neighbor_id, adc3.cell,
+             ${oround("adc_cosine", 4)} AS adc_cosine,
+             ${oround("true_cosine", 4)} AS true_cosine,
+             ${oround("CAST(coalesce(rc.hits, 0) AS DOUBLE) / 3.0", 4)}
+               AS recall3
+      FROM adc3 JOIN exact ON adc3.q_id = exact.q_id
+                          AND adc3.vec_id = exact.vec_id
+           LEFT JOIN rc ON adc3.q_id = rc.q_id
+      ORDER BY adc3.q_id, adc3.rank"""))
+
   override def queries: Seq[QueryDef] =
     Seq(bruteForceTopK, lshTopK, ivfTopK, normStats, centroidDrift,
-      kmeansRefine, lshMultiprobe, sq8Adc, jlProjection, knnClassify, pqAdc)
+      kmeansRefine, lshMultiprobe, sq8Adc, jlProjection, knnClassify, pqAdc,
+      ivfPq)
 }

@@ -288,6 +288,111 @@ object SelectionQueries extends QueryModule {
       WHERE rank <= $BpeTopK ORDER BY rank"""))
 
   // ---------------------------------------------------------------------
+  // Iterated BPE trainer (Sennrich et al. 2016, the full merge loop):
+  // q_bpe_merge_step proves ONE adjacent-pair count; a real tokenizer fit
+  // iterates K merges with re-pairing — count pairs over the current
+  // symbolization, merge the argmax pair everywhere, repeat. This runs
+  // K=8 character-level merges over the word-frequency table and returns
+  // the learned merge table (step, lhs, rhs, merged, pair_count).
+  //
+  // Scale: BPE training NEVER touches the corpus after the first pass —
+  // it operates on word TYPES weighted by corpus frequency, so every
+  // iteration is vocabulary-bounded (the corpus-sized work is exactly one
+  // word-count agg with full map-side combine). Each round references the
+  // previous vocab frame twice (pair count + merge), so the frame is
+  // localCheckpoint'd per round — the q_bradley_terry lineage discipline:
+  // plans stay constant-size instead of growing 4^K. The argmax pair
+  // joins back as a 1-row broadcast (never a driver-side collect).
+  //
+  // Determinism: symbols are encoded as a U+0001-PREFIXED string
+  // ("low" → "␁l␁o␁w") so the merge is a plain left-to-right literal
+  // `replace` of "␁a␁b" with "␁ab" — prefix-delimiting makes a symbol
+  // boundary unforgeable (no symbol contains ␁) AND keeps consecutive
+  // matches non-overlapping in BOTH engines ("␁a␁a␁a" merges to
+  // "␁aa␁a", the greedy BPE semantics). Pair counts are BIGINT sums;
+  // argmax ties break on (count DESC, pairkey ASC) — byte-identical
+  // string comparison in Spark and DuckDB.
+  private val BpeTrainK = 8
+  // the symbol-boundary delimiter: U+0001 cannot appear in whitespace-split
+  // tokens, so a boundary inside a merged symbol is unforgeable
+  private val BpeD = "\u0001"
+
+  private val bpeTrain = QueryDef(
+    "q_bpe_train_k",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      val words0: DataFrame = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .withColumn("syms", expr(
+          s"concat_ws('', transform(sequence(1, length(word)), " +
+            s"i -> concat('$BpeD', substring(word, i, 1))))"))
+        .select(col("syms"), col("cnt"))
+      var v = words0.localCheckpoint(true)
+      val merges = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      for (k <- 1 to BpeTrainK) {
+        val pc = v
+          .withColumn("sa", expr(s"slice(split(syms, '$BpeD'), 2, 100000000)"))
+          .filter(size(col("sa")) >= 2)
+          .select(col("cnt"), explode(expr(
+            s"transform(sequence(0, size(sa) - 2), " +
+              s"i -> concat(sa[i], '$BpeD', sa[i + 1]))")).as("pairkey"))
+          .groupBy("pairkey").agg(sum("cnt").as("pair_count"))
+        val best = pc.orderBy(col("pair_count").desc, col("pairkey").asc)
+          .limit(1).localCheckpoint(true)
+        merges += best.withColumn("step", lit(k))
+        v = v.crossJoin(broadcast(best.select(col("pairkey"))))
+          .withColumn("syms", expr(
+            s"replace(syms, concat('$BpeD', pairkey), " +
+              s"concat('$BpeD', replace(pairkey, '$BpeD', '')))"))
+          .select("syms", "cnt")
+          .localCheckpoint(true)
+      }
+      merges.reduce(_ unionAll _)
+        .withColumn("parts", split(col("pairkey"), BpeD))
+        .select(col("step"), col("parts")(0).as("lhs"), col("parts")(1).as("rhs"),
+          concat(col("parts")(0), col("parts")(1)).as("merged"),
+          col("pair_count"))
+        .orderBy("step")
+    },
+    Some {
+      val iters = (1 to BpeTrainK).map { n =>
+        s"""
+        p$n AS (SELECT pairkey, CAST(sum(cnt) AS BIGINT) AS pair_count FROM (
+                  SELECT cnt, unnest(list_transform(
+                    generate_series(1, len(sa) - 1),
+                    i -> sa[i] || chr(1) || sa[i + 1])) AS pairkey
+                  FROM (SELECT cnt, list_slice(l, 2, len(l)) AS sa
+                        FROM (SELECT cnt, string_split(syms, chr(1)) AS l
+                              FROM v${n - 1}))
+                  WHERE len(sa) >= 2)
+                GROUP BY 1),
+        b$n AS MATERIALIZED (SELECT pairkey, pair_count FROM p$n
+                ORDER BY pair_count DESC, pairkey ASC LIMIT 1),
+        v$n AS MATERIALIZED (
+          SELECT replace(v.syms, chr(1) || b.pairkey,
+                   chr(1) || replace(b.pairkey, chr(1), '')) AS syms, v.cnt
+          FROM v${n - 1} v, b$n b)"""
+      }.mkString(",")
+      val steps = (1 to BpeTrainK).map { n =>
+        s"""SELECT $n AS step, string_split(pairkey, chr(1))[1] AS lhs,
+                   string_split(pairkey, chr(1))[2] AS rhs,
+                   replace(pairkey, chr(1), '') AS merged, pair_count
+            FROM b$n"""
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH v0 AS MATERIALIZED (
+        SELECT list_aggregate(list_transform(generate_series(1, len(word)),
+                 i -> chr(1) || word[i]), 'string_agg', '') AS syms,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE len(word) > 0
+        GROUP BY word),$iters
+      SELECT * FROM ($steps) ORDER BY step"""
+    })
+
+  // ---------------------------------------------------------------------
   // Perplexity-bucketed stratification: score every document by unigram
   // cross-entropy under the corpus LM (add-1 smoothed), split into
   // quartile strata at the exact 25/50/75 cross-entropy cut points, and
@@ -909,7 +1014,7 @@ object SelectionQueries extends QueryModule {
       FROM fin ORDER BY decile"""))
 
   def queries: Seq[QueryDef] =
-    Seq(dsir, hybrid, bpeMerge, ppxBuckets, cdcChunks, tempMix,
+    Seq(dsir, hybrid, bpeMerge, bpeTrain, ppxBuckets, cdcChunks, tempMix,
       qualityClassifier, targetEncoding, rocAuc, calibrationBins,
       thresholdSweep, decileLift)
 }

@@ -21,6 +21,15 @@ object GenScale {
   private val Off = 1_000_000_000L
 
   private val shiftCols: Map[String, Seq[String]] = Map(
+    // NOTE on the offset (round-12 postmortem): a FIXED 1e9 shift is only
+    // collision-free for ONE scale-up level. Applying it twice
+    // (sf0.1→sf1→sf10) folded copy c2 of decade c1 onto copy c1+c2·... of
+    // another decade — sf10 documents had 500k rows but only 95k distinct
+    // doc_ids, and every keyed-join oracle fan-out semantics diverged
+    // (q_bm25_topk's dl join fanned 10× at sf10 while sf1 stayed green).
+    // The offset is now derived per run: the smallest power of 10 strictly
+    // greater than every key in the source, floored at 1e9 so the
+    // single-level sf1 output stays byte-identical to prior rounds.
     "region" -> Nil,
     "nation" -> Nil,
     "customer" -> Seq("c_custkey"),
@@ -32,10 +41,11 @@ object GenScale {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  private def scaled(df: DataFrame, keys: Seq[String], copies: Int): DataFrame =
+  private def scaled(df: DataFrame, keys: Seq[String], copies: Int,
+      off: Long): DataFrame =
     if (keys.isEmpty) df
     else (0 until copies).map { i =>
-      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * Off)))
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * off)))
     }.reduce(_ unionByName _)
 
   def main(args: Array[String]): Unit = {
@@ -52,6 +62,19 @@ object GenScale {
     // the driver's events.parquet is TIMESTAMP(NANOS) — read the nanos as
     // int64 (same trick as Tables.events)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // collision-free shift: strictly above every key in the source
+    val globalMax = shiftCols.toSeq.flatMap { case (t, keys) =>
+      if (keys.isEmpty) Nil
+      else {
+        val aggs = keys.map(k => max(col(k).cast("long")).as(k))
+        val row = spark.read.parquet(s"$src/$t.parquet")
+          .agg(aggs.head, aggs.tail: _*).head()
+        keys.indices.map(row.getLong(_))
+      }
+    }.max
+    var off = Off
+    while (off <= globalMax) off *= 10
+    println(s"  key shift offset: $off (max source key $globalMax)")
     shiftCols.foreach { case (t, keys) =>
       val raw = spark.read.parquet(s"$src/$t.parquet")
       // events' ts is rewritten as a plain µs TIMESTAMP so both Spark
@@ -64,7 +87,7 @@ object GenScale {
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
         case _ => raw
       }
-      scaled(df, keys, copies)
+      scaled(df, keys, copies, off)
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"  wrote $dst/$t.parquet")
     }

@@ -28,7 +28,8 @@ object StageProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     case class St(id: Int, name: String, ms: Long, tasks: Int,
-        inMb: Long, shReadMb: Long, shWriteMb: Long, spillMb: Long)
+        inMb: Long, shReadMb: Long, shWriteMb: Long, spillMb: Long,
+        gcMs: Long)
     val stages = mutable.ArrayBuffer.empty[St]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
@@ -42,7 +43,12 @@ object StageProbe {
             m.shuffleReadMetrics.remoteBytesRead / 1048576 +
               m.shuffleReadMetrics.localBytesRead / 1048576,
             m.shuffleWriteMetrics.bytesWritten / 1048576,
-            m.memoryBytesSpilled / 1048576)
+            m.memoryBytesSpilled / 1048576,
+            // summed ACROSS tasks — at 32 concurrent tasks a shared GC
+            // pause bills every running task, so gc ≈ 32× wall during a
+            // storm; the point is attribution (gc-dominated vs not),
+            // not wall accounting
+            m.jvmGCTime)
         }
       }
     })
@@ -67,7 +73,7 @@ object StageProbe {
         stages.sortBy(-_.ms).take(12).foreach { s =>
           println(f"  stage ${s.id}%4d ${s.ms}%7d ms ${s.tasks}%4d tasks " +
             f"in=${s.inMb}%5d MB shR=${s.shReadMb}%5d shW=${s.shWriteMb}%5d " +
-            f"spill=${s.spillMb}%5d  ${s.name}")
+            f"spill=${s.spillMb}%5d gc=${s.gcMs}%6d ms  ${s.name}")
         }
       }
       spark.catalog.clearCache()

@@ -317,48 +317,51 @@ object SelectionQueries extends QueryModule {
   // tokens, so a boundary inside a merged symbol is unforgeable
   private val BpeD = "\u0001"
 
-  private val bpeTrain = QueryDef(
-    "q_bpe_train_k",
-    (s, dir) => {
-      import org.apache.spark.sql.DataFrame
-      val words0: DataFrame = Tables.documents(s, dir)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) > 0)
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
+  /** The K-merge training loop, shared by q_bpe_train_k (which reports
+    * the merge table) and q_bpe_encode (which consumes the final vocab
+    * state). Returns (final symbolized vocab (syms, cnt), per-step 1-row
+    * argmax frames (pairkey, pair_count, step)). */
+  private def bpeLoop(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    val words0 = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", expr(
+        s"concat_ws('', transform(sequence(1, length(word)), " +
+          s"i -> concat('$BpeD', substring(word, i, 1))))"))
+      .select(col("syms"), col("cnt"))
+    var v = words0.localCheckpoint(true)
+    val merges = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    for (k <- 1 to BpeTrainK) {
+      val pc = v
+        .withColumn("sa", expr(s"slice(split(syms, '$BpeD'), 2, 100000000)"))
+        .filter(size(col("sa")) >= 2)
+        .select(col("cnt"), explode(expr(
+          s"transform(sequence(0, size(sa) - 2), " +
+            s"i -> concat(sa[i], '$BpeD', sa[i + 1]))")).as("pairkey"))
+        .groupBy("pairkey").agg(sum("cnt").as("pair_count"))
+      val best = pc.orderBy(col("pair_count").desc, col("pairkey").asc)
+        .limit(1).localCheckpoint(true)
+      merges += best.withColumn("step", lit(k))
+      v = v.crossJoin(broadcast(best.select(col("pairkey"))))
         .withColumn("syms", expr(
-          s"concat_ws('', transform(sequence(1, length(word)), " +
-            s"i -> concat('$BpeD', substring(word, i, 1))))"))
-        .select(col("syms"), col("cnt"))
-      var v = words0.localCheckpoint(true)
-      val merges = scala.collection.mutable.ListBuffer.empty[DataFrame]
-      for (k <- 1 to BpeTrainK) {
-        val pc = v
-          .withColumn("sa", expr(s"slice(split(syms, '$BpeD'), 2, 100000000)"))
-          .filter(size(col("sa")) >= 2)
-          .select(col("cnt"), explode(expr(
-            s"transform(sequence(0, size(sa) - 2), " +
-              s"i -> concat(sa[i], '$BpeD', sa[i + 1]))")).as("pairkey"))
-          .groupBy("pairkey").agg(sum("cnt").as("pair_count"))
-        val best = pc.orderBy(col("pair_count").desc, col("pairkey").asc)
-          .limit(1).localCheckpoint(true)
-        merges += best.withColumn("step", lit(k))
-        v = v.crossJoin(broadcast(best.select(col("pairkey"))))
-          .withColumn("syms", expr(
-            s"replace(syms, concat('$BpeD', pairkey), " +
-              s"concat('$BpeD', replace(pairkey, '$BpeD', '')))"))
-          .select("syms", "cnt")
-          .localCheckpoint(true)
-      }
-      merges.reduce(_ unionAll _)
-        .withColumn("parts", split(col("pairkey"), BpeD))
-        .select(col("step"), col("parts")(0).as("lhs"), col("parts")(1).as("rhs"),
-          concat(col("parts")(0), col("parts")(1)).as("merged"),
-          col("pair_count"))
-        .orderBy("step")
-    },
-    Some {
-      val iters = (1 to BpeTrainK).map { n =>
-        s"""
+          s"replace(syms, concat('$BpeD', pairkey), " +
+            s"concat('$BpeD', replace(pairkey, '$BpeD', '')))"))
+        .select("syms", "cnt")
+        .localCheckpoint(true)
+    }
+    (v, merges.toList)
+  }
+
+  /** The unrolled K-iteration CTE chain (v0 … v$K, b1 … b$K) both BPE
+    * oracles share. Every vN/bN is MATERIALIZED: each is referenced
+    * twice (pair count + merge), the multiply-referenced-CTE blowup
+    * class PlanComplexitySpec documents. */
+  private def bpeCte: String = {
+    val iters = (1 to BpeTrainK).map { n =>
+      s"""
         p$n AS (SELECT pairkey, CAST(sum(cnt) AS BIGINT) AS pair_count FROM (
                   SELECT cnt, unnest(list_transform(
                     generate_series(1, len(sa) - 1),
@@ -374,7 +377,28 @@ object SelectionQueries extends QueryModule {
           SELECT replace(v.syms, chr(1) || b.pairkey,
                    chr(1) || replace(b.pairkey, chr(1), '')) AS syms, v.cnt
           FROM v${n - 1} v, b$n b)"""
-      }.mkString(",")
+    }.mkString(",")
+    s"""v0 AS MATERIALIZED (
+        SELECT list_aggregate(list_transform(generate_series(1, len(word)),
+                 i -> chr(1) || word[i]), 'string_agg', '') AS syms,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE len(word) > 0
+        GROUP BY word),$iters"""
+  }
+
+  private val bpeTrain = QueryDef(
+    "q_bpe_train_k",
+    (s, dir) => {
+      val (_, merges) = bpeLoop(s, dir)
+      merges.reduce(_ unionAll _)
+        .withColumn("parts", split(col("pairkey"), BpeD))
+        .select(col("step"), col("parts")(0).as("lhs"), col("parts")(1).as("rhs"),
+          concat(col("parts")(0), col("parts")(1)).as("merged"),
+          col("pair_count"))
+        .orderBy("step")
+    },
+    Some {
       val steps = (1 to BpeTrainK).map { n =>
         s"""SELECT $n AS step, string_split(pairkey, chr(1))[1] AS lhs,
                    string_split(pairkey, chr(1))[2] AS rhs,
@@ -382,15 +406,65 @@ object SelectionQueries extends QueryModule {
             FROM b$n"""
       }.mkString(" UNION ALL ")
       s"""
-      WITH v0 AS MATERIALIZED (
-        SELECT list_aggregate(list_transform(generate_series(1, len(word)),
-                 i -> chr(1) || word[i]), 'string_agg', '') AS syms,
-               CAST(count(*) AS BIGINT) AS cnt
-        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        WHERE len(word) > 0
-        GROUP BY word),$iters
+      WITH $bpeCte
       SELECT * FROM ($steps) ORDER BY step"""
     })
+
+  // ---------------------------------------------------------------------
+  // BPE corpus encode: the other half of the tokenizer lifecycle — apply
+  // the K learned merges to every document and report per-language token
+  // statistics (whitespace tokens vs BPE symbols vs characters). The
+  // final trainer state IS the encoder: the vocab frame after K merges
+  // maps each word type to its symbolization, so n_syms per word is
+  // derivable without re-running any merge, and the corpus-side work is
+  // ONE explode + an equi-join on the word key (AQE broadcasts the dict
+  // while it is small and shuffles when vocabulary grows with the corpus
+  // — the DSIR no-forced-broadcast lesson).
+  private val bpeEncode = QueryDef(
+    "q_bpe_encode",
+    (s, dir) => {
+      val (vFinal, _) = bpeLoop(s, dir)
+      val wdict = vFinal.select(
+        expr(s"replace(syms, '$BpeD', '')").as("word"),
+        (size(split(col("syms"), BpeD)) - 1).cast("long").as("n_syms"))
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      words.join(wdict, "word")
+        .groupBy("lang")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("ws_tokens"),
+          sum("n_syms").as("bpe_tokens"),
+          sum(length(col("word")).cast("long")).as("n_chars"))
+        .withColumn("tokens_per_word",
+          dround(col("bpe_tokens").cast("double") / col("ws_tokens"), 4))
+        .withColumn("chars_per_token",
+          dround(col("n_chars").cast("double") / col("bpe_tokens"), 4))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH $bpeCte,
+        wdict AS (SELECT replace(syms, chr(1), '') AS word,
+                         CAST(len(string_split(syms, chr(1))) - 1 AS BIGINT)
+                           AS n_syms
+                  FROM v$BpeTrainK),
+        w AS (SELECT doc_id, lang, word FROM (
+                SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+                FROM documents)
+              WHERE len(word) > 0)
+      SELECT w.lang, CAST(count(DISTINCT w.doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS ws_tokens,
+             CAST(sum(wdict.n_syms) AS BIGINT) AS bpe_tokens,
+             CAST(sum(len(w.word)) AS BIGINT) AS n_chars,
+             ${oround(
+               "CAST(sum(wdict.n_syms) AS DOUBLE) / count(*)", 4)}
+               AS tokens_per_word,
+             ${oround(
+               "CAST(sum(len(w.word)) AS DOUBLE) / sum(wdict.n_syms)", 4)}
+               AS chars_per_token
+      FROM w JOIN wdict ON w.word = wdict.word
+      GROUP BY w.lang ORDER BY w.lang"""))
 
   // ---------------------------------------------------------------------
   // Perplexity-bucketed stratification: score every document by unigram
@@ -1014,7 +1088,7 @@ object SelectionQueries extends QueryModule {
       FROM fin ORDER BY decile"""))
 
   def queries: Seq[QueryDef] =
-    Seq(dsir, hybrid, bpeMerge, bpeTrain, ppxBuckets, cdcChunks, tempMix,
+    Seq(dsir, hybrid, bpeMerge, bpeTrain, bpeEncode, ppxBuckets, cdcChunks, tempMix,
       qualityClassifier, targetEncoding, rocAuc, calibrationBins,
       thresholdSweep, decileLift)
 }

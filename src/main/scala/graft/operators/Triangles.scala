@@ -68,20 +68,36 @@ object Triangles {
       degreeOrdered(e)
     } else canonicalOnePass(e)
 
-  /** Wedges and closures in ONE pass: the edge set is distinct and the
-    * closure join hits at most one e3 per wedge, so a left join counts
-    * wedges (rows) and triangles (hits) without multiplying. */
+  /** Small-graph path, round-12 rework: wedges come from the CLOSED FORM
+    * (Σ_x outdeg(x)·indeg(x) — one degree-table aggregate, identical by
+    * definition to the wedge-join row count the old one-pass enumerated)
+    * and triangles from the EDGE-ITERATOR identity: triangle x<y<z is
+    * edge (x,y) with z ∈ N⁺(x) ∩ N⁺(y), so Σ over edges of the sorted
+    * successor-array intersection counts each triangle exactly once.
+    * The previous form materialized the full wedge join as a shuffle
+    * (StageProbe at sf10: gigabyte-scale intermediate reads plus the AQE
+    * compressed-bytes coalesce trap on sorted long pairs); this form's
+    * shuffle mass is edges + adjacency arrays, with the intersection a
+    * map-side sorted-array merge. Intersect work is still hostage to
+    * hub degrees (a degree-d hub pays O(d) per incident edge → O(d²)
+    * total), so the degree-ordered branch remains the gate's large-graph
+    * path. Values are identical (TrianglesSpec). */
   def canonicalOnePass(e: DataFrame): (Long, Long) = {
-    val w = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
-    val row = w.as("w").join(
-        e.as("e3").withColumn("_hit", lit(1L)),
-        col("w.a") === col("e3.a") && col("w.c") === col("e3.b"),
-        "left")
-      .agg(count(lit(1)).as("n_wedges"),
-        coalesce(sum(coalesce(col("_hit"), lit(0L))), lit(0L)).as("n_triangles"))
-      .head()
-    (row.getAs[Long]("n_wedges"), row.getAs[Long]("n_triangles"))
+    val nW = e.groupBy(col("a").as("x")).agg(count(lit(1)).as("od"))
+      .join(e.groupBy(col("b").as("x")).agg(count(lit(1)).as("id")), "x")
+      .agg(coalesce(sum(col("od") * col("id")), lit(0L)).as("w"))
+      .head().getLong(0)
+    val succ = e.groupBy(col("a").as("n"))
+      .agg(sort_array(collect_list(col("b"))).as("arr"))
+    val nT = e
+      .join(succ.select(col("n").as("la"), col("arr").as("na")),
+        col("a") === col("la"))
+      .join(succ.select(col("n").as("rb"), col("arr").as("nb")),
+        col("b") === col("rb"))
+      .agg(coalesce(sum(size(array_intersect(col("na"), col("nb")))
+        .cast("long")), lit(0L)).as("t"))
+      .head().getLong(0)
+    (nW, nT)
   }
 
   /** Closed-form wedge count + degree-ordered triangle enumeration; same

@@ -34,4 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 240-query sweep compiles thousands of whole-stage-codegen classes
+  // in one JVM; near-full JIT code cache degrades silently (continuous
+  // sweeper churn, compile stalls — round-12 boxed-kill thread dumps
+  // showed 6+ executor threads queued on GeneratedClass.generate while
+  // cheap queries ran 10× slow). Default is 240 MB; give it room.
+  "-XX:ReservedCodeCacheSize=512m",
 )

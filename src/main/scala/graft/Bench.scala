@@ -118,6 +118,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the codegen LRU defaults to 100 generated-class entries; a
+      // ~240-query sweep (plus the sf1 repeat) cycles ~500 plan shapes
+      // through it, so by mid-sweep EVERY query recompiles every stage —
+      // janino defines serialize on a class-load monitor and the
+      // round-12 boxed-kill dumps caught executor threads queued there.
+      // 2000 entries keeps the sweep's working set resident.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

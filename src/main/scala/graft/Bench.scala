@@ -195,7 +195,16 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
-    def dumpBenchThreads(qName: String): Unit = try {
+    // Round 13 (verdict #1): the artifact must be SELF-ADJUDICATING — the
+    // r12 driver run shipped three >2×-freeze lines that min-of-2 did not
+    // catch and nothing in the parsed JSON said whether the warm-up ran,
+    // what each attempt measured, or where the box pressure was. Every
+    // timed attempt is now recorded per query, boxed-kill diagnostics land
+    // in a `diag` list (not just stderr), and any line still >2× freeze at
+    // artifact-write time gets ONE final decorrelated attempt (post-GC,
+    // post-settle — bounded at 3 queries).
+    val diag = scala.collection.mutable.ListBuffer.empty[String]
+    def dumpBenchThreads(qName: String, phase: String): Unit = try {
       import scala.jdk.CollectionConverters._
       System.err.println(s"[bench] BOXED KILL of $qName — gc_total=${gcMs}ms; " +
         "worker stacks:")
@@ -211,9 +220,19 @@ object Bench {
         s"${t.getState}@${if (st.isEmpty) "-" else st.head.getClassName + "." + st.head.getMethodName}"
       }.map { case (k, v) => s"$k x${v.size}" }
       System.err.println(s"  executors: ${census.mkString("; ")}")
+      diag += s"""{"q":"${esc(qName)}","kind":"boxed","phase":"${esc(phase)}",""" +
+        s""""gc_ms":${gcMs},"exec":"${esc(census.mkString("; ").take(160))}"}"""
     } catch { case _: Throwable => () }
+    // every timed sf0.1 attempt, in order — the per-attempt evidence the
+    // r12 verdict asked for (min-of-2 hides whether both runs were hot)
+    val attempts01 = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ListBuffer[Double]]
+    def record01(n: String, t: Option[Double]): Unit = t.foreach { v =>
+      attempts01.getOrElseUpdate(n,
+        scala.collection.mutable.ListBuffer.empty[Double]) += r3(v)
+    }
     def timeOnce(q: graft.queries.QueryDef, dir: String,
-        boxSec: Long = benchTimeout): Option[Double] = {
+        boxSec: Long = benchTimeout, phase: String = "sf01"): Option[Double] = {
       // group id is unique PER RUN: cancelJobGroupAndFutureJobs is sticky
       // per group name, and the same query legitimately runs again (the
       // targeted rerun, the sf1 pass) after a boxed kill
@@ -233,17 +252,27 @@ object Bench {
         }
       })
       val res = try fut.get(boxSec, java.util.concurrent.TimeUnit.SECONDS)
-        catch { case _: Throwable =>
-          // Round 12: diagnose BEFORE killing. The r11 driver artifact
-          // boxed three 0.4 s-solo queries at the head of the sf1 pass
-          // (60+45+34 s = 58% of the budget burned) and nothing in the
-          // artifact said WHERE they were stuck — dump the bench worker
-          // stacks and cumulative GC time to stderr so a recurrence is
-          // attributable (GC storm vs lock vs Catalyst hang).
-          dumpBenchThreads(q.name)
-          spark.sparkContext.cancelJobGroupAndFutureJobs(group)
-          fut.cancel(true)
-          None
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            // Round 12: diagnose BEFORE killing. The r11 driver artifact
+            // boxed three 0.4 s-solo queries at the head of the sf1 pass
+            // (60+45+34 s = 58% of the budget burned) and nothing in the
+            // artifact said WHERE they were stuck — dump the bench worker
+            // stacks and cumulative GC time so a recurrence is
+            // attributable (GC storm vs lock vs Catalyst hang). Round 13
+            // (advisor): ONLY a genuine timeout dumps — a fast crash of
+            // fut.get (interrupt, cancellation) must not wear the
+            // BOXED KILL banner.
+            dumpBenchThreads(q.name, phase)
+            spark.sparkContext.cancelJobGroupAndFutureJobs(group)
+            fut.cancel(true)
+            None
+          case e: Throwable =>
+            System.err.println(s"[bench] run of ${q.name} aborted pre-box " +
+              s"(${e.getClass.getSimpleName})")
+            spark.sparkContext.cancelJobGroupAndFutureJobs(group)
+            fut.cancel(true)
+            None
         }
       // gated hygiene: after a boxed kill the zombie usually unwinds within
       // a few seconds of its job-group cancellation; if it doesn't, skip
@@ -309,19 +338,27 @@ object Bench {
     // REVERSE sweep order so the query timed first has the freshest
     // entries in the (LRU, 100-slot) codegen cache. Cost ≈ 13 × ~1 s.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // warmup_ran goes INTO the parsed artifact (round-13 verdict #1: the
+    // r12 driver's 48 s curation line could not be adjudicated because the
+    // artifact didn't say whether the flagship warm-up even happened)
+    var warmupSec = -1.0
     if (new java.io.File(warmDir, "lineitem.parquet").exists()) {
       val t0 = System.nanoTime()
       benched.filter(q => flagNames(q.name)).reverse
-        .foreach(q => timeOnce(q, warmDir, 20))
+        .foreach(q => timeOnce(q, warmDir, 20, phase = "warmup"))
+      warmupSec = r3((System.nanoTime() - t0) / 1e9)
       System.err.println(f"[bench] flagship warm-up on $warmDir: " +
-        f"${(System.nanoTime() - t0) / 1e9}%.1f s, gc_total=${gcMs}ms")
+        f"$warmupSec%.1f s, gc_total=${gcMs}ms")
     } else System.err.println(
       s"[bench] warm dir $warmDir absent — flagship tier runs JIT-cold")
+    val warmupRan = warmupSec >= 0
     // settle the warm-up's broadcast/shuffle refs before the timed sweep
     System.gc()
     val timed = benched.map { q =>
       if (flagNames(q.name)) preClear()
-      q.name -> timeOnce(q, sfDir).map(r3)
+      val t = timeOnce(q, sfDir).map(r3)
+      record01(q.name, t)
+      q.name -> t
     }
     val byName = benched.map(q => q.name -> q).toMap
     // Rerun candidates carry their over-freeze ratio so the pass can be
@@ -344,10 +381,37 @@ object Bench {
     }
     val rerunTimes = rerun.flatMap { n =>
       preClear() // reruns exist to measure the query, not its neighbors
-      timeOnce(byName(n), sfDir).map(t => n -> r3(t))
+      val t = timeOnce(byName(n), sfDir).map(r3)
+      record01(n, t)
+      t.map(n -> _)
     }.toMap
-    val results = timed.collect { case (n, Some(t)) =>
+    val afterRerun = timed.collect { case (n, Some(t)) =>
       n -> rerunTimes.get(n).fold(t)(math.min(t, _))
+    }
+    // FINAL ADJUDICATION PASS (round-13 verdict #1b): any line STILL >2×
+    // its frozen minimum after the targeted rerun gets one more attempt,
+    // deliberately DECORRELATED from whatever pressure produced the first
+    // two (full GC + settle sleep + pre-clear first). Bounded at 3
+    // queries, worst-over-freeze first. r12 shipped three such lines whose
+    // min-of-2 attempts were BOTH hot (judge solo refuted all three); this
+    // pass either lands the real number or leaves three in-artifact
+    // attempts proving the environment, not the plan.
+    val stillOver = afterRerun.collect {
+      case (n, t) if frozen01.get(n).exists(f => t > 2 * f) =>
+        n -> t / frozen01(n)
+    }.sortBy(-_._2).map(_._1).take(3)
+    val finalTimes = stillOver.flatMap { n =>
+      System.gc()
+      Thread.sleep(2000)
+      preClear()
+      val t = timeOnce(byName(n), sfDir).map(r3)
+      record01(n, t)
+      System.err.println(s"[bench] final adjudication of $n: " +
+        s"${t.fold("failed")(_.toString)} s (freeze ${frozen01.get(n)})")
+      t.map(n -> _)
+    }.toMap
+    val results = afterRerun.map { case (n, t) =>
+      n -> finalTimes.get(n).fold(t)(math.min(t, _))
     }
     val failed = timed.collect { case (n, None) => n }
     val total = r3(results.map(_._2).sum)
@@ -379,13 +443,34 @@ object Bench {
         // ordered by ascending sf0.1 time this run; tier 1 (not measured
         // last round — the staleness rotation) before tier 2, both
         // cheapest-frozen-first.
+        // Round 13 (verdict #4): the cheap-first packing starved the four
+        // most scale-critical DAGs (the composed e2e pipelines and the
+        // iterative-graph flagships) out of the sf1 artifact every round —
+        // they're the most expensive frozen entries, so tier-2 ordering
+        // never reaches them. Reserve a TIER -1 slice: one e2e + one
+        // iterative query per round, rotating within each family on
+        // last-round coverage (the one NOT measured last round runs this
+        // round), so each of the four gets a fresh sf1 number every other
+        // round at a cost of ~20 s of the 300 s budget.
+        val tier0Families = Seq(
+          Seq("q_curation_e2e", "q_ingest_pipeline_e2e"),
+          Seq("q_pagerank_suppliers", "q_weighted_pagerank"))
+        val benchedNames = benched.map(_.name).toSet
+        val reserved = tier0Families.flatMap { fam =>
+          val present = fam.filter(benchedNames)
+          present.filterNot(prevSf1.contains).headOption
+            .orElse(present.headOption)
+        }.toSet
+        if (reserved.nonEmpty)
+          System.err.println(s"[bench] sf1 tier-0 reserve: ${reserved.mkString(", ")}")
         val ordered = benched.sortBy { q =>
           val tier =
-            if (!frozen1.contains(q.name)) 0
+            if (reserved(q.name)) -1
+            else if (!frozen1.contains(q.name)) 0
             else if (!prevSf1.contains(q.name)) 1
             else 2
           val key = if (tier == 0) resultsMap.getOrElse(q.name, Double.MaxValue)
-            else frozen1(q.name)
+            else frozen1.getOrElse(q.name, Double.MaxValue)
           (tier, key, q.name)
         }
         // Noise control (verdict #2): reruns move from inline (round 9/10)
@@ -412,6 +497,12 @@ object Bench {
         System.err.println(s"[bench] sf1 boundary GC done — gc_total=${gcMs}ms")
         var spent = 0.0
         val done = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+        val attempts1 = scala.collection.mutable.LinkedHashMap
+          .empty[String, scala.collection.mutable.ListBuffer[Double]]
+        def record1(n: String, t: Option[Double]): Unit = t.foreach { v =>
+          attempts1.getOrElseUpdate(n,
+            scala.collection.mutable.ListBuffer.empty[Double]) += r3(v)
+        }
         val suspect = scala.collection.mutable.ListBuffer.empty[(String, Double)]
         val skipped = scala.collection.mutable.ListBuffer.empty[String]
         val boxed = scala.collection.mutable.ListBuffer.empty[String]
@@ -432,7 +523,9 @@ object Bench {
               math.max(1.0, (sf1Budget - rerunReserve - spent) / 4)).toLong
             val t0 = System.nanoTime()
             def elapsed = (System.nanoTime() - t0) / 1e9
-            timeOnce(q, sf1Dir, box) match {
+            val r = timeOnce(q, sf1Dir, box, phase = "sf1")
+            record1(q.name, r)
+            r match {
               case Some(t1) =>
                 spent += elapsed
                 done += (q.name -> t1)
@@ -459,7 +552,9 @@ object Bench {
             val box = math.min(benchTimeout.toDouble,
               math.max(1.0, (sf1Budget - spent) / 2)).toLong
             val t0 = System.nanoTime()
-            timeOnce(byName(n), sf1Dir, box).foreach { t2 =>
+            val t2o = timeOnce(byName(n), sf1Dir, box, phase = "sf1-rerun")
+            record1(n, t2o)
+            t2o.foreach { t2 =>
               done(n) = math.min(done(n), t2); rerun1 += 1
             }
             spent += (System.nanoTime() - t0) / 1e9
@@ -478,7 +573,8 @@ object Bench {
             val box = math.min(benchTimeout.toDouble,
               math.max(5.0, (sf1Budget - spent) / 2)).toLong
             val t0 = System.nanoTime()
-            val r = timeOnce(byName(n), sf1Dir, box)
+            val r = timeOnce(byName(n), sf1Dir, box, phase = "sf1-boxretry")
+            record1(n, r)
             spent += (System.nanoTime() - t0) / 1e9
             r.foreach(t => done(n) = math.min(done.getOrElse(n, t), t))
             if (r.isDefined) Some(n) else None
@@ -486,18 +582,34 @@ object Bench {
         }
         val stillBoxed = boxed.toList.filterNot(boxedRetried.contains)
         Some((done.toList.map { case (n, t) => n -> r3(t) }.sortBy(_._1),
-          (skipped.toList ++ stillBoxed).sorted, sfailed.toList, stillBoxed))
+          (skipped.toList ++ stillBoxed).sorted, sfailed.toList, stillBoxed,
+          attempts1.toList.collect { case (n, ts) if ts.size > 1 => n -> ts.toList }))
       }
 
+    // self-adjudication payload: per-attempt times for every query that
+    // ran more than once, the boxed-kill diagnostics, and the warm-up fact
+    def amap(m: Seq[(String, List[Double])]): String =
+      m.map { case (k, vs) => "\"" + k + "\":[" + vs.mkString(",") + "]" }
+        .mkString("{", ",", "}")
+    val multiAttempts01 = attempts01.toList
+      .collect { case (n, ts) if ts.size > 1 => n -> ts.toList }
+    val adjudication =
+      s""","warmup_ran":$warmupRan,"warmup_sec":$warmupSec,"gc_ms":$gcMs,""" +
+        s""""attempts":${amap(multiAttempts01)},""" +
+        s""""final_pass":${arr(stillOver)},""" +
+        s""""diag":[${diag.mkString(",")}]"""
+
     // FULL artifact → file: every query at both scale factors.
-    val fullSf1 = sf1.map { case (done, skipped, sfailed, boxedQ) =>
+    val fullSf1 = sf1.map { case (done, skipped, sfailed, boxedQ, att1) =>
       s""","sf1":{"dir":"${esc(sf1Dir)}","total":${r3(done.map(_._2).sum)},""" +
         s""""queries":${qmap(done)},"skipped":${arr(skipped)},""" +
-        s""""boxed":${arr(boxedQ)},"failed":${arr(sfailed)}}"""
+        s""""boxed":${arr(boxedQ)},"failed":${arr(sfailed)},""" +
+        s""""attempts":${amap(att1)}}"""
     }.getOrElse("")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"${esc(sfDir)}",""" +
-        s""""rerun":${arr(rerun)},"queries":${qmap(results)},"failed":${arr(failed)}$fullSf1}"""
+        s""""rerun":${arr(rerun)},"queries":${qmap(results)},""" +
+        s""""failed":${arr(failed)}$adjudication$fullSf1}"""
     try {
       val w = new java.io.PrintWriter(outPath)
       try w.println(fullLine) finally w.close()
@@ -508,7 +620,18 @@ object Bench {
     // anything else the build tool appends after us).
     val budget = sys.env.getOrElse("SPARK_GRAFT_LINE_BUDGET", "1750").toInt
     val bySlow = results.sortBy(-_._2)
-    val sf1Compact = sf1.map { case (done, skipped, sfailed, boxedQ) =>
+    // compact self-adjudication: any line STILL >2× freeze after the final
+    // pass ships its full attempt list — the artifact itself then proves
+    // whether every attempt was hot (environment) or the plan regressed
+    val over2x = results.collect {
+      case (n, t) if frozen01.get(n).exists(f => t > 2 * f) =>
+        n -> attempts01.get(n).map(_.toList).getOrElse(List(t))
+    }
+    val over2xCompact = if (over2x.isEmpty) ""
+      else s""","over2x":${amap(over2x)}"""
+    val adjCompact =
+      s""","warm":${if (warmupRan) 1 else 0},"gc_ms":$gcMs$over2xCompact"""
+    val sf1Compact = sf1.map { case (done, skipped, sfailed, boxedQ, _) =>
       val sf1Total = r3(done.map(_._2).sum)
       val ratios = done.flatMap { case (n, t) =>
         results.find(_._1 == n).collect { case (_, b) if b > 0 => (n, r3(t / b)) }
@@ -529,7 +652,7 @@ object Bench {
         else s""","omitted":${omitted.size},"omitted_sec":${r3(omitted.map(_._2).sum)}"""
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"${esc(sfDir)}",""" +
         s""""n":${results.size},"rerun":${rerun.size},"queries":${qmap(kept.sortBy(_._1))}$om""" +
-        s""","failed":${arr(failed)}$sf1Compact,"detail":"${esc(outPath)}"}"""
+        s""","failed":${arr(failed)}$adjCompact$sf1Compact,"detail":"${esc(outPath)}"}"""
     }
     // largest k whose line fits the budget (k=0 always emits the totals)
     val k = (results.size to 0 by -1).find(line(_).length <= budget).getOrElse(0)

@@ -38,6 +38,21 @@ object BfsLevels {
     val e = if (materializeEdges)
       e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else e0
+    // round 13: scale the per-round aggregate's reduce parallelism with
+    // the graph (IterScale — the iterative family's fixed-partition rounds
+    // were the one superlinear decade ratio); the whole fixed point
+    // executes eagerly inside the scope (the final localCheckpoint), so
+    // the session conf is restored before return. Unmaterialized callers
+    // keep the session parallelism — the count would re-scan their lineage.
+    def run(): DataFrame = levelLoop(e, seeds, maxHops, checkpointEvery,
+      materializeEdges)
+    if (materializeEdges)
+      IterScale.withEdgeScaledShuffle(e.sparkSession, e.count())(run())
+    else run()
+  }
+
+  private def levelLoop(e: DataFrame, seeds: DataFrame, maxHops: Int,
+      checkpointEvery: Int, materializeEdges: Boolean): DataFrame = {
     var dist = seeds.select(col("node").cast("long"))
       .distinct().withColumn("dist", lit(0))
     // DELTA expansion (round 10 — see Sssp.distances for the full

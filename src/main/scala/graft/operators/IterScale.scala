@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Shuffle-parallelism scaling for the iterative-graph family (round-13
+  * verdict #2): `q_pagerank_suppliers` measured 56 s warm at sf10 ≈ 12× its
+  * sf1 time on 10× data because every damped round shuffled the 10× edge
+  * set at the session's FIXED partition count (32 on the bench box) — at
+  * the 100 TB design point a constant reduce-side parallelism is a
+  * scale-killer for exactly this family, since the per-round shuffles are
+  * the whole cost and their per-partition size grows linearly with the
+  * graph.
+  *
+  * The fix is possible precisely because every iterative operator here
+  * ([[PageRank]], [[BfsLevels]], [[Sssp]]) materializes its final state
+  * EAGERLY inside the call (the `finish`/localCheckpoint hygiene): all the
+  * per-round shuffles execute while the override below is in force, and
+  * the caller's session conf is restored before the (already-materialized)
+  * result frame is returned. A lazily-returned plan could not be scaled
+  * this way — it would execute after the `finally`.
+  *
+  * Sizing: one reduce partition per ~[[RowsPerPartition]] edge rows,
+  * never BELOW the session setting (small graphs keep the caller's
+  * parallelism — per-job scheduling overhead dominates below ~1M edges,
+  * the KCore round-10 lesson) and capped at [[MaxPartitions]] as a
+  * runaway guard. With AQE on (the default), the scaled value is the
+  * INITIAL partition count and AQE still coalesces tiny post-shuffle
+  * partitions, so over-provisioning costs little; the failure mode this
+  * kills is the opposite one — 3.7M-row reduce partitions that spill and
+  * GC-stall at 10× data because the initial count could never grow.
+  */
+object IterScale {
+
+  /** Target edge rows per reduce partition: at 2 longs/row this is
+    * ~24 MB raw per task — comfortably in-memory for the per-round
+    * join + aggregate state. */
+  val RowsPerPartition: Long = 1500000L
+
+  /** Hard cap on the scaled partition count (≈ 6 B edges before the cap
+    * binds — past that a real cluster tunes the session value itself). */
+  val MaxPartitions: Int = 4096
+
+  def scaledParts(spark: SparkSession, nRows: Long): Int = {
+    val base = spark.sessionState.conf.numShufflePartitions
+    val scaled = ((nRows + RowsPerPartition - 1) / RowsPerPartition).toInt
+    math.max(base, math.min(MaxPartitions, scaled))
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` scaled to `nRows`
+    * edge rows, restoring the caller's value after. `body` must execute
+    * its shuffles eagerly (see class doc). */
+  def withEdgeScaledShuffle[T](spark: SparkSession, nRows: Long)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    val parts = scaledParts(spark, nRows)
+    if (parts.toString == old) body
+    else {
+      spark.conf.set(key, parts.toString)
+      System.err.println(s"[iterscale] $nRows edge rows -> $parts shuffle " +
+        s"partitions (session $old)")
+      try body finally spark.conf.set(key, old)
+    }
+  }
+}

@@ -57,35 +57,58 @@ object PageRank {
 
   /** Ranks after `iters` rounds over directed `edges(src, dst)`.
     * Returns (node, r) with r in 1e-9 units. Every node that appears as a
-    * src or dst participates; sink nodes keep the 0.15 floor. */
+    * src or dst participates; sink nodes keep the 0.15 floor.
+    *
+    * Round 13: the raw edge frame is cached + counted FIRST so the
+    * per-round shuffle parallelism scales with the graph
+    * ([[IterScale]] — the fixed-32-partition rounds were 12× on 10× data
+    * at sf10); the count also serves as the one scan of the caller's edge
+    * lineage, with the degree window reading the columnar cache. The
+    * whole fixed point executes eagerly inside the scaled-conf scope
+    * (finish's localCheckpoint), so the caller's session conf is restored
+    * before the materialized result returns. */
   def ranks(edges: DataFrame, iters: Int, checkpointEvery: Int = 4): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
-    // loop-invariant inputs materialize ONCE — the edge lineage is
-    // scanned exactly one time (inside eo's window pass); nodes derives
-    // from the cache, not from a re-scan of the caller's upstream joins
+    // Round 13 (IterScale): the raw edge frame is cached + counted FIRST
+    // so EVERY shuffle — the degree window, the nodes distinct, and each
+    // round's contribution aggregate — runs at graph-scaled parallelism
+    // (the fixed-32-partition rounds were 12× on 10× data at sf10; an
+    // A/B with only the loop scaled and the window/cache at 32 measured
+    // 50-70 s vs 36-42 s full-scaled, because the per-round join streams
+    // the 117M-row cache at the cache's partition count). The raw cache
+    // is released as soon as the annotated cache materializes — holding
+    // both through the rounds OOM'd an 8g heap. The count doubles as the
+    // one scan of the caller's edge lineage; the window reads the cache.
+    // Everything executes eagerly inside the scope (finish's
+    // localCheckpoint), so the session conf is restored before return.
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    val eo = degreeAnnotated(e, count(lit(1)), "outdeg")
-    val nodes = eo.select(col("src").as("node"))
-      .union(eo.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
-    var rank = nodes.withColumn("r", lit(One))
-    for (i <- 1 to iters) {
-      val contrib = eo
-        .join(rank.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("r DIV outdeg").as("c"))
-      rank = nodes
-        .join(contrib.groupBy("node").agg(sum("c").as("sc")),
-          Seq("node"), "left")
-        .select(col("node"),
-          (lit(One * 15 / 100) +
-            expr("(coalesce(sc, CAST(0 AS BIGINT)) * 85) DIV 100")).as("r"))
-      // periodic truncation only — the intermediate rounds stay lazy so
-      // they execute as one DAG
-      if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    IterScale.withEdgeScaledShuffle(e.sparkSession, nEdges) {
+      val eo = degreeAnnotated(e, count(lit(1)), "outdeg")
+      val nodes = eo.select(col("src").as("node"))
+        .union(eo.select(col("dst").as("node"))).distinct()
+        .localCheckpoint()
+      e.unpersist() // annotated cache materialized by nodes
+      var rank = nodes.withColumn("r", lit(One))
+      for (i <- 1 to iters) {
+        val contrib = eo
+          .join(rank.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), expr("r DIV outdeg").as("c"))
+        rank = nodes
+          .join(contrib.groupBy("node").agg(sum("c").as("sc")),
+            Seq("node"), "left")
+          .select(col("node"),
+            (lit(One * 15 / 100) +
+              expr("(coalesce(sc, CAST(0 AS BIGINT)) * 85) DIV 100")).as("r"))
+        // periodic truncation only — the intermediate rounds stay lazy
+        // so they execute as one DAG
+        if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint()
+      }
+      finish(rank, eo)
     }
-    finish(rank, eo)
   }
 
   /** Pin the (|nodes|-sized, KB-MB-scale) final rank frame and release
@@ -112,24 +135,29 @@ object PageRank {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("w").cast("long")).filter(col("w") > 0)
-    val eo = degreeAnnotated(e, sum("w"), "wsum")
-    val nodes = eo.select(col("src").as("node"))
-      .union(eo.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
-    var rank = nodes.withColumn("r", lit(One))
-    for (i <- 1 to iters) {
-      val contrib = eo
-        .join(rank.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("(r * w) DIV wsum").as("c"))
-      rank = nodes
-        .join(contrib.groupBy("node").agg(sum("c").as("sc")),
-          Seq("node"), "left")
-        .select(col("node"),
-          (lit(One * 15 / 100) +
-            expr("(coalesce(sc, CAST(0 AS BIGINT)) * 85) DIV 100")).as("r"))
-      if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count() // fills the raw cache and sizes the conf — see ranks
+    IterScale.withEdgeScaledShuffle(e.sparkSession, nEdges) {
+      val eo = degreeAnnotated(e, sum("w"), "wsum")
+      val nodes = eo.select(col("src").as("node"))
+        .union(eo.select(col("dst").as("node"))).distinct()
+        .localCheckpoint()
+      e.unpersist() // annotated cache materialized by nodes
+      var rank = nodes.withColumn("r", lit(One))
+      for (i <- 1 to iters) {
+        val contrib = eo
+          .join(rank.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), expr("(r * w) DIV wsum").as("c"))
+        rank = nodes
+          .join(contrib.groupBy("node").agg(sum("c").as("sc")),
+            Seq("node"), "left")
+          .select(col("node"),
+            (lit(One * 15 / 100) +
+              expr("(coalesce(sc, CAST(0 AS BIGINT)) * 85) DIV 100")).as("r"))
+        if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint()
+      }
+      finish(rank, eo)
     }
-    finish(rank, eo)
   }
 
   /** PERSONALIZED PageRank [Haveliwala 2002]: identical integer-grid
@@ -144,27 +172,32 @@ object PageRank {
       checkpointEvery: Int = 4): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    val eo = degreeAnnotated(e, count(lit(1)), "outdeg")
-    val sd = seeds.select(col("node").cast("long")).distinct()
-      .withColumn("is_seed", lit(1L)).localCheckpoint()
-    val nodes = eo.select(col("src").as("node"))
-      .union(eo.select(col("dst").as("node"))).distinct()
-      .join(org.apache.spark.sql.functions.broadcast(sd), Seq("node"), "left")
-      .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
-      .localCheckpoint()
-    var rank = nodes.select(col("node"), (col("is_seed") * lit(One)).as("r"))
-    for (i <- 1 to iters) {
-      val contrib = eo
-        .join(rank.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("r DIV outdeg").as("c"))
-      rank = nodes
-        .join(contrib.groupBy("node").agg(sum("c").as("sc")),
-          Seq("node"), "left")
-        .select(col("node"),
-          (col("is_seed") * lit(One * 15 / 100) +
-            expr("(coalesce(sc, CAST(0 AS BIGINT)) * 85) DIV 100")).as("r"))
-      if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count() // fills the raw cache and sizes the conf — see ranks
+    IterScale.withEdgeScaledShuffle(e.sparkSession, nEdges) {
+      val eo = degreeAnnotated(e, count(lit(1)), "outdeg")
+      val sd = seeds.select(col("node").cast("long")).distinct()
+        .withColumn("is_seed", lit(1L)).localCheckpoint()
+      val nodes = eo.select(col("src").as("node"))
+        .union(eo.select(col("dst").as("node"))).distinct()
+        .join(org.apache.spark.sql.functions.broadcast(sd), Seq("node"), "left")
+        .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+        .localCheckpoint()
+      e.unpersist() // annotated cache materialized by nodes
+      var rank = nodes.select(col("node"), (col("is_seed") * lit(One)).as("r"))
+      for (i <- 1 to iters) {
+        val contrib = eo
+          .join(rank.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), expr("r DIV outdeg").as("c"))
+        rank = nodes
+          .join(contrib.groupBy("node").agg(sum("c").as("sc")),
+            Seq("node"), "left")
+          .select(col("node"),
+            (col("is_seed") * lit(One * 15 / 100) +
+              expr("(coalesce(sc, CAST(0 AS BIGINT)) * 85) DIV 100")).as("r"))
+        if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint()
+      }
+      finish(rank, eo)
     }
-    finish(rank, eo)
   }
 }

@@ -50,6 +50,18 @@ object Sssp {
     val e = if (materializeEdges)
       e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else e0
+    // round 13: per-round reduce parallelism scales with the graph
+    // (IterScale; see BfsLevels — same rationale, same eager-inside-scope
+    // guarantee from the final localCheckpoint)
+    def run(): DataFrame = relaxLoop(e, seeds, rounds, checkpointEvery,
+      materializeEdges)
+    if (materializeEdges)
+      IterScale.withEdgeScaledShuffle(e.sparkSession, e.count())(run())
+    else run()
+  }
+
+  private def relaxLoop(e: DataFrame, seeds: DataFrame, rounds: Int,
+      checkpointEvery: Int, materializeEdges: Boolean): DataFrame = {
     var dist = seeds.select(col("node").cast("long"))
       .distinct().withColumn("dist", lit(0L))
     // DELTA relaxation (round 10, the classic Bellman-Ford frontier

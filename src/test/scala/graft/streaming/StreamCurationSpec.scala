@@ -80,10 +80,16 @@ class StreamCurationSpec extends SparkSpec {
       val qual = f.filter(col("qual_ok"))
         .withColumn("h", sha2(col("text"), 256))
         .groupBy("h").agg(min("doc_id").as("doc_id"))
+      // filter STRICTLY-OLDER first, then dedup (round-13 advisor): with
+      // dedup first, a hash present under both an older and the current
+      // batch_id could keep only the newer row, be filtered away, and
+      // re-count as fresh — unreachable under the anti-join-before-append
+      // write discipline, but the idempotency invariant shouldn't depend
+      // on that ordering
       val seen =
         if (new java.io.File(seenDir).exists())
           s.read.parquet(seenDir)
-            .dropDuplicates("h").filter(col("batch_id") < batchId)
+            .filter(col("batch_id") < batchId).dropDuplicates("h")
         else s.emptyDataFrame.select(lit(0L).as("batch_id"), lit("").as("h"))
           .limit(0)
       val fresh = qual.join(seen.select("h"), Seq("h"), "left_anti")

@@ -1158,8 +1158,271 @@ object EmbeddingQueries extends QueryModule {
            LEFT JOIN rc ON adc3.q_id = rc.q_id
       ORDER BY adc3.q_id, adc3.rank"""))
 
+  // -- IVFPQ with a TRAINED coarse quantizer (round-13 verdict #6): the
+  //    q_ann_ivfpq cells are seeded from the first-NCells vectors; a real
+  //    FAISS index trains them (k-means on the corpus) before encoding.
+  //    One Lloyd iteration (the q_kmeans_refine machinery: assign to the
+  //    seeds, recompute each cell's centroid as the element-wise mean)
+  //    produces the trained centroids; the full IVFPQ pipeline — assign,
+  //    residual PQ encode, nprobe cell-bounded search, ADC rerank — then
+  //    runs against them. Both coarse quantizers' CANDIDATE recall@3
+  //    (fraction of the exact top-3 that lives in the probed cells — the
+  //    quantity training improves) is reported per query next to the
+  //    trained ADC recall, so trained-vs-seeded is itself certified
+  //    output.
+  //
+  //    Scale: identical shape to q_ann_ivfpq plus one Lloyd round — the
+  //    extra cost is one more corpus × NCells broadcast assign and a
+  //    per-(cell, dim) mean (NCells × VDim grid, never corpus-sized
+  //    state). The exact ranking remains ONLY the labelled baseline.
+  private val ivfPqTrained = QueryDef(
+    "q_ann_ivfpq_trained",
+    (s, dir) => {
+      import graft.functions.VectorFunctions.{cosine, vecNorm}
+      val e = Tables.embeddings(s, dir)
+        .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("nrm", vecNorm(col("vecd")))
+        .select(col("vec_id"), col("vecd"), col("nrm"))
+      Cached.withCached(e) {
+        // nearest-centroid assignment keeping the winning centroid vector
+        // (the residual needs it)
+        def nearest(cents: org.apache.spark.sql.DataFrame) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)
+          e.crossJoin(broadcast(cents))
+            .withColumn("sim", cosine(col("vecd"), col("cv"), col("nrm"), col("cn")))
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("vec_id"), col("cent_id").as("cell"), col("vecd"),
+              col("nrm"), col("cv"))
+        }
+        val cents0 = e.filter(col("vec_id") < NCells)
+          .select(col("vec_id").as("cent_id"), col("vecd").as("cv"),
+            col("nrm").as("cn"))
+        // the seeded assignment feeds BOTH the Lloyd mean and the seeded
+        // candidate-recall baseline — computed once, pinned below
+        val a0 = nearest(cents0).select(col("vec_id"), col("cell"), col("vecd"))
+        // one Lloyd round: per-(cell, dim) mean, deterministic reassembly
+        val cents1 = a0
+          .select(col("cell"), posexplode(col("vecd")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos").agg(avg("x").as("m"))
+          .groupBy("cell")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+            .as("cv"))
+          .select(col("cell").as("cent_id"), col("cv"), vecNorm(col("cv")).as("cn"))
+        val cells = nearest(cents1)
+          .withColumn("resid", expr("zip_with(vecd, cv, (x, c) -> x - c)"))
+        val cells0 = a0.select("vec_id", "cell")
+        Cached.withCached(a0, cells) {
+          val cb = cells.filter(col("vec_id") % 7 === 0 && col("vec_id") < 112)
+            .select((col("vec_id") / 7).cast("int").as("c"), col("resid"))
+            .groupBy()
+            .agg(expr(
+              "transform(array_sort(collect_list(struct(c, resid))), s -> s.resid)")
+              .as("cbv"))
+          val enc = cells.crossJoin(broadcast(cb))
+            .withColumn("codes", graft.functions.VectorFunctions.pqEncode(
+              col("resid"), col("cbv"), lit(8)))
+            .withColumn("rhat", expr(
+              """flatten(transform(sequence(0, 7), m ->
+                   slice(element_at(cbv,
+                       element_at(codes, CAST(m + 1 AS INT)) + 1),
+                     m * 8 + 1, 8)))"""))
+            .withColumn("xhatv", expr("zip_with(cv, rhat, (c, r) -> c + r)"))
+            .withColumn("xnrm", vecNorm(col("xhatv")))
+            .select(col("vec_id"), col("cell"), col("xhatv"), col("xnrm"))
+          val q = e.filter(col("vec_id") >= NCells &&
+              col("vec_id") < NCells + NQueries)
+            .select(col("vec_id").as("q_id"), col("vecd").as("qv"),
+              col("nrm").as("qn"))
+          def probesOf(cents: org.apache.spark.sql.DataFrame) = {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("q_id").orderBy(col("csim").desc, col("cent_id").asc)
+            q.crossJoin(broadcast(cents))
+              .withColumn("csim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+              .withColumn("pr", row_number().over(w))
+              .filter(col("pr") <= IvfPqNProbe)
+              .select(col("q_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
+          }
+          val probes = probesOf(cents1)
+          val probes0 = probesOf(cents0)
+          val scored = enc.join(broadcast(probes), Seq("cell"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .withColumn("adc_cosine",
+              cosine(col("qv"), col("xhatv"), col("qn"), col("xnrm")))
+          val wAdc = org.apache.spark.sql.expressions.Window
+            .partitionBy("q_id").orderBy(col("adc_cosine").desc, col("vec_id").asc)
+          val adc3 = scored.withColumn("rank", row_number().over(wAdc))
+            .filter(col("rank") <= 3)
+            .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+              col("cell"), col("adc_cosine"))
+          // exact full-corpus ranking — the labelled recall baseline
+          val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+            .withColumn("true_cosine",
+              cosine(col("qv"), col("vecd"), col("qn"), col("nrm")))
+            .select(col("q_id"), col("vec_id").as("neighbor_id"),
+              col("true_cosine"))
+          val wTrue = org.apache.spark.sql.expressions.Window
+            .partitionBy("q_id").orderBy(col("true_cosine").desc,
+              col("neighbor_id").asc)
+          val ex3 = exact.withColumn("rk", row_number().over(wTrue))
+            .filter(col("rk") <= 3).select("q_id", "neighbor_id")
+          val rec = adc3.select("q_id", "neighbor_id")
+            .join(ex3, Seq("q_id", "neighbor_id"))
+            .groupBy("q_id").agg(count(lit(1)).as("hits"))
+          // candidate recall of each coarse quantizer: how many of the
+          // exact top-3 live in the cells this quantizer probes
+          def candRecall(assign: org.apache.spark.sql.DataFrame,
+              pr: org.apache.spark.sql.DataFrame, name: String) =
+            ex3.join(assign.select(col("vec_id").as("neighbor_id"), col("cell")),
+                Seq("neighbor_id"))
+              .join(pr.select("q_id", "cell"), Seq("q_id", "cell"))
+              .groupBy("q_id").agg(count(lit(1)).as(name))
+          val candT = candRecall(cells.select("vec_id", "cell"), probes, "hits_t")
+          val candS = candRecall(cells0, probes0, "hits_s")
+          adc3.join(exact, Seq("q_id", "neighbor_id"))
+            .join(broadcast(rec), Seq("q_id"), "left")
+            .join(broadcast(candT), Seq("q_id"), "left")
+            .join(broadcast(candS), Seq("q_id"), "left")
+            .select(col("q_id"), col("rank"), col("neighbor_id"), col("cell"),
+              dround(col("adc_cosine"), 4).as("adc_cosine"),
+              dround(col("true_cosine"), 4).as("true_cosine"),
+              dround(coalesce(col("hits"), lit(0L)).cast("double") / 3.0, 4)
+                .as("recall3"),
+              dround(coalesce(col("hits_t"), lit(0L)).cast("double") / 3.0, 4)
+                .as("cand_recall_trained"),
+              dround(coalesce(col("hits_s"), lit(0L)).cast("double") / 3.0, 4)
+                .as("cand_recall_seeded"))
+            .orderBy("q_id", "rank")
+        }
+      }
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd,
+                   sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                 FROM embeddings),
+        c0 AS (SELECT vec_id AS cent_id, vecd AS cv, nrm AS cn FROM e
+               WHERE vec_id < $NCells),
+        a0 AS MATERIALIZED (SELECT vec_id, cent_id AS cell, vecd
+               FROM (SELECT e.vec_id, c0.cent_id, e.vecd,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_sum(list_transform(list_zip(e.vecd, c0.cv),
+                           x -> x[1] * x[2])) / (e.nrm * c0.cn) DESC,
+                         c0.cent_id ASC) AS rn
+                     FROM e CROSS JOIN c0)
+               WHERE rn = 1),
+        dims AS (SELECT cell, i.i AS pos, avg(vecd[i.i + 1]) AS m
+                 FROM a0, (SELECT unnest(generate_series(0, 63)) AS i) i
+                 GROUP BY cell, i.i),
+        c1 AS (SELECT cell AS cent_id, list(m ORDER BY pos) AS cv,
+                 sqrt(list_sum(list_transform(list(m ORDER BY pos), x -> x * x))) AS cn
+               FROM dims GROUP BY cell),
+        ec AS MATERIALIZED (
+              SELECT vec_id, cell, vecd, nrm, cv,
+                     list_transform(list_zip(vecd, cv), x -> x[1] - x[2]) AS resid
+              FROM (SELECT e.vec_id, c1.cent_id AS cell, e.vecd, e.nrm, c1.cv,
+                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                        list_sum(list_transform(list_zip(e.vecd, c1.cv),
+                          x -> x[1] * x[2])) / (e.nrm * c1.cn) DESC,
+                        c1.cent_id ASC) AS rn
+                    FROM e CROSS JOIN c1)
+              WHERE rn = 1),
+        cb AS (SELECT list_transform(
+                 list_sort(list(struct_pack(c := CAST(vec_id // 7 AS INT),
+                                            v := resid))),
+                 s -> s.v) AS cbv
+               FROM ec WHERE vec_id % 7 = 0 AND vec_id < 112),
+        enc AS (SELECT vec_id, cell, cv,
+                  list_transform(generate_series(0, 7), m ->
+                    list_position(
+                      list_transform(generate_series(0, 15), c ->
+                        list_sum(list_transform(generate_series(8*m, 8*m + 7),
+                          j -> (resid[j + 1] - cbv[c + 1][j + 1])
+                             * (resid[j + 1] - cbv[c + 1][j + 1])))),
+                      list_min(
+                        list_transform(generate_series(0, 15), c ->
+                          list_sum(list_transform(generate_series(8*m, 8*m + 7),
+                            j -> (resid[j + 1] - cbv[c + 1][j + 1])
+                               * (resid[j + 1] - cbv[c + 1][j + 1]))))))
+                    - 1) AS codes,
+                  cbv
+                FROM ec, cb),
+        rec2 AS (SELECT vec_id, cell,
+                   list_transform(generate_series(0, 63), i ->
+                     cv[i + 1] + cbv[codes[(i // 8) + 1] + 1][i + 1]) AS xhatv
+                 FROM enc),
+        n2 AS (SELECT vec_id, cell, xhatv,
+                 sqrt(list_sum(list_transform(xhatv, x -> x * x))) AS xnrm
+               FROM rec2),
+        q AS (SELECT vec_id AS q_id, vecd AS qv, nrm AS qn FROM e
+              WHERE vec_id >= $NCells AND vec_id < ${NCells + NQueries}),
+        probes AS (SELECT q_id, qv, qn, cell FROM (
+                     SELECT q.q_id, q.qv, q.qn, c1.cent_id AS cell,
+                            row_number() OVER (PARTITION BY q.q_id ORDER BY
+                              list_sum(list_transform(list_zip(q.qv, c1.cv),
+                                x -> x[1] * x[2])) / (q.qn * c1.cn) DESC,
+                              c1.cent_id ASC) AS pr
+                     FROM q CROSS JOIN c1)
+                   WHERE pr <= $IvfPqNProbe),
+        probes0 AS (SELECT q_id, cell FROM (
+                      SELECT q.q_id, c0.cent_id AS cell,
+                             row_number() OVER (PARTITION BY q.q_id ORDER BY
+                               list_sum(list_transform(list_zip(q.qv, c0.cv),
+                                 x -> x[1] * x[2])) / (q.qn * c0.cn) DESC,
+                               c0.cent_id ASC) AS pr
+                      FROM q CROSS JOIN c0)
+                    WHERE pr <= $IvfPqNProbe),
+        scored AS (SELECT p.q_id, n2.vec_id, n2.cell,
+                     list_sum(list_transform(list_zip(p.qv, n2.xhatv),
+                       x -> x[1] * x[2])) / (p.qn * n2.xnrm) AS adc_cosine
+                   FROM n2 JOIN probes p ON n2.cell = p.cell
+                                        AND n2.vec_id <> p.q_id),
+        adc3 AS (SELECT * FROM (SELECT *, row_number() OVER
+                   (PARTITION BY q_id
+                    ORDER BY adc_cosine DESC, vec_id ASC) AS rank
+                 FROM scored) WHERE rank <= 3),
+        exact AS MATERIALIZED (
+                 SELECT q.q_id, e.vec_id,
+                        list_sum(list_transform(list_zip(q.qv, e.vecd),
+                          x -> x[1] * x[2])) / (q.qn * e.nrm) AS true_cosine
+                 FROM e JOIN q ON e.vec_id <> q.q_id),
+        ex3 AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
+                  (PARTITION BY q_id
+                   ORDER BY true_cosine DESC, vec_id ASC) AS rk
+                FROM exact) WHERE rk <= 3),
+        rc AS (SELECT adc3.q_id, CAST(count(*) AS BIGINT) AS hits
+               FROM adc3 JOIN ex3 ON adc3.q_id = ex3.q_id
+                                 AND adc3.vec_id = ex3.vec_id
+               GROUP BY 1),
+        candT AS (SELECT ex3.q_id, CAST(count(*) AS BIGINT) AS hits_t
+                  FROM ex3 JOIN ec ON ex3.vec_id = ec.vec_id
+                           JOIN probes p ON p.q_id = ex3.q_id
+                                        AND p.cell = ec.cell
+                  GROUP BY 1),
+        candS AS (SELECT ex3.q_id, CAST(count(*) AS BIGINT) AS hits_s
+                  FROM ex3 JOIN a0 ON ex3.vec_id = a0.vec_id
+                           JOIN probes0 p ON p.q_id = ex3.q_id
+                                         AND p.cell = a0.cell
+                  GROUP BY 1)
+      SELECT adc3.q_id, adc3.rank, adc3.vec_id AS neighbor_id, adc3.cell,
+             ${oround("adc_cosine", 4)} AS adc_cosine,
+             ${oround("true_cosine", 4)} AS true_cosine,
+             ${oround("CAST(coalesce(rc.hits, 0) AS DOUBLE) / 3.0", 4)}
+               AS recall3,
+             ${oround("CAST(coalesce(candT.hits_t, 0) AS DOUBLE) / 3.0", 4)}
+               AS cand_recall_trained,
+             ${oround("CAST(coalesce(candS.hits_s, 0) AS DOUBLE) / 3.0", 4)}
+               AS cand_recall_seeded
+      FROM adc3 JOIN exact ON adc3.q_id = exact.q_id
+                          AND adc3.vec_id = exact.vec_id
+           LEFT JOIN rc ON adc3.q_id = rc.q_id
+           LEFT JOIN candT ON adc3.q_id = candT.q_id
+           LEFT JOIN candS ON adc3.q_id = candS.q_id
+      ORDER BY adc3.q_id, adc3.rank"""))
+
   override def queries: Seq[QueryDef] =
     Seq(bruteForceTopK, lshTopK, ivfTopK, normStats, centroidDrift,
       kmeansRefine, lshMultiprobe, sq8Adc, jlProjection, knnClassify, pqAdc,
-      ivfPq)
+      ivfPq, ivfPqTrained)
 }

@@ -304,39 +304,53 @@ object SelectionQueries extends QueryModule {
   // plans stay constant-size instead of growing 4^K. The argmax pair
   // joins back as a 1-row broadcast (never a driver-side collect).
   //
-  // Determinism: symbols are encoded as a U+0001-PREFIXED string
-  // ("low" → "␁l␁o␁w") so the merge is a plain left-to-right literal
-  // `replace` of "␁a␁b" with "␁ab" — prefix-delimiting makes a symbol
-  // boundary unforgeable (no symbol contains ␁) AND keeps consecutive
-  // matches non-overlapping in BOTH engines ("␁a␁a␁a" merges to
-  // "␁aa␁a", the greedy BPE semantics). Pair counts are BIGINT sums;
-  // argmax ties break on (count DESC, pairkey ASC) — byte-identical
-  // string comparison in Spark and DuckDB.
-  private val BpeTrainK = 8
-  // the symbol-boundary delimiter: U+0001 cannot appear in whitespace-split
+  // Determinism: symbols are encoded as U+0001…U+0002 WRAPPED spans
+  // ("low" → "␁l␂␁o␂␁w␂") so the merge is a plain left-to-right literal
+  // `replace` of "␁a␂␁b␂" with "␁ab␂". Wrapping makes BOTH symbol
+  // boundaries unforgeable: the round-12 prefix-only form ("␁l␁o␁w",
+  // match "␁a␁b") could merge ACROSS a boundary when rhs was a proper
+  // prefix of a longer symbol — after (t,h)→th, a later argmax (x,t)
+  // matched inside "␁x␁th" and produced the non-BPE symbol "xth" in both
+  // engines identically, the flaw class the oracle can't see (round-13
+  // advisor; BpeRefSpec now pins the loop to an independent reference
+  // implementation). The end marker also keeps consecutive matches
+  // non-overlapping with greedy semantics ("␁a␂␁a␂␁a␂" merges to
+  // "␁aa␂␁a␂") because each match consumes exactly its own span. Pair
+  // counts are BIGINT sums; argmax ties break on (count DESC, pairkey
+  // ASC) — byte-identical string comparison in Spark and DuckDB.
+  private[queries] val BpeTrainK = 8
+  // symbol wrappers: U+0001/U+0002 cannot appear in whitespace-split
   // tokens, so a boundary inside a merged symbol is unforgeable
-  private val BpeD = "\u0001"
+  private[queries] val BpeD = "\u0001"
+  private[queries] val BpeE = "\u0002"
 
-  /** The K-merge training loop, shared by q_bpe_train_k (which reports
-    * the merge table) and q_bpe_encode (which consumes the final vocab
-    * state). Returns (final symbolized vocab (syms, cnt), per-step 1-row
-    * argmax frames (pairkey, pair_count, step)). */
-  private def bpeLoop(s: org.apache.spark.sql.SparkSession, dir: String)
-      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
-    val words0 = Tables.documents(s, dir)
+  /** Word-type frequency table of `docs`, each word symbolized to wrapped
+    * single characters — the BPE trainer's only corpus-sized pass. */
+  private def bpeWords(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .withColumn("syms", expr(
         s"concat_ws('', transform(sequence(1, length(word)), " +
-          s"i -> concat('$BpeD', substring(word, i, 1))))"))
+          s"i -> concat('$BpeD', substring(word, i, 1), '$BpeE')))"))
       .select(col("syms"), col("cnt"))
-    var v = words0.localCheckpoint(true)
+
+  /** The K-merge training loop, shared by q_bpe_train_k (which reports
+    * the merge table), q_bpe_encode (which consumes the final vocab
+    * state) and q_bpe_encode_holdout (which trains on a doc split).
+    * Returns (final symbolized vocab (syms, cnt), per-step 1-row
+    * argmax frames (pairkey, pair_count, step)). */
+  private[queries] def bpeLoopFrom(docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    var v = bpeWords(docs).localCheckpoint(true)
     val merges = scala.collection.mutable.ListBuffer
       .empty[org.apache.spark.sql.DataFrame]
     for (k <- 1 to BpeTrainK) {
       val pc = v
-        .withColumn("sa", expr(s"slice(split(syms, '$BpeD'), 2, 100000000)"))
+        .withColumn("sa", expr(
+          s"filter(split(replace(syms, '$BpeD', ''), '$BpeE'), x -> x <> '')"))
         .filter(size(col("sa")) >= 2)
         .select(col("cnt"), explode(expr(
           s"transform(sequence(0, size(sa) - 2), " +
@@ -345,44 +359,57 @@ object SelectionQueries extends QueryModule {
       val best = pc.orderBy(col("pair_count").desc, col("pairkey").asc)
         .limit(1).localCheckpoint(true)
       merges += best.withColumn("step", lit(k))
+      // pairkey "a␁b" → match "␁a␂␁b␂", replacement "␁ab␂": both
+      // boundaries of both symbols are asserted, so a match can neither
+      // start nor end inside a longer symbol
       v = v.crossJoin(broadcast(best.select(col("pairkey"))))
         .withColumn("syms", expr(
-          s"replace(syms, concat('$BpeD', pairkey), " +
-            s"concat('$BpeD', replace(pairkey, '$BpeD', '')))"))
+          s"replace(syms, concat('$BpeD', replace(pairkey, '$BpeD', '$BpeE$BpeD'), '$BpeE'), " +
+            s"concat('$BpeD', replace(pairkey, '$BpeD', ''), '$BpeE'))"))
         .select("syms", "cnt")
         .localCheckpoint(true)
     }
     (v, merges.toList)
   }
 
-  /** The unrolled K-iteration CTE chain (v0 … v$K, b1 … b$K) both BPE
-    * oracles share. Every vN/bN is MATERIALIZED: each is referenced
-    * twice (pair count + merge), the multiply-referenced-CTE blowup
-    * class PlanComplexitySpec documents. */
-  private def bpeCte: String = {
+  private def bpeLoop(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) =
+    bpeLoopFrom(Tables.documents(s, dir))
+
+  /** The unrolled K-iteration CTE chain (v0 … v$K, b1 … b$K) the BPE
+    * oracles share — the chr(1)/chr(2) wrapped-span twin of bpeLoopFrom.
+    * Every vN/bN is MATERIALIZED: each is referenced twice (pair count +
+    * merge), the multiply-referenced-CTE blowup class PlanComplexitySpec
+    * documents. `docsWhere` filters the training corpus (the holdout
+    * variant trains on a doc split). */
+  private def bpeCte(docsWhere: String = ""): String = {
     val iters = (1 to BpeTrainK).map { n =>
       s"""
         p$n AS (SELECT pairkey, CAST(sum(cnt) AS BIGINT) AS pair_count FROM (
                   SELECT cnt, unnest(list_transform(
                     generate_series(1, len(sa) - 1),
                     i -> sa[i] || chr(1) || sa[i + 1])) AS pairkey
-                  FROM (SELECT cnt, list_slice(l, 2, len(l)) AS sa
-                        FROM (SELECT cnt, string_split(syms, chr(1)) AS l
-                              FROM v${n - 1}))
+                  FROM (SELECT cnt, list_filter(
+                          string_split(replace(syms, chr(1), ''), chr(2)),
+                          x -> x <> '') AS sa
+                        FROM v${n - 1})
                   WHERE len(sa) >= 2)
                 GROUP BY 1),
         b$n AS MATERIALIZED (SELECT pairkey, pair_count FROM p$n
                 ORDER BY pair_count DESC, pairkey ASC LIMIT 1),
         v$n AS MATERIALIZED (
-          SELECT replace(v.syms, chr(1) || b.pairkey,
-                   chr(1) || replace(b.pairkey, chr(1), '')) AS syms, v.cnt
+          SELECT replace(v.syms,
+                   chr(1) || replace(b.pairkey, chr(1), chr(2) || chr(1)) || chr(2),
+                   chr(1) || replace(b.pairkey, chr(1), '') || chr(2)) AS syms,
+                 v.cnt
           FROM v${n - 1} v, b$n b)"""
     }.mkString(",")
     s"""v0 AS MATERIALIZED (
         SELECT list_aggregate(list_transform(generate_series(1, len(word)),
-                 i -> chr(1) || word[i]), 'string_agg', '') AS syms,
+                 i -> chr(1) || word[i] || chr(2)), 'string_agg', '') AS syms,
                CAST(count(*) AS BIGINT) AS cnt
-        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents$docsWhere)
         WHERE len(word) > 0
         GROUP BY word),$iters"""
   }
@@ -406,7 +433,7 @@ object SelectionQueries extends QueryModule {
             FROM b$n"""
       }.mkString(" UNION ALL ")
       s"""
-      WITH $bpeCte
+      WITH ${bpeCte()}
       SELECT * FROM ($steps) ORDER BY step"""
     })
 
@@ -425,7 +452,7 @@ object SelectionQueries extends QueryModule {
     (s, dir) => {
       val (vFinal, _) = bpeLoop(s, dir)
       val wdict = vFinal.select(
-        expr(s"replace(syms, '$BpeD', '')").as("word"),
+        expr(s"replace(replace(syms, '$BpeD', ''), '$BpeE', '')").as("word"),
         (size(split(col("syms"), BpeD)) - 1).cast("long").as("n_syms"))
       val words = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
@@ -444,8 +471,8 @@ object SelectionQueries extends QueryModule {
         .orderBy("lang")
     },
     Some(s"""
-      WITH $bpeCte,
-        wdict AS (SELECT replace(syms, chr(1), '') AS word,
+      WITH ${bpeCte()},
+        wdict AS (SELECT replace(replace(syms, chr(1), ''), chr(2), '') AS word,
                          CAST(len(string_split(syms, chr(1))) - 1 AS BIGINT)
                            AS n_syms
                   FROM v$BpeTrainK),
@@ -464,6 +491,74 @@ object SelectionQueries extends QueryModule {
                "CAST(sum(len(w.word)) AS DOUBLE) / sum(wdict.n_syms)", 4)}
                AS chars_per_token
       FROM w JOIN wdict ON w.word = wdict.word
+      GROUP BY w.lang ORDER BY w.lang"""))
+
+  // ---------------------------------------------------------------------
+  // Held-out BPE encode (round-13 verdict #5 — the tokenizer-APPLY case):
+  // train the K merges on a deterministic 80% doc split, encode the
+  // complement, and report per-language OOV mass. The plain q_bpe_encode
+  // inner-joins the training vocab — total on the training corpus by
+  // construction, but the moment the encoder meets unseen data an
+  // out-of-vocabulary word type silently vanishes. Here the dictionary
+  // join is LEFT with a character-count fallback (an unseen word encodes
+  // to its characters — the base-vocabulary floor every real BPE
+  // tokenizer keeps), and oov_words / oov_frac make the dropped-mass
+  // question part of the certified result.
+  //
+  // Scale: identical to q_bpe_encode — the trainer is vocabulary-bounded
+  // after one word-count pass over the (80%) corpus; the apply side is
+  // one explode + an equi-join on the word key; the OOV fallback is a
+  // row-local coalesce, no extra pass.
+  private val bpeEncodeHoldout = QueryDef(
+    "q_bpe_encode_holdout",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (vFinal, _) = bpeLoopFrom(docs.filter(pmod(col("doc_id"), lit(5)) < 4))
+      val wdict = vFinal.select(
+        expr(s"replace(replace(syms, '$BpeD', ''), '$BpeE', '')").as("word"),
+        (size(split(col("syms"), BpeD)) - 1).cast("long").as("n_syms"))
+      val words = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      words.join(wdict, Seq("word"), "left")
+        .withColumn("oov", col("n_syms").isNull)
+        .withColumn("n_syms_eff",
+          coalesce(col("n_syms"), length(col("word")).cast("long")))
+        .groupBy("lang")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("ws_tokens"),
+          sum("n_syms_eff").as("bpe_tokens"),
+          sum(when(col("oov"), 1L).otherwise(0L)).as("oov_words"))
+        .withColumn("oov_frac",
+          dround(col("oov_words").cast("double") / col("ws_tokens"), 4))
+        .withColumn("tokens_per_word",
+          dround(col("bpe_tokens").cast("double") / col("ws_tokens"), 4))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH ${bpeCte(" WHERE doc_id % 5 < 4")},
+        wdict AS (SELECT replace(replace(syms, chr(1), ''), chr(2), '') AS word,
+                         CAST(len(string_split(syms, chr(1))) - 1 AS BIGINT)
+                           AS n_syms
+                  FROM v$BpeTrainK),
+        w AS (SELECT doc_id, lang, word FROM (
+                SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+                FROM documents WHERE doc_id % 5 = 4)
+              WHERE len(word) > 0)
+      SELECT w.lang, CAST(count(DISTINCT w.doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS ws_tokens,
+             CAST(sum(coalesce(wdict.n_syms, len(w.word))) AS BIGINT)
+               AS bpe_tokens,
+             CAST(sum(CASE WHEN wdict.n_syms IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS oov_words,
+             ${oround(
+               "CAST(sum(CASE WHEN wdict.n_syms IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)",
+               4)} AS oov_frac,
+             ${oround(
+               "CAST(sum(coalesce(wdict.n_syms, len(w.word))) AS DOUBLE) / count(*)",
+               4)} AS tokens_per_word
+      FROM w LEFT JOIN wdict ON w.word = wdict.word
       GROUP BY w.lang ORDER BY w.lang"""))
 
   // ---------------------------------------------------------------------
@@ -1088,7 +1183,8 @@ object SelectionQueries extends QueryModule {
       FROM fin ORDER BY decile"""))
 
   def queries: Seq[QueryDef] =
-    Seq(dsir, hybrid, bpeMerge, bpeTrain, bpeEncode, ppxBuckets, cdcChunks, tempMix,
+    Seq(dsir, hybrid, bpeMerge, bpeTrain, bpeEncode, bpeEncodeHoldout,
+      ppxBuckets, cdcChunks, tempMix,
       qualityClassifier, targetEncoding, rocAuc, calibrationBins,
       thresholdSweep, decileLift)
 }

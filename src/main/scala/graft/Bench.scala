@@ -458,8 +458,11 @@ object Bench {
         val benchedNames = benched.map(_.name).toSet
         val reserved = tier0Families.flatMap { fam =>
           val present = fam.filter(benchedNames)
+          // the member NOT measured last round runs this round; if both
+          // were measured (budget reached everything), take the tail to
+          // offset the head's natural tier ordering advantage
           present.filterNot(prevSf1.contains).headOption
-            .orElse(present.headOption)
+            .orElse(present.lastOption)
         }.toSet
         if (reserved.nonEmpty)
           System.err.println(s"[bench] sf1 tier-0 reserve: ${reserved.mkString(", ")}")
@@ -581,6 +584,29 @@ object Bench {
           } else None
         }
         val stillBoxed = boxed.toList.filterNot(boxedRetried.contains)
+        // whatever the rerun reserve didn't spend flows BACK into coverage:
+        // resume the skipped list cheapest-frozen-first until the budget is
+        // truly gone (round 13 — the sum of all frozen sf1 minima is ~97%
+        // of the default budget, so every unspent reserve second is a
+        // skipped query on the margin)
+        val resumed = scala.collection.mutable.ListBuffer.empty[String]
+        skipped.toList.sortBy(n => frozen1.getOrElse(n, Double.MaxValue))
+          .foreach { n =>
+            val expect = frozen1.getOrElse(n, 10.0)
+            if (spent + expect < sf1Budget) {
+              val box = math.min(benchTimeout.toDouble,
+                math.max(5.0, math.min(8 * expect, sf1Budget - spent))).toLong
+              val t0 = System.nanoTime()
+              val r = timeOnce(byName(n), sf1Dir, box, phase = "sf1-resume")
+              record1(n, r)
+              spent += (System.nanoTime() - t0) / 1e9
+              r.foreach { t => done(n) = t; resumed += n }
+            }
+          }
+        if (resumed.nonEmpty)
+          System.err.println(s"[bench] sf1 resume pass measured " +
+            s"${resumed.size} previously-skipped: ${resumed.mkString(",")}")
+        skipped --= resumed
         Some((done.toList.map { case (n, t) => n -> r3(t) }.sortBy(_._1),
           (skipped.toList ++ stillBoxed).sorted, sfailed.toList, stillBoxed,
           attempts1.toList.collect { case (n, ts) if ts.size > 1 => n -> ts.toList }))

@@ -40,25 +40,36 @@ object IterScale {
     * binds — past that a real cluster tunes the session value itself). */
   val MaxPartitions: Int = 4096
 
-  def scaledParts(spark: SparkSession, nRows: Long): Int = {
-    val base = spark.sessionState.conf.numShufflePartitions
+  private val Key = "spark.sql.shuffle.partitions"
+
+  /** The session's UNSCALED partition setting, captured the first time
+    * this session passes through here. Restores always target this
+    * baseline: with concurrent queries in one session (graft.Verify runs
+    * 8 at a time), a naive save/restore can capture another call's
+    * TEMPORARY value as "old" and leave the session permanently scaled.
+    * Two overlapping scaled bodies may still briefly see each other's
+    * setting — a perf-only effect; the terminal state is always the
+    * baseline, and correctness never depends on partition count. */
+  private val baseline =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Int]()
+
+  def scaledParts(base: Int, nRows: Long): Int = {
     val scaled = ((nRows + RowsPerPartition - 1) / RowsPerPartition).toInt
     math.max(base, math.min(MaxPartitions, scaled))
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` scaled to `nRows`
-    * edge rows, restoring the caller's value after. `body` must execute
-    * its shuffles eagerly (see class doc). */
+    * edge rows, restoring the session's baseline after. `body` must
+    * execute its shuffles eagerly (see class doc). */
   def withEdgeScaledShuffle[T](spark: SparkSession, nRows: Long)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    val parts = scaledParts(spark, nRows)
-    if (parts.toString == old) body
+    val base = baseline.computeIfAbsent(spark, s => s.conf.get(Key).toInt)
+    val parts = scaledParts(base, nRows)
+    if (parts == base) body
     else {
-      spark.conf.set(key, parts.toString)
+      spark.conf.set(Key, parts.toString)
       System.err.println(s"[iterscale] $nRows edge rows -> $parts shuffle " +
-        s"partitions (session $old)")
-      try body finally spark.conf.set(key, old)
+        s"partitions (session baseline $base)")
+      try body finally spark.conf.set(Key, base.toString)
     }
   }
 }

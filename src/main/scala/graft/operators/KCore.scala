@@ -71,7 +71,10 @@ object KCore {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ed = pinned
     // the round-0 count fills the base cache (round 1 would pay that fill
-    // anyway) and drives the regime gate
+    // anyway) and drives the regime gate — and, round 13, sizes the peel
+    // rounds' reduce parallelism (IterScale: same fixed-32-partition
+    // scale-killer as the PageRank family; every round below executes
+    // eagerly inside the scope, so the conf wrap is sound)
     var edCount = ed.count()
     val out = Seq.newBuilder[(Int, Long, Long)]
     // Fixed-point short-circuit (round-10 probe: the lineitem co-purchase
@@ -87,6 +90,7 @@ object KCore {
     // and each skipped sweep is three shuffles over the full edge frame.
     var fixedPoint = false
     var lastAlive = 0L
+    IterScale.withEdgeScaledShuffle(spark, edCount) {
     for (i <- 1 to rounds) {
       if (fixedPoint) out += ((i, lastAlive, edCount))
       else {
@@ -127,6 +131,7 @@ object KCore {
         } finally alive.unpersist()
       }
     }
+    } // IterScale scope
     pinned.unpersist()
     out.result().toDF("round", "n_nodes", "n_edges")
       .select(col("round").cast("long").as("round"),

@@ -43,22 +43,31 @@ object ConnectedComponents {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
+    // the count fills the symmetrized cache (the old isEmpty probe read
+    // one partition and left the fill to round 1) and sizes the rounds'
+    // reduce parallelism (IterScale, round 13 — the iterative family's
+    // fixed-partition rounds were the one superlinear decade ratio);
+    // every round executes eagerly inside the scope (localCheckpoint +
+    // the convergence probe), so the conf wrap is sound
+    val nEdges = sym.count()
     var comp = vertices.select(col("id"), col("id").as("comp")).localCheckpoint()
     var iter = 0
-    var done = sym.isEmpty
-    while (!done && iter < maxIter) {
-      val nbrMin = sym.join(comp, sym("src") === comp("id"))
-        .select(col("dst").as("nid"), col("comp").as("ncomp"))
-        .groupBy("nid").agg(min("ncomp").as("nbr_min"))
-      val next = comp.join(nbrMin, comp("id") === nbrMin("nid"), "left")
-        .select(comp("id"),
-          least(comp("comp"), coalesce(col("nbr_min"), comp("comp"))).as("comp"))
-        .localCheckpoint() // eager: materializes AND truncates lineage
-      done = next.as("n").join(comp.as("o"), Seq("id"))
-        .filter(col("n.comp") =!= col("o.comp")).isEmpty
-      comp.unpersist()
-      comp = next
-      iter += 1
+    var done = nEdges == 0L
+    IterScale.withEdgeScaledShuffle(sym.sparkSession, nEdges) {
+      while (!done && iter < maxIter) {
+        val nbrMin = sym.join(comp, sym("src") === comp("id"))
+          .select(col("dst").as("nid"), col("comp").as("ncomp"))
+          .groupBy("nid").agg(min("ncomp").as("nbr_min"))
+        val next = comp.join(nbrMin, comp("id") === nbrMin("nid"), "left")
+          .select(comp("id"),
+            least(comp("comp"), coalesce(col("nbr_min"), comp("comp"))).as("comp"))
+          .localCheckpoint() // eager: materializes AND truncates lineage
+        done = next.as("n").join(comp.as("o"), Seq("id"))
+          .filter(col("n.comp") =!= col("o.comp")).isEmpty
+        comp.unpersist()
+        comp = next
+        iter += 1
+      }
     }
     sym.unpersist()
     (comp, done)

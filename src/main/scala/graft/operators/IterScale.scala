@@ -54,8 +54,12 @@ object IterScale {
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Int]()
 
   def scaledParts(base: Int, nRows: Long): Int = {
-    val scaled = ((nRows + RowsPerPartition - 1) / RowsPerPartition).toInt
-    math.max(base, math.min(MaxPartitions, scaled))
+    // ceil-divide WITHOUT the additive form ((n + unit - 1) overflows
+    // Long near MaxValue and the cap guard would silently vanish —
+    // IterScaleSpec pins this), clamp in Long before narrowing
+    val scaled = nRows / RowsPerPartition +
+      (if (nRows % RowsPerPartition == 0) 0L else 1L)
+    math.max(base, math.min(MaxPartitions.toLong, scaled).toInt)
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` scaled to `nRows`

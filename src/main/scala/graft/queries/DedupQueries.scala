@@ -536,7 +536,22 @@ $ccOracleCtes,
     bench = false) // same iterative fixpoint as its clustering sibling
 
   // -- n-gram Jaccard blocked by (lang, token-count bucket): exact trigram
-  //    Jaccard inside cheap blocks (the classic blocking alternative to LSH)
+  //    Jaccard inside cheap blocks (the classic blocking alternative to
+  //    LSH). Round 13: POSTING-LIST form. The r12 pairwise form joined
+  //    whole blocks against themselves (every pair pays an
+  //    array_intersect over ~150-gram arrays) — block population grows
+  //    linearly with the corpus, so pair mass grows QUADRATICALLY and the
+  //    sf10 run blew the 600 s box. The inverted-index form self-joins
+  //    the exploded (lang, block, gram) postings: a pair surfaces once
+  //    per SHARED gram, so work is Σ_gram (docs-per-gram)² — bounded by
+  //    gram rarity, near-linear on real text — and zero-overlap pairs
+  //    are never materialized at all; their count comes from the
+  //    closed-form C(n,2) per block. Jaccard lands on the 1e-9 integer
+  //    grid before any aggregation, so the per-language sums are exact
+  //    BIGINT adds — order-free, bit-identical in both engines at any
+  //    partitioning (the old double avg survived dround(4) by luck).
+  //    Both-empty pairs (docs under 3 tokens) are excluded from the avg
+  //    denominator exactly as the pairwise form's NULL 0/0 was.
   private val ngramJaccard = QueryDef(
     "q_ngram_jaccard_blocked",
     (s, dir) => {
@@ -549,19 +564,44 @@ $ccOracleCtes,
                   THEN array_distinct(transform(sequence(0, size(toks) - 3),
                                       i -> concat_ws(' ', slice(toks, i + 1, 3))))
                   ELSE array() END"""))
-        .select(col("doc_id"), col("lang"), col("block"), col("grams"))
-      val pairs = d.as("a").join(d.as("b"),
-          col("a.lang") === col("b.lang") && col("a.block") === col("b.block") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .withColumn("jaccard",
-          size(array_intersect(col("a.grams"), col("b.grams"))).cast("double")
-            / size(array_union(col("a.grams"), col("b.grams"))))
-      pairs.groupBy(col("a.lang").as("lang"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("jaccard") > 0.0, 1).otherwise(0)).as("n_overlapping"),
-          dround(avg("jaccard"), 4).as("avg_jaccard"),
-          dround(max("jaccard"), 4).as("max_jaccard"))
-        .orderBy("lang")
+        .select(col("doc_id"), col("lang"), col("block"),
+          size(col("grams")).cast("long").as("sz"), col("grams"))
+      Cached.withCached(d) {
+        // closed-form pair counts per (lang, block) cell: all pairs, and
+        // the both-empty pairs the pairwise form's 0/0 made NULL
+        val cells = d.groupBy("lang", "block")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("sz") === 0, 1L).otherwise(0L)).as("ne"))
+        val perLangPairs = cells.groupBy("lang")
+          .agg(sum(expr("n * (n - 1) DIV 2")).as("n_pairs"),
+            sum(expr("n * (n - 1) DIV 2 - ne * (ne - 1) DIV 2"))
+              .as("n_denom"))
+        val ex = d.select(col("doc_id"), col("lang"), col("block"),
+          col("sz"), explode(col("grams")).as("g"))
+        val ov = ex.as("a").join(ex.as("b"),
+            col("a.lang") === col("b.lang") &&
+              col("a.block") === col("b.block") &&
+              col("a.g") === col("b.g") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.lang").as("lang"), col("a.block").as("block"),
+            col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            col("a.sz").as("sza"), col("b.sz").as("szb"))
+          .agg(count(lit(1)).as("isect"))
+          .withColumn("jacc_u", expr(
+            "(isect * 1000000000L) DIV (sza + szb - isect)"))
+        val ovLang = ov.groupBy("lang")
+          .agg(count(lit(1)).as("n_overlapping"),
+            sum("jacc_u").as("sum_jacc_u"),
+            max("jacc_u").as("max_jacc_u"))
+        perLangPairs.join(ovLang, Seq("lang"), "left")
+          .select(col("lang"), col("n_pairs"),
+            coalesce(col("n_overlapping"), lit(0L)).as("n_overlapping"),
+            dround(coalesce(col("sum_jacc_u"), lit(0L)).cast("double")
+              / lit(1e9) / col("n_denom"), 4).as("avg_jaccard"),
+            dround(coalesce(col("max_jacc_u"), lit(0L)).cast("double")
+              / lit(1e9), 4).as("max_jaccard"))
+          .orderBy("lang")
+      }
     },
     Some(s"""
       WITH d AS (SELECT doc_id, lang,
@@ -569,17 +609,42 @@ $ccOracleCtes,
                    list_distinct(list_transform(generate_series(1, len(toks) - 2),
                      i -> array_to_string(toks[i:i+2], ' '))) AS grams
                  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)),
-        pairs AS (SELECT a.lang AS lang,
-                    CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
-                      / (len(a.grams) + len(b.grams)
-                         - len(list_filter(a.grams, x -> list_contains(b.grams, x)))) AS jaccard
-                  FROM d a JOIN d b
-                    ON a.lang = b.lang AND a.block = b.block AND a.doc_id < b.doc_id)
-      SELECT lang, count(*) AS n_pairs,
-             CAST(sum(CASE WHEN jaccard > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlapping,
-             ${oround("avg(jaccard)", 4)} AS avg_jaccard,
-             ${oround("max(jaccard)", 4)} AS max_jaccard
-      FROM pairs GROUP BY lang ORDER BY lang"""))
+        dd AS MATERIALIZED (SELECT doc_id, lang, block,
+                CAST(len(grams) AS BIGINT) AS sz, grams FROM d),
+        cells AS (SELECT lang, block, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CASE WHEN sz = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS ne
+                  FROM dd GROUP BY lang, block),
+        plp AS (SELECT lang,
+                  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_pairs,
+                  CAST(sum(n * (n - 1) // 2 - ne * (ne - 1) // 2) AS BIGINT)
+                    AS n_denom
+                FROM cells GROUP BY lang),
+        ex AS MATERIALIZED (SELECT doc_id, lang, block, sz,
+                unnest(grams) AS g FROM dd),
+        ov AS (SELECT a.lang AS lang, a.doc_id AS da, b.doc_id AS db,
+                 a.sz AS sza, b.sz AS szb,
+                 CAST(count(*) AS BIGINT) AS isect
+               FROM ex a JOIN ex b
+                 ON a.lang = b.lang AND a.block = b.block AND a.g = b.g
+                    AND a.doc_id < b.doc_id
+               GROUP BY 1, 2, 3, 4, 5),
+        ovj AS (SELECT lang,
+                  (isect * 1000000000) // (sza + szb - isect) AS jacc_u
+                FROM ov),
+        ovl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_overlapping,
+                  CAST(sum(jacc_u) AS BIGINT) AS sum_jacc_u,
+                  CAST(max(jacc_u) AS BIGINT) AS max_jacc_u
+                FROM ovj GROUP BY lang)
+      SELECT plp.lang, plp.n_pairs,
+             CAST(coalesce(ovl.n_overlapping, 0) AS BIGINT) AS n_overlapping,
+             ${oround(
+               "CAST(coalesce(ovl.sum_jacc_u, 0) AS DOUBLE) / 1e9 / plp.n_denom",
+               4)} AS avg_jaccard,
+             ${oround("CAST(coalesce(ovl.max_jacc_u, 0) AS DOUBLE) / 1e9", 4)}
+               AS max_jaccard
+      FROM plp LEFT JOIN ovl ON plp.lang = ovl.lang
+      ORDER BY plp.lang"""))
 
   // -- embedding cosine near-dup, blocked on (label, sign-LSH bucket) — the
   //    same 16-bucket hash the ANN path uses (EmbeddingQueries.bucketSpark).

@@ -268,8 +268,23 @@ object Bench {
             fut.cancel(true)
             None
           case e: Throwable =>
-            System.err.println(s"[bench] run of ${q.name} aborted pre-box " +
-              s"(${e.getClass.getSimpleName})")
+            // Round 14 (advisor): a swallowed InterruptedException must
+            // re-set the thread's interrupt flag, and a genuine abort must
+            // be adjudicable FROM THE ARTIFACT like boxed kills are — an
+            // ExecutionException's useful message lives on its cause.
+            if (e.isInstanceOf[InterruptedException])
+              Thread.currentThread().interrupt()
+            val cause = e match {
+              case ee: java.util.concurrent.ExecutionException
+                if ee.getCause != null => ee.getCause
+              case other => other
+            }
+            val msg = (cause.getClass.getSimpleName + ": " +
+              String.valueOf(cause.getMessage)).take(160)
+            System.err.println(
+              s"[bench] run of ${q.name} aborted pre-box ($msg)")
+            diag += s"""{"q":"${esc(q.name)}","kind":"abort",""" +
+              s""""phase":"${esc(phase)}","err":"${esc(msg)}"}"""
             spark.sparkContext.cancelJobGroupAndFutureJobs(group)
             fut.cancel(true)
             None
@@ -388,28 +403,48 @@ object Bench {
     val afterRerun = timed.collect { case (n, Some(t)) =>
       n -> rerunTimes.get(n).fold(t)(math.min(t, _))
     }
-    // FINAL ADJUDICATION PASS (round-13 verdict #1b): any line STILL >2×
-    // its frozen minimum after the targeted rerun gets one more attempt,
-    // deliberately DECORRELATED from whatever pressure produced the first
-    // two (full GC + settle sleep + pre-clear first). Bounded at 3
-    // queries, worst-over-freeze first. r12 shipped three such lines whose
-    // min-of-2 attempts were BOTH hot (judge solo refuted all three); this
-    // pass either lands the real number or leaves three in-artifact
-    // attempts proving the environment, not the plan.
-    val stillOver = afterRerun.collect {
+    // FINAL ADJUDICATION PASS (round-13 verdict #1b, cap made ADAPTIVE in
+    // round 14 — verdict #3): any line STILL >2× its frozen minimum after
+    // the targeted rerun gets one more attempt, deliberately DECORRELATED
+    // from whatever pressure produced the first two (full GC + settle
+    // sleep + pre-clear first). The r13 artifact shipped six refuted >2×
+    // lines because the flat cap of 3 ran out — the cap now binds only
+    // the EXPENSIVE lines (current attempt ≥ 5 s, worst-over-freeze
+    // first, max 3); a cheap line costs almost nothing to retry, so every
+    // cheap >2× line is adjudicated, with a second attempt if the first
+    // retry is still hot. Either the real number lands or the artifact
+    // carries the attempts proving the environment, not the plan.
+    val afterMap = afterRerun.toMap
+    val stillOverAll = afterRerun.collect {
       case (n, t) if frozen01.get(n).exists(f => t > 2 * f) =>
-        n -> t / frozen01(n)
-    }.sortBy(-_._2).map(_._1).take(3)
-    val finalTimes = stillOver.flatMap { n =>
-      System.gc()
-      Thread.sleep(2000)
-      preClear()
-      val t = timeOnce(byName(n), sfDir).map(r3)
-      record01(n, t)
-      System.err.println(s"[bench] final adjudication of $n: " +
-        s"${t.fold("failed")(_.toString)} s (freeze ${frozen01.get(n)})")
-      t.map(n -> _)
-    }.toMap
+        (n, t, t / frozen01(n))
+    }.sortBy(-_._3)
+    val (cheapOver, expOver) = stillOverAll.partition(_._2 < 5.0)
+    val stillOver = (expOver.take(3) ++ cheapOver).map(_._1)
+    if (expOver.size > 3)
+      System.err.println(s"[bench] final pass: expensive >2x lines beyond " +
+        s"cap left as-is: ${expOver.drop(3).map(_._1).mkString(",")}")
+    val finalTimes = scala.collection.mutable.Map.empty[String, Double]
+    stillOver.foreach { n =>
+      val f = frozen01(n)
+      val passes = if (afterMap(n) < 5.0) 2 else 1
+      var cur = afterMap(n)
+      var p = 0
+      while (p < passes && cur > 2 * f) {
+        System.gc()
+        Thread.sleep(2000)
+        preClear()
+        val t = timeOnce(byName(n), sfDir).map(r3)
+        record01(n, t)
+        System.err.println(s"[bench] final adjudication of $n: " +
+          s"${t.fold("failed")(_.toString)} s (freeze $f)")
+        t.foreach { v =>
+          cur = math.min(cur, v)
+          finalTimes(n) = finalTimes.get(n).fold(v)(math.min(v, _))
+        }
+        p += 1
+      }
+    }
     val results = afterRerun.map { case (n, t) =>
       n -> finalTimes.get(n).fold(t)(math.min(t, _))
     }
@@ -567,14 +602,29 @@ object Bench {
           System.err.println(s"[bench] sf1 rerun pass covered $rerun1 of " +
             s"${rr.size} suspects before the budget ran out: " +
             rr.drop(rerun1).mkString(","))
-        // a boxed query gets ONE post-GC retry with whatever budget is
-        // left — if the kill was an environmental hang (the r11 class),
-        // the retry lands its real number instead of a hole
+        // a boxed query gets ONE post-GC decorrelated retry — round 14
+        // (verdict #1): the r13 driver run shipped TEN phantom sf1 boxed
+        // kills (all 1.4-1.9× freeze solo) because the kills themselves
+        // exhausted the budget and the old `spent < sf1Budget` guard then
+        // skipped every retry. The retry pass now carries its own bounded
+        // OVERFLOW allowance past the budget (the kills already proved the
+        // environment, and each phantom is seconds solo), fires a full GC
+        // + settle first (an in-sweep retry inherits the pressure that
+        // produced the kill — the r10 lesson), and every attempt lands in
+        // the artifact's sf1 `attempts` map.
+        val boxedOverflow = math.min(90.0, 12.0 * boxed.size)
+        if (boxed.nonEmpty) {
+          System.gc()
+          Thread.sleep(2000)
+          System.err.println(s"[bench] sf1 boxed-retry pass: ${boxed.size} " +
+            s"kills, overflow allowance ${boxedOverflow}s — gc_total=${gcMs}ms")
+        }
         val boxedRetried = boxed.toList.flatMap { n =>
-          if (spent < sf1Budget) {
+          if (spent < sf1Budget + boxedOverflow) {
             preClear()
             val box = math.min(benchTimeout.toDouble,
-              math.max(5.0, (sf1Budget - spent) / 2)).toLong
+              math.max(15.0, frozen1.get(n).map(8 * _)
+                .getOrElse((sf1Budget + boxedOverflow - spent) / 2))).toLong
             val t0 = System.nanoTime()
             val r = timeOnce(byName(n), sf1Dir, box, phase = "sf1-boxretry")
             record1(n, r)
@@ -609,7 +659,12 @@ object Bench {
         skipped --= resumed
         Some((done.toList.map { case (n, t) => n -> r3(t) }.sortBy(_._1),
           (skipped.toList ++ stillBoxed).sorted, sfailed.toList, stillBoxed,
-          attempts1.toList.collect { case (n, ts) if ts.size > 1 => n -> ts.toList }))
+          // a retried boxed kill ships its (single) successful attempt too —
+          // that IS the in-artifact retry evidence the r13 verdict asked for
+          attempts1.toList.collect {
+            case (n, ts) if ts.size > 1 || boxedRetried.contains(n) =>
+              n -> ts.toList
+          }))
       }
 
     // self-adjudication payload: per-attempt times for every query that

@@ -51,7 +51,18 @@ object IterScale {
     * setting — a perf-only effect; the terminal state is always the
     * baseline, and correctness never depends on partition count. */
   private val baseline =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Int]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Integer]()
+
+  /** Count of scaled scopes currently active per session. Round-14
+    * (advisor): the first-seen baseline was PERMANENT, so a legitimate
+    * later change to the session's shuffle-partition setting was silently
+    * reverted by the next scaled call's restore. When NO scaled scope is
+    * active, the observed session value is authoritative and refreshes
+    * the stored baseline; while any scope is active the observed value
+    * may be a temporary scaled one and the stored baseline stands. */
+  private val activeScopes =
+    new java.util.concurrent.ConcurrentHashMap[
+      SparkSession, java.util.concurrent.atomic.AtomicInteger]()
 
   def scaledParts(base: Int, nRows: Long): Int = {
     // ceil-divide WITHOUT the additive form ((n + unit - 1) overflows
@@ -66,14 +77,26 @@ object IterScale {
     * edge rows, restoring the session's baseline after. `body` must
     * execute its shuffles eagerly (see class doc). */
   def withEdgeScaledShuffle[T](spark: SparkSession, nRows: Long)(body: => T): T = {
-    val base = baseline.computeIfAbsent(spark, s => s.conf.get(Key).toInt)
+    val depth = activeScopes.computeIfAbsent(
+      spark, _ => new java.util.concurrent.atomic.AtomicInteger(0))
+    val observed = spark.conf.get(Key).toInt
+    val base: Int = baseline.compute(spark, (_, prev) =>
+      if (prev == null || (depth.get() == 0 && observed != prev.intValue()))
+        Integer.valueOf(observed)
+      else prev).intValue()
     val parts = scaledParts(base, nRows)
     if (parts == base) body
     else {
+      // increment BEFORE the conf write: a concurrent entrant must never
+      // observe the scaled value at depth 0 (it would adopt it as baseline)
+      depth.incrementAndGet()
       spark.conf.set(Key, parts.toString)
       System.err.println(s"[iterscale] $nRows edge rows -> $parts shuffle " +
         s"partitions (session baseline $base)")
-      try body finally spark.conf.set(Key, base.toString)
+      try body finally {
+        spark.conf.set(Key, base.toString)
+        depth.decrementAndGet()
+      }
     }
   }
 }

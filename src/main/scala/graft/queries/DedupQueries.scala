@@ -552,6 +552,21 @@ $ccOracleCtes,
   //    partitioning (the old double avg survived dround(4) by luck).
   //    Both-empty pairs (docs under 3 tokens) are excluded from the avg
   //    denominator exactly as the pairwise form's NULL 0/0 was.
+  //    Round 14 (verdict #2): STOP-GRAM guard. The posting self-join's
+  //    work is Σ_gram df² — "bounded by gram rarity" holds for real text,
+  //    but ONE boilerplate trigram shared by a whole (lang, block) cell
+  //    makes that key's pair mass quadratic again (the same skewed-key
+  //    class the MinHash family caps with MaxBucket). Grams whose
+  //    (lang, block) posting length exceeds [[StopGramCap]] are dropped
+  //    from the overlap join in BOTH engines (the oracle mirrors the cap),
+  //    and the dropped mass is reported in-result (`n_stop_grams`,
+  //    `stop_postings`) — no silent truncation. A ubiquitous gram carries
+  //    near-zero dedup signal anyway (every pair shares it), so capping it
+  //    biases jaccard DOWN only for pairs whose overlap was mostly
+  //    boilerplate — the LSH-family trade-off, now deterministic and
+  //    certified. NgramStopGramSpec plants such a gram and pins both the
+  //    bounded pair mass and the reported drop columns.
+  private[queries] val StopGramCap = 256
   private val ngramJaccard = QueryDef(
     "q_ngram_jaccard_blocked",
     (s, dir) => {
@@ -566,7 +581,13 @@ $ccOracleCtes,
                   ELSE array() END"""))
         .select(col("doc_id"), col("lang"), col("block"),
           size(col("grams")).cast("long").as("sz"), col("grams"))
-      Cached.withCached(d) {
+      val ex = d.select(col("doc_id"), col("lang"), col("block"),
+        col("sz"), explode(col("grams")).as("g"))
+      // posting length per gram key — the stop-gram census (small: one row
+      // per distinct gram key) is pinned so the kept-join filter and the
+      // per-language drop report don't recompute the postings groupBy
+      val pf = ex.groupBy("lang", "block", "g").agg(count(lit(1)).as("df"))
+      Cached.withCached(d, pf) {
         // closed-form pair counts per (lang, block) cell: all pairs, and
         // the both-empty pairs the pairwise form's 0/0 made NULL
         val cells = d.groupBy("lang", "block")
@@ -576,9 +597,13 @@ $ccOracleCtes,
           .agg(sum(expr("n * (n - 1) DIV 2")).as("n_pairs"),
             sum(expr("n * (n - 1) DIV 2 - ne * (ne - 1) DIV 2"))
               .as("n_denom"))
-        val ex = d.select(col("doc_id"), col("lang"), col("block"),
-          col("sz"), explode(col("grams")).as("g"))
-        val ov = ex.as("a").join(ex.as("b"),
+        val kept = ex.join(
+          pf.filter(col("df") <= StopGramCap).select("lang", "block", "g"),
+          Seq("lang", "block", "g"))
+        val stops = pf.filter(col("df") > StopGramCap).groupBy("lang")
+          .agg(count(lit(1)).as("n_stop_grams"),
+            sum("df").as("stop_postings"))
+        val ov = kept.as("a").join(kept.as("b"),
             col("a.lang") === col("b.lang") &&
               col("a.block") === col("b.block") &&
               col("a.g") === col("b.g") &&
@@ -594,12 +619,20 @@ $ccOracleCtes,
             sum("jacc_u").as("sum_jacc_u"),
             max("jacc_u").as("max_jacc_u"))
         perLangPairs.join(ovLang, Seq("lang"), "left")
+          .join(stops, Seq("lang"), "left")
           .select(col("lang"), col("n_pairs"),
             coalesce(col("n_overlapping"), lit(0L)).as("n_overlapping"),
-            dround(coalesce(col("sum_jacc_u"), lit(0L)).cast("double")
-              / lit(1e9) / col("n_denom"), 4).as("avg_jaccard"),
+            // n_denom = 0 (every pair both-empty) → NULL in both engines:
+            // Spark's Divide would NULL on /0 but DuckDB's double division
+            // can yield inf/nan — guard the denominator explicitly (r14
+            // advisor)
+            when(col("n_denom") > 0,
+              dround(coalesce(col("sum_jacc_u"), lit(0L)).cast("double")
+                / lit(1e9) / col("n_denom"), 4)).as("avg_jaccard"),
             dround(coalesce(col("max_jacc_u"), lit(0L)).cast("double")
-              / lit(1e9), 4).as("max_jaccard"))
+              / lit(1e9), 4).as("max_jaccard"),
+            coalesce(col("n_stop_grams"), lit(0L)).as("n_stop_grams"),
+            coalesce(col("stop_postings"), lit(0L)).as("stop_postings"))
           .orderBy("lang")
       }
     },
@@ -622,10 +655,21 @@ $ccOracleCtes,
                 FROM cells GROUP BY lang),
         ex AS MATERIALIZED (SELECT doc_id, lang, block, sz,
                 unnest(grams) AS g FROM dd),
+        pf AS MATERIALIZED (SELECT lang, block, g,
+                CAST(count(*) AS BIGINT) AS df
+              FROM ex GROUP BY 1, 2, 3),
+        kept AS (SELECT ex.doc_id, ex.lang, ex.block, ex.sz, ex.g
+                 FROM ex JOIN pf
+                   ON ex.lang = pf.lang AND ex.block = pf.block
+                      AND ex.g = pf.g
+                 WHERE pf.df <= $StopGramCap),
+        stops AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_stop_grams,
+                    CAST(sum(df) AS BIGINT) AS stop_postings
+                  FROM pf WHERE df > $StopGramCap GROUP BY lang),
         ov AS (SELECT a.lang AS lang, a.doc_id AS da, b.doc_id AS db,
                  a.sz AS sza, b.sz AS szb,
                  CAST(count(*) AS BIGINT) AS isect
-               FROM ex a JOIN ex b
+               FROM kept a JOIN kept b
                  ON a.lang = b.lang AND a.block = b.block AND a.g = b.g
                     AND a.doc_id < b.doc_id
                GROUP BY 1, 2, 3, 4, 5),
@@ -638,12 +682,15 @@ $ccOracleCtes,
                 FROM ovj GROUP BY lang)
       SELECT plp.lang, plp.n_pairs,
              CAST(coalesce(ovl.n_overlapping, 0) AS BIGINT) AS n_overlapping,
-             ${oround(
+             CASE WHEN plp.n_denom > 0 THEN ${oround(
                "CAST(coalesce(ovl.sum_jacc_u, 0) AS DOUBLE) / 1e9 / plp.n_denom",
-               4)} AS avg_jaccard,
+               4)} END AS avg_jaccard,
              ${oround("CAST(coalesce(ovl.max_jacc_u, 0) AS DOUBLE) / 1e9", 4)}
-               AS max_jaccard
+               AS max_jaccard,
+             CAST(coalesce(st.n_stop_grams, 0) AS BIGINT) AS n_stop_grams,
+             CAST(coalesce(st.stop_postings, 0) AS BIGINT) AS stop_postings
       FROM plp LEFT JOIN ovl ON plp.lang = ovl.lang
+           LEFT JOIN stops st ON plp.lang = st.lang
       ORDER BY plp.lang"""))
 
   // -- embedding cosine near-dup, blocked on (label, sign-LSH bucket) — the

@@ -308,9 +308,15 @@ object EmbeddingQueries extends QueryModule {
         val cents0 = e.filter(col("vec_id") < NCells)
           .select(col("vec_id").as("cent_id"), col("vecd").as("cv"), col("nrm").as("cn"))
         val cells0 = nearest(e, cents0)
+        // per-(cell, dim) mean on the 1e-9 integer grid (r14 advisor): a
+        // plain double avg is last-ulp nondeterministic across partial-agg
+        // orders and the centroid bits gate the discrete reassignment —
+        // long sums are exact and order-free in both engines
         val cents1 = cells0
           .select(col("cell"), posexplode(col("vecd")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos").agg(avg("x").as("m"))
+          .withColumn("xu", round(col("x") * lit(1e9)).cast("long"))
+          .groupBy("cell", "pos")
+          .agg((sum("xu").cast("double") / lit(1e9) / count(lit(1))).as("m"))
           .groupBy("cell")
           .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
             .as("cv"))
@@ -337,7 +343,9 @@ object EmbeddingQueries extends QueryModule {
                          c0.cent_id ASC) AS rn
                      FROM e CROSS JOIN c0)
                WHERE rn = 1),
-        dims AS (SELECT cell, i.i AS pos, avg(vecd[i.i + 1]) AS m
+        dims AS (SELECT cell, i.i AS pos,
+                   CAST(sum(CAST(round(vecd[i.i + 1] * 1e9) AS BIGINT))
+                     AS DOUBLE) / 1e9 / count(*) AS m
                  FROM a0, (SELECT unnest(generate_series(0, 63)) AS i) i
                  GROUP BY cell, i.i),
         c1 AS (SELECT cell AS cent_id, list(m ORDER BY pos) AS cv,
@@ -1201,10 +1209,18 @@ object EmbeddingQueries extends QueryModule {
         // the seeded assignment feeds BOTH the Lloyd mean and the seeded
         // candidate-recall baseline — computed once, pinned below
         val a0 = nearest(cents0).select(col("vec_id"), col("cell"), col("vecd"))
-        // one Lloyd round: per-(cell, dim) mean, deterministic reassembly
+        // one Lloyd round: per-(cell, dim) mean, deterministic reassembly.
+        // The mean lands on the 1e-9 integer grid BEFORE aggregation (r14
+        // advisor): a plain avg over doubles is last-ulp nondeterministic
+        // across partial-agg orders, and these floats gate DISCRETE
+        // certified outputs (nearest-cell row_number, probe sets,
+        // neighbor_id) — a near-tie could flip the hash between runs or
+        // engines. Long sums are exact and order-free in both engines.
         val cents1 = a0
           .select(col("cell"), posexplode(col("vecd")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos").agg(avg("x").as("m"))
+          .withColumn("xu", round(col("x") * lit(1e9)).cast("long"))
+          .groupBy("cell", "pos")
+          .agg((sum("xu").cast("double") / lit(1e9) / count(lit(1))).as("m"))
           .groupBy("cell")
           .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
             .as("cv"))
@@ -1312,7 +1328,9 @@ object EmbeddingQueries extends QueryModule {
                          c0.cent_id ASC) AS rn
                      FROM e CROSS JOIN c0)
                WHERE rn = 1),
-        dims AS (SELECT cell, i.i AS pos, avg(vecd[i.i + 1]) AS m
+        dims AS (SELECT cell, i.i AS pos,
+                   CAST(sum(CAST(round(vecd[i.i + 1] * 1e9) AS BIGINT))
+                     AS DOUBLE) / 1e9 / count(*) AS m
                  FROM a0, (SELECT unnest(generate_series(0, 63)) AS i) i
                  GROUP BY cell, i.i),
         c1 AS (SELECT cell AS cent_id, list(m ORDER BY pos) AS cv,

@@ -31,6 +31,25 @@ class IterScaleSpec extends SparkSpec {
     assert(spark.conf.get(key) === before)
   }
 
+  test("a legitimate session change OUTSIDE any scope refreshes the baseline") {
+    // round-14 advisor: the first-seen baseline was permanent, so a user's
+    // later conf change was silently reverted by the next scaled call
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    try {
+      // prime the cached baseline with the current value
+      IterScale.withEdgeScaledShuffle(spark, 100L * IterScale.RowsPerPartition) {}
+      // the user legitimately re-tunes the session between operator calls
+      val retuned = before.toInt + 7
+      spark.conf.set(key, retuned.toString)
+      IterScale.withEdgeScaledShuffle(spark, 100L * IterScale.RowsPerPartition) {
+        assert(spark.conf.get(key).toInt >= 100)
+      }
+      // the restore must target the RETUNED value, not the stale baseline
+      assert(spark.conf.get(key).toInt === retuned)
+    } finally spark.conf.set(key, before)
+  }
+
   test("nested scopes restore the BASELINE, not the inner temporary value") {
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)

@@ -319,6 +319,14 @@ object SelectionQueries extends QueryModule {
   // counts are BIGINT sums; argmax ties break on (count DESC, pairkey
   // ASC) — byte-identical string comparison in Spark and DuckDB.
   private[queries] val BpeTrainK = 8
+  // Round 14 (verdict #6): the TRAINER runs at merge depth 64 — K=8
+  // proves the loop but not the lineage/plan behavior at depth (the
+  // Bradley-Terry lesson: plan growth is the failure mode; the per-round
+  // localCheckpoint keeps the plan constant-size, so cost is LINEAR in K
+  // — the curve is in BASELINE.md round-14). The encoders keep K=8: their
+  // plan depth is the trained-vocab equi-join, not the loop, and their
+  // oracle CTE chains stay cheap.
+  private[queries] val BpeTrainKDeep = 64
   // symbol wrappers: U+0001/U+0002 cannot appear in whitespace-split
   // tokens, so a boundary inside a merged symbol is unforgeable
   private[queries] val BpeD = "\u0001"
@@ -342,12 +350,13 @@ object SelectionQueries extends QueryModule {
     * state) and q_bpe_encode_holdout (which trains on a doc split).
     * Returns (final symbolized vocab (syms, cnt), per-step 1-row
     * argmax frames (pairkey, pair_count, step)). */
-  private[queries] def bpeLoopFrom(docs: org.apache.spark.sql.DataFrame)
+  private[queries] def bpeLoopFrom(docs: org.apache.spark.sql.DataFrame,
+      nMerges: Int = BpeTrainK)
       : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
     var v = bpeWords(docs).localCheckpoint(true)
     val merges = scala.collection.mutable.ListBuffer
       .empty[org.apache.spark.sql.DataFrame]
-    for (k <- 1 to BpeTrainK) {
+    for (k <- 1 to nMerges) {
       val pc = v
         .withColumn("sa", expr(
           s"filter(split(replace(syms, '$BpeD', ''), '$BpeE'), x -> x <> '')"))
@@ -372,9 +381,10 @@ object SelectionQueries extends QueryModule {
     (v, merges.toList)
   }
 
-  private def bpeLoop(s: org.apache.spark.sql.SparkSession, dir: String)
+  private def bpeLoop(s: org.apache.spark.sql.SparkSession, dir: String,
+      nMerges: Int = BpeTrainK)
       : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) =
-    bpeLoopFrom(Tables.documents(s, dir))
+    bpeLoopFrom(Tables.documents(s, dir), nMerges)
 
   /** The unrolled K-iteration CTE chain (v0 … v$K, b1 … b$K) the BPE
     * oracles share — the chr(1)/chr(2) wrapped-span twin of bpeLoopFrom.
@@ -382,8 +392,9 @@ object SelectionQueries extends QueryModule {
     * merge), the multiply-referenced-CTE blowup class PlanComplexitySpec
     * documents. `docsWhere` filters the training corpus (the holdout
     * variant trains on a doc split). */
-  private def bpeCte(docsWhere: String = ""): String = {
-    val iters = (1 to BpeTrainK).map { n =>
+  private def bpeCte(docsWhere: String = "",
+      nMerges: Int = BpeTrainK): String = {
+    val iters = (1 to nMerges).map { n =>
       s"""
         p$n AS (SELECT pairkey, CAST(sum(cnt) AS BIGINT) AS pair_count FROM (
                   SELECT cnt, unnest(list_transform(
@@ -417,7 +428,7 @@ object SelectionQueries extends QueryModule {
   private val bpeTrain = QueryDef(
     "q_bpe_train_k",
     (s, dir) => {
-      val (_, merges) = bpeLoop(s, dir)
+      val (_, merges) = bpeLoop(s, dir, BpeTrainKDeep)
       merges.reduce(_ unionAll _)
         .withColumn("parts", split(col("pairkey"), BpeD))
         .select(col("step"), col("parts")(0).as("lhs"), col("parts")(1).as("rhs"),
@@ -426,14 +437,14 @@ object SelectionQueries extends QueryModule {
         .orderBy("step")
     },
     Some {
-      val steps = (1 to BpeTrainK).map { n =>
+      val steps = (1 to BpeTrainKDeep).map { n =>
         s"""SELECT $n AS step, string_split(pairkey, chr(1))[1] AS lhs,
                    string_split(pairkey, chr(1))[2] AS rhs,
                    replace(pairkey, chr(1), '') AS merged, pair_count
             FROM b$n"""
       }.mkString(" UNION ALL ")
       s"""
-      WITH ${bpeCte()}
+      WITH ${bpeCte(nMerges = BpeTrainKDeep)}
       SELECT * FROM ($steps) ORDER BY step"""
     })
 

@@ -45,8 +45,24 @@ object ScorePipeline {
     * rounding boundary — the round-3 q_sem_bounds residual. This is the
     * integer-grid money-sum convention (BASELINE.md round 3) applied to
     * the scoring DAG's root aggregate. */
-  def dimensionInputs(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def dimensionInputs(spark: SparkSession, dir: String): DataFrame =
+    dimsFromPartials(dimPartials(Tables.events(spark, dir)))
+
+  /** The MERGEABLE root aggregate of the scoring DAG: per
+    * (entity_id, dimension) integer-cent sum + event count. Because both
+    * are plain long sums, partials from disjoint event slices ADD — this
+    * is the seam the streaming lifecycle maintains incrementally
+    * (StreamScoreSpec): each micro-batch contributes its partial, and
+    * summing partials is bit-identical to aggregating the full table. */
+  def dimPartials(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id").as("entity_id"), col("event_type").as("dimension"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n"))
+
+  /** Finishing step from the mergeable partials to the dims frame every
+    * downstream scoring stage consumes — a row-local transform, safe to
+    * re-apply to re-aggregated partials. */
+  def dimsFromPartials(partials: DataFrame): DataFrame = {
     val weightCol = Dimensions.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
       case (acc, d) =>
         Some(acc match {
@@ -54,9 +70,7 @@ object ScorePipeline {
           case Some(c) => c.when(col("dimension") === d, DimWeights(d))
         })
     }.get.otherwise(lit(0.0))
-    ev.groupBy(col("user_id").as("entity_id"), col("event_type").as("dimension"))
-      .agg(sum(round(col("value") * 100).cast("long")).as("cents"),
-        count(lit(1)).as("n"))
+    partials
       .withColumn("avg_value",
         col("cents").cast("double") / lit(100.0) / col("n").cast("double"))
       .select(col("entity_id"), col("dimension"),
@@ -173,12 +187,19 @@ object ScorePipeline {
     * blending (M12), and the Spearman–Brown SEM confidence interval (M13).
     * One row per entity with the final score + CI — what the reference's
     * org_air_scores row carries. */
-  def fullScores(spark: SparkSession, dir: String): DataFrame = {
+  def fullScores(spark: SparkSession, dir: String): DataFrame =
+    fullScoresFrom(spark, dimensionInputs(spark, dir))
+
+  /** Same lifecycle over a caller-provided dims frame — the seam the
+    * streaming twin uses: it maintains the [[dimPartials]] state table
+    * incrementally and recomputes this (entity-count-sized, never
+    * event-sized) chain from the re-aggregated state each refresh. */
+  def fullScoresFrom(spark: SparkSession, dimsIn: DataFrame): DataFrame = {
     import graft.stats.SemConfidence
     // one persisted dims frame feeds the composite chain, sigma, and the
     // reliability pivot (otherwise the events scan + agg runs 3×)
-    val dimsShared = dimensionInputs(spark, dir).persist()
-    val base = compositeFrom(spark, dir, dimsShared)
+    val dimsShared = dimsIn.persist()
+    val base = compositeFrom(spark, "", dimsShared)
 
     // M9: talent concentration — from the dims frame's per-dimension
     // counts (sum n_events = event count, row count = distinct types), so

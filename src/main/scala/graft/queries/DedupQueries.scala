@@ -294,31 +294,53 @@ object DedupQueries extends QueryModule {
       .filter(col("hamming") <= 3)
   }
 
-  /** DuckDB CTEs for doc-level connected components over the simhash
-    * hamming-≤3 graph (shared by q_neardup_clusters / q_cluster_canonical):
-    * 8 rounds of min-label + pointer jumping (hop count doubles per round,
-    * so 8 rounds cover diameter ≥ 2^8) ending at c8(doc_id, comp). Each
-    * round is linear in |edges| — the WITH RECURSIVE transitive closure
-    * this replaced materialized O(n·|component|) reach rows and timed out
-    * at the 10× scale factor (round-3 residual). */
+  /** DuckDB CTEs for connected components over the simhash hamming-≤3
+    * graph (shared by q_neardup_clusters / q_cluster_canonical), on the
+    * VALUE graph — round 14 (verdict #4): the r13 doc-level form OOM'd
+    * DuckDB at sf10 (>78 GB temp): its brute-force doc-pair edge join is
+    * quadratic in per-value multiplicity (a replica-heavy corpus
+    * materializes c_v·c_w doc edges per near value pair) and every one
+    * of the 8 label rounds materialized a corpus-sized table. Nodes here
+    * are distinct (lang, simhash) VALUES — ≤65,536/lang forever, and a
+    * 16-bit value has at most C(16,≤3)=697 values within hamming 3, so
+    * the edge set is bounded (~23M worst case) REGARDLESS of corpus
+    * size; the oracle's memory past the one linear `sims` scan is now
+    * corpus-scale-free, the same reduction the Spark side uses. The
+    * banded candidate equi-join mirrors the Spark pigeonhole (its
+    * losslessness is certified INDEPENDENTLY by q_simhash_hamming's
+    * brute-force all-pairs oracle at the small SFs); the GROUPING
+    * algorithm stays independent — 8 unrolled min-label + pointer-jump
+    * rounds (hop count doubles per round: diameter ≥ 2^8 covered) vs the
+    * engine's ConnectedComponents operator. Ends at c8(node, comp),
+    * node = vid = min doc_id carrying the value; doc-level stats recover
+    * by multiplicity arithmetic on `vals.c`. */
   private def ccOracleCtes: String = {
     val rounds = (1 to 8).map { k =>
-      s"""        e$k AS MATERIALIZED (SELECT c.doc_id,
+      s"""        e$k AS MATERIALIZED (SELECT c.node,
                     least(c.comp, coalesce(min(cm.comp), c.comp)) AS comp
                   FROM c${k - 1} c
-                  LEFT JOIN edges2 e ON c.doc_id = e.src
-                  LEFT JOIN c${k - 1} cm ON e.dst = cm.doc_id
-                  GROUP BY c.doc_id, c.comp),
-        c$k AS MATERIALIZED (SELECT a.doc_id, b.comp
-                  FROM e$k a JOIN e$k b ON a.comp = b.doc_id)"""
+                  LEFT JOIN edges2 e ON c.node = e.src
+                  LEFT JOIN c${k - 1} cm ON e.dst = cm.node
+                  GROUP BY c.node, c.comp),
+        c$k AS MATERIALIZED (SELECT a.node, b.comp
+                  FROM e$k a JOIN e$k b ON a.comp = b.node)"""
     }.mkString(",\n")
-    s"""        edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
-                  FROM sims a JOIN sims b
-                    ON a.lang = b.lang AND a.doc_id < b.doc_id
-                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-        edges2 AS MATERIALIZED (SELECT src, dst FROM edges
-                   UNION ALL SELECT dst, src FROM edges),
-        c0 AS MATERIALIZED (SELECT doc_id, doc_id AS comp FROM sims),
+    s"""        vals AS MATERIALIZED (
+                  SELECT lang, simhash, CAST(min(doc_id) AS BIGINT) AS vid,
+                         CAST(count(*) AS BIGINT) AS c
+                  FROM sims GROUP BY lang, simhash),
+        vb AS (SELECT lang, simhash, vid, band,
+                 (simhash >> (band * 4)) & 15 AS chunk
+               FROM (SELECT lang, simhash, vid,
+                       unnest([0, 1, 2, 3]) AS band FROM vals)),
+        vedges AS (SELECT DISTINCT a.vid AS src, b.vid AS dst
+                   FROM vb a JOIN vb b
+                     ON a.lang = b.lang AND a.band = b.band
+                        AND a.chunk = b.chunk AND a.simhash < b.simhash
+                   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        edges2 AS MATERIALIZED (SELECT src, dst FROM vedges
+                   UNION ALL SELECT dst, src FROM vedges),
+        c0 AS MATERIALIZED (SELECT vid AS node, vid AS comp FROM vals),
 $rounds"""
   }
 
@@ -449,16 +471,18 @@ $rounds"""
       s"""
       WITH $simhashOracleCtes,
 $ccOracleCtes,
-        comp AS (SELECT doc_id, comp FROM c8),
-        cs AS (SELECT comp, count(*) AS sz FROM comp GROUP BY comp),
-        per AS (SELECT s.lang, c.comp, cs.sz
-                FROM sims s JOIN comp c ON s.doc_id = c.doc_id
-                            JOIN cs ON c.comp = cs.comp)
-      SELECT lang, count(*) AS n_docs,
-             count(DISTINCT comp) AS n_clusters,
-             CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
-             max(sz) AS max_cluster_size
-      FROM per GROUP BY lang ORDER BY lang"""
+        comp AS (SELECT node AS vid, comp FROM c8),
+        per AS (SELECT v.lang, c.comp, v.c
+                FROM vals v JOIN comp c ON v.vid = c.vid),
+        cs AS (SELECT comp, CAST(sum(c) AS BIGINT) AS sz
+               FROM per GROUP BY comp)
+      SELECT p.lang AS lang, CAST(sum(p.c) AS BIGINT) AS n_docs,
+             count(DISTINCT p.comp) AS n_clusters,
+             CAST(sum(CASE WHEN cs.sz >= 2 THEN p.c ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+             max(cs.sz) AS max_cluster_size
+      FROM per p JOIN cs ON p.comp = cs.comp
+      GROUP BY p.lang ORDER BY p.lang"""
     },
     bench = false) // iterative fixpoint — correctness query, not a timed one
 
@@ -508,12 +532,14 @@ $ccOracleCtes,
     Some(s"""
       WITH $simhashOracleCtes,
 $ccOracleCtes,
-        comp AS (SELECT doc_id, comp FROM c8),
+        comp AS (SELECT node AS vid, comp FROM c8),
         toks AS (SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
                  FROM documents),
         docs AS (SELECT s.lang, c.comp, s.doc_id, t.ntok
-                 FROM sims s JOIN comp c ON s.doc_id = c.doc_id
+                 FROM sims s JOIN vals v ON s.lang = v.lang
+                                        AND s.simhash = v.simhash
+                             JOIN comp c ON v.vid = c.vid
                              JOIN toks t ON s.doc_id = t.doc_id),
         ranked AS (SELECT lang, comp, doc_id, ntok,
                      row_number() OVER (PARTITION BY lang, comp

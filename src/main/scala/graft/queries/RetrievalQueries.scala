@@ -241,14 +241,21 @@ object RetrievalQueries extends QueryModule {
                  FROM embeddings),
         c AS (SELECT vec_id AS cent_id, vecd AS cv, nrm AS cn FROM e
               WHERE vec_id < $K),
-        a AS (SELECT vec_id, cent_id AS cell, vecd, nrm
-              FROM (SELECT e.vec_id, c.cent_id, e.vecd, e.nrm,
-                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                        list_sum(list_transform(list_zip(e.vecd, c.cv),
-                          x -> x[1] * x[2])) / (e.nrm * c.cn) DESC,
-                        c.cent_id ASC) AS rn
-                    FROM e CROSS JOIN c)
-              WHERE rn = 1),
+        -- assignment window over SLIM rows (vec_id, cent_id, sim) only —
+        -- r14 (verdict #4): carrying the 64-double lists through the
+        -- corpus × K window sort was the sf10 memory blow-up; the vectors
+        -- join back AFTER the argmax by vec_id (linear)
+        a0 AS (SELECT vec_id, cent_id AS cell
+               FROM (SELECT s.vec_id, s.cent_id,
+                       row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                         s.sim DESC, s.cent_id ASC) AS rn
+                     FROM (SELECT e.vec_id, c.cent_id,
+                             list_sum(list_transform(list_zip(e.vecd, c.cv),
+                               x -> x[1] * x[2])) / (e.nrm * c.cn) AS sim
+                           FROM e CROSS JOIN c) s)
+               WHERE rn = 1),
+        a AS (SELECT a0.vec_id, a0.cell, e.vecd, e.nrm
+              FROM a0 JOIN e ON a0.vec_id = e.vec_id),
         reps AS (SELECT cell, min(vec_id) AS rep_id FROM a GROUP BY cell),
         rv AS (SELECT reps.cell, reps.rep_id, e.vecd AS rv, e.nrm AS rn2
                FROM reps JOIN e ON e.vec_id = reps.rep_id),

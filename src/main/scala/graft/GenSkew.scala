@@ -10,9 +10,15 @@ import org.apache.spark.sql.functions._
   *     type owns ~60% of the fact table (5 uniform types before);
   *   - user_id: event_id ≡ 1 (mod 4) is re-assigned to user 1 → one hot
   *     user owns ~25% of events.
-  * Both re-labelings are pure projections of event_id, so the variant is
-  * bit-reproducible and the DuckDB oracle replays the same data. All other
-  * tables are rewritten unchanged.
+  * Round 14 (verdict #7) adds a GRAPH HUB: lineitem rows with
+  * l_orderkey ≡ 1 (mod 4) are re-assigned to supplier 1, so one supplier
+  * node in the customer–supplier purchase graph carries ~25% of all
+  * edges — the hub-degree skew that IterScale's partition-count scaling
+  * does NOT fix (only per-round shuffle balance does), exercised by
+  * q_pagerank_suppliers on this variant.
+  * All re-labelings are pure projections of existing key columns, so the
+  * variant is bit-reproducible and the DuckDB oracle replays the same
+  * data. All other tables are rewritten unchanged.
   *
   * Usage: runMain graft.GenSkew [srcDir dstDir]
   * Defaults: /root/repo/testdata/sf1 → /root/repo/testdata/sf1skew.
@@ -38,6 +44,10 @@ object GenSkew {
           .withColumn("user_id",
             when(pmod(col("event_id"), lit(4)) === 1, lit(1L))
               .otherwise(col("user_id")))
+      } else if (t == "lineitem") {
+        df.withColumn("l_suppkey",
+          when(pmod(col("l_orderkey"), lit(4)) === 1, lit(1L))
+            .otherwise(col("l_suppkey")))
       } else df
       out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"  wrote $dst/$t.parquet")

@@ -90,7 +90,11 @@ class StreamScoreSpec extends SparkSpec {
     def refreshScores(): Unit = {
       val commits = spark.read.parquet(commitDir)
         .select("batch_id").distinct()
-      val ver = commits.count()
+      // refresh version = highest committed epoch + 1: monotonic across
+      // a ledger COMPACTION (which replaces many epochs with one snapshot
+      // epoch carrying a higher id) — a count-based version would move
+      // BACKWARD after compaction and lose the upsert's last-wins order
+      val ver = commits.agg(max("batch_id")).collect()(0).getLong(0) + 1
       val partials = spark.read.parquet(partDir)
         .dropDuplicates("batch_id", "entity_id", "dimension")
         .join(commits, Seq("batch_id")) // torn half-writes never score
@@ -168,5 +172,32 @@ class StreamScoreSpec extends SparkSpec {
     // replaced every mid-stream ver=3 row)
     assert(spark.read.parquet(scoresDir)
       .filter(col("ver") =!= 6L).count() === 0L)
+
+    // ---- ledger compaction (the 100 TB maintenance step the scaladoc
+    // claims): re-aggregate all committed partials into ONE snapshot row
+    // per key under a single higher epoch — the same long-sum algebra,
+    // so a refresh from the compacted ledger must reproduce the scores
+    // exactly, and the ledger shrinks to |keys| rows
+    val SnapEpoch = 1000L
+    val commits2 = spark.read.parquet(commitDir).select("batch_id").distinct()
+    val preRows = spark.read.parquet(partDir).count()
+    val snapshot = spark.read.parquet(partDir)
+      .dropDuplicates("batch_id", "entity_id", "dimension")
+      .join(commits2, Seq("batch_id"))
+      .groupBy("entity_id", "dimension")
+      .agg(sum("cents").as("cents"), sum("n").as("n"))
+      .withColumn("batch_id", lit(SnapEpoch))
+      .localCheckpoint(true)
+    snapshot.write.mode("overwrite").parquet(partDir)
+    Seq((SnapEpoch, snapshot.count())).toDF("batch_id", "n_keys")
+      .write.mode("overwrite").parquet(commitDir)
+    refreshScores()
+    val compacted = spark.read.parquet(scoresDir)
+    assert(compacted.filter(col("ver") =!= (SnapEpoch + 1)).count() === 0L,
+      "compaction refresh must supersede every pre-compaction row")
+    val c = certified(compacted.drop("ver")).orderBy("entity_id").collect().toSeq
+    assert(c === b, "scores from the compacted ledger diverged from batch")
+    assert(spark.read.parquet(partDir).count() < preRows,
+      "compaction must shrink the ledger")
   }
 }

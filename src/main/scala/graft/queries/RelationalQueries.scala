@@ -139,15 +139,23 @@ object RelationalQueries extends QueryModule {
       // is fact-sized, not a dim) — a forced broadcast measured 27.7× on
       // 10× data and at 100× would exceed the broadcast threshold outright.
       // AQE picks broadcast at runtime when the filtered side actually fits.
+      // revenue on the EXACT 1e-4 integer grid: price (2 dp) × (1−disc)
+      // (2 dp) is a 1e-4 multiple, so round(x·1e4)::long sums are exact
+      // and order-free. The double accumulation this replaces drifted
+      // ~n·ulp and at sf10 (~1.8e10 totals over millions of rows per
+      // brand) crossed a round-4 boundary between the engines
+      // (18631170939.25 vs .2499 — the first sf10 full-sweep failure).
       li.join(p, li("l_partkey") === p("p_partkey"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n_items"),
-             round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+             (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+               * lit(1e4)).cast("long")).cast("double") / lit(1e4)).as("revenue"))
         .orderBy("p_brand")
     },
     Some("""
       SELECT p_brand, count(*) AS n_items,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+             CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e4)
+               AS BIGINT)) AS DOUBLE) / 1e4 AS revenue
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE p_type LIKE '%PROMO%'
       GROUP BY p_brand

@@ -69,11 +69,17 @@ object RelationalQueries extends QueryModule {
       li.filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
           col("l_discount") > lit(0.02) && col("l_quantity") < lit(24.0))
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+        // exact 1e-4 grid: price(2dp)·disc(2dp) is a 1e-4 multiple and the
+        // single global group grows with the corpus — a double sum drifts
+        // n·ulp and flips round-4 boundaries at decade totals (the
+        // q_part_type_revenue sf10 lesson, fixed fleet-wide in r14)
+        .agg((sum(round(col("l_extendedprice") * col("l_discount") * lit(1e4))
+               .cast("long")).cast("double") / lit(1e4)).as("revenue"),
              count(lit(1)).as("n_rows"))
     },
     Some("""
-      SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+      SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 1e4)
+               AS BIGINT)) AS DOUBLE) / 1e4 AS revenue,
              count(*) AS n_rows
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -780,13 +786,19 @@ object RelationalQueries extends QueryModule {
       val n = Tables.nation(s, dir)
       sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .rollup(col("n_name"))
-        .agg(count(lit(1)).as("n_suppliers"), round(sum("s_acctbal"), 2).as("sum_bal"))
+        // supplier count per nation grows with the corpus → exact cent
+        // grid (the q_part_type_revenue sf10 lesson)
+        .agg(count(lit(1)).as("n_suppliers"),
+          (sum(round(col("s_acctbal") * 100).cast("long")).cast("double")
+            / 100.0).as("sum_bal"))
         .withColumn("n_name", coalesce(col("n_name"), lit("ALL")))
         .orderBy("n_name")
     },
     Some("""
       SELECT coalesce(n_name, 'ALL') AS n_name,
-             count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS sum_bal
+             count(*) AS n_suppliers,
+             CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_bal
       FROM supplier JOIN nation ON s_nationkey = n_nationkey
       GROUP BY ROLLUP (n_name)
       ORDER BY n_name"""))
@@ -875,14 +887,17 @@ object RelationalQueries extends QueryModule {
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(Det.dround(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-          .as("revenue"),
+        // per-nation groups grow with the corpus → exact 1e-4 grid (the
+        // q_part_type_revenue sf10 lesson)
+        .agg((sum(round((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            * lit(1e4)).cast("long")).cast("double") / lit(1e4)).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("r_name"), col("n_name"))
     },
     Some(s"""
       SELECT r_name, n_name,
-             ${Det.oround("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS revenue,
+             CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e4)
+               AS BIGINT)) AS DOUBLE) / 1e4 AS revenue,
              count(*) AS n_items
       FROM customer JOIN orders ON c_custkey = o_custkey
                     JOIN lineitem ON o_orderkey = l_orderkey

@@ -592,11 +592,23 @@ $ccOracleCtes,
   //    boilerplate — the LSH-family trade-off, now deterministic and
   //    certified. NgramStopGramSpec plants such a gram and pins both the
   //    bounded pair mass and the reported drop columns.
+  //    Round 14b: DISTINCT-TEXT collapse before the posting join (the
+  //    round-6 LSH lesson, measured 178 s at sf10 in doc-level form on
+  //    the replica-heavy synthetic corpus). Identical texts share every
+  //    gram, so doc-level postings multiply df — and Σ df² pair mass —
+  //    quadratically in replica count. The overlap join now runs on
+  //    distinct (lang, text) VALUES carrying weight c; doc-level stats
+  //    recover exactly by multiplicity arithmetic: a value pair (v, w)
+  //    sharing kept grams contributes c_v·c_w pairs at the pair's
+  //    jaccard, and a value with c ≥ 2 contributes C(c,2) identical-text
+  //    pairs at jaccard k/(2·sz − k) over its k kept grams. The oracle
+  //    stays the UNCHANGED doc-level form, so the hash gate proves the
+  //    multiplicity algebra lossless (the q_simhash_hamming discipline).
   private[queries] val StopGramCap = 256
   private val ngramJaccard = QueryDef(
     "q_ngram_jaccard_blocked",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
+      val d0 = Tables.documents(s, dir)
         .withColumn("toks", split(col("text"), " "))
         .withColumn("block", (size(col("toks")) / lit(10)).cast("long"))
         // same short-doc guard as `shingled`: <3 tokens → no trigrams
@@ -605,44 +617,64 @@ $ccOracleCtes,
                   THEN array_distinct(transform(sequence(0, size(toks) - 3),
                                       i -> concat_ws(' ', slice(toks, i + 1, 3))))
                   ELSE array() END"""))
-        .select(col("doc_id"), col("lang"), col("block"),
-          size(col("grams")).cast("long").as("sz"), col("grams"))
-      val ex = d.select(col("doc_id"), col("lang"), col("block"),
+        .select(col("doc_id"), col("lang"), sha2(col("text"), 256).as("h"),
+          col("block"), size(col("grams")).cast("long").as("sz"), col("grams"))
+      // distinct-text values: block/sz/grams are functions of the text, so
+      // first() is deterministic within a (lang, hash) group
+      val vals = d0.groupBy("lang", "h")
+        .agg(min("doc_id").as("vid"), count(lit(1)).as("c"),
+          first("block").as("block"), first("sz").as("sz"),
+          first("grams").as("grams"))
+        .select("lang", "block", "vid", "c", "sz", "grams")
+      val exv = vals.select(col("lang"), col("block"), col("vid"), col("c"),
         col("sz"), explode(col("grams")).as("g"))
-      // posting length per gram key — the stop-gram census (small: one row
-      // per distinct gram key) is pinned so the kept-join filter and the
-      // per-language drop report don't recompute the postings groupBy
-      val pf = ex.groupBy("lang", "block", "g").agg(count(lit(1)).as("df"))
-      Cached.withCached(d, pf) {
-        // closed-form pair counts per (lang, block) cell: all pairs, and
-        // the both-empty pairs the pairwise form's 0/0 made NULL
-        val cells = d.groupBy("lang", "block")
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("sz") === 0, 1L).otherwise(0L)).as("ne"))
+      // posting census per gram key, DOC-weighted (sum of value weights) so
+      // the stop-gram cap and the reported drop mass keep doc semantics
+      val pf = exv.groupBy("lang", "block", "g").agg(sum("c").as("df"))
+      Cached.withCached(vals, pf) {
+        // closed-form pair counts per (lang, block) cell, recovered from
+        // the value weights (n = Σc, ne = Σc over empty values) — the
+        // doc-level frame itself never needs pinning
+        val cells = vals.groupBy("lang", "block")
+          .agg(sum("c").as("n"),
+            sum(when(col("sz") === 0, col("c")).otherwise(0L)).as("ne"))
         val perLangPairs = cells.groupBy("lang")
           .agg(sum(expr("n * (n - 1) DIV 2")).as("n_pairs"),
             sum(expr("n * (n - 1) DIV 2 - ne * (ne - 1) DIV 2"))
               .as("n_denom"))
-        val kept = ex.join(
+        val kept = exv.join(
           pf.filter(col("df") <= StopGramCap).select("lang", "block", "g"),
           Seq("lang", "block", "g"))
         val stops = pf.filter(col("df") > StopGramCap).groupBy("lang")
           .agg(count(lit(1)).as("n_stop_grams"),
             sum("df").as("stop_postings"))
-        val ov = kept.as("a").join(kept.as("b"),
+        // cross-value overlaps: one row per value pair sharing ≥1 kept
+        // gram, expanded to c_v·c_w doc pairs by weight
+        val ovx = kept.as("a").join(kept.as("b"),
             col("a.lang") === col("b.lang") &&
               col("a.block") === col("b.block") &&
               col("a.g") === col("b.g") &&
-              col("a.doc_id") < col("b.doc_id"))
+              col("a.vid") < col("b.vid"))
           .groupBy(col("a.lang").as("lang"), col("a.block").as("block"),
-            col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-            col("a.sz").as("sza"), col("b.sz").as("szb"))
+            col("a.vid").as("va"), col("b.vid").as("vb"),
+            col("a.sz").as("sza"), col("b.sz").as("szb"),
+            col("a.c").as("ca"), col("b.c").as("cb"))
           .agg(count(lit(1)).as("isect"))
-          .withColumn("jacc_u", expr(
-            "(isect * 1000000000L) DIV (sza + szb - isect)"))
-        val ovLang = ov.groupBy("lang")
-          .agg(count(lit(1)).as("n_overlapping"),
-            sum("jacc_u").as("sum_jacc_u"),
+          .select(col("lang"), (col("ca") * col("cb")).as("cnt"),
+            expr("(isect * 1000000000L) DIV (sza + szb - isect)").as("jacc_u"))
+        // within-value (identical-text) pairs: k kept grams of sz total →
+        // doc-level jaccard k/(2·sz − k); present iff the value kept ≥1
+        // gram (a row in `kept` implies k ≥ 1), exactly as a doc-level
+        // pair needs ≥1 shared kept gram to surface
+        val ovw = kept.groupBy("lang", "vid")
+          .agg(count(lit(1)).as("k"), first("sz").as("sz"),
+            first("c").as("c"))
+          .filter(col("c") >= 2)
+          .select(col("lang"), expr("c * (c - 1) DIV 2").as("cnt"),
+            expr("(k * 1000000000L) DIV (2 * sz - k)").as("jacc_u"))
+        val ovLang = ovx.unionByName(ovw).groupBy("lang")
+          .agg(sum("cnt").as("n_overlapping"),
+            sum(col("cnt") * col("jacc_u")).as("sum_jacc_u"),
             max("jacc_u").as("max_jacc_u"))
         perLangPairs.join(ovLang, Seq("lang"), "left")
           .join(stops, Seq("lang"), "left")

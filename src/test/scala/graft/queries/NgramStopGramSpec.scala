@@ -31,8 +31,14 @@ class NgramStopGramSpec extends SparkSpec {
     val de = Seq(
       (2000L, "a b", "de", "test", 0L),
       (2001L, "c d", "de", "test", 0L))
+    // three IDENTICAL texts: the r14b distinct-text collapse must expand
+    // the single value back to C(3,2) doc pairs at jaccard 1.0 (the
+    // multiplicity arithmetic the doc-level oracle certifies)
+    val jp = (0 until 3).map { i =>
+      (3000L + i, (0 until 12).map(t => s"j$t").mkString(" "), "jp", "test", 0L)
+    }
     val dir = java.nio.file.Files.createTempDirectory("ngramstop").toString
-    (en ++ fr ++ de).toDF("doc_id", "text", "lang", "source", "n_chars")
+    (en ++ fr ++ de ++ jp).toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
     val rows = Registry.all.find(_.name == "q_ngram_jaccard_blocked").get
@@ -66,5 +72,13 @@ class NgramStopGramSpec extends SparkSpec {
     assert(d.getAs[Long]("n_pairs") === 1L)
     assert(d.getAs[Long]("n_overlapping") === 0L)
     assert(d.isNullAt(d.fieldIndex("avg_jaccard")))
+
+    val j = byLang("jp")
+    // one distinct text, weight 3 → C(3,2) identical pairs at jaccard 1.0
+    // (k = sz = 10 kept grams: 10/(20 − 10) = 1)
+    assert(j.getAs[Long]("n_pairs") === 3L)
+    assert(j.getAs[Long]("n_overlapping") === 3L)
+    assert(j.getAs[Double]("avg_jaccard") === 1.0)
+    assert(j.getAs[Double]("max_jaccard") === 1.0)
   }
 }

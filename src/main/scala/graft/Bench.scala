@@ -357,10 +357,18 @@ object Bench {
     // r12 driver's 48 s curation line could not be adjudicated because the
     // artifact didn't say whether the flagship warm-up even happened)
     var warmupSec = -1.0
+    // r15: the 20 s warm-up box was BOXED-KILLING the three heaviest
+    // flagships on a steal-prone host (this round's baseline artifact
+    // carries three warmup boxed-kill diags), so exactly the queries the
+    // warm-up exists for ran JIT-COLD in the timed sweep. The box exists
+    // only to keep a hung warm-up from eating the sweep — 45 s default,
+    // env-overridable, still bounded.
+    val warmBox =
+      sys.env.getOrElse("SPARK_GRAFT_WARM_BOX", "45").toLong
     if (new java.io.File(warmDir, "lineitem.parquet").exists()) {
       val t0 = System.nanoTime()
       benched.filter(q => flagNames(q.name)).reverse
-        .foreach(q => timeOnce(q, warmDir, 20, phase = "warmup"))
+        .foreach(q => timeOnce(q, warmDir, warmBox, phase = "warmup"))
       warmupSec = r3((System.nanoTime() - t0) / 1e9)
       System.err.println(f"[bench] flagship warm-up on $warmDir: " +
         f"$warmupSec%.1f s, gc_total=${gcMs}ms")
@@ -419,30 +427,53 @@ object Bench {
       case (n, t) if frozen01.get(n).exists(f => t > 2 * f) =>
         (n, t, t / frozen01(n))
     }.sortBy(-_._3)
-    val (cheapOver, expOver) = stillOverAll.partition(_._2 < 5.0)
+    val (cheapOverAll, expOver) = stillOverAll.partition(_._2 < 5.0)
+    // r15 (advisor): the cheap list was UNBOUNDED with up to 2 retries
+    // each, and every retry pays gc + 2 s settle + pre-clear — a systemic
+    // slowdown pushing many cheap lines past 2× freeze added unbudgeted
+    // wall time. Cap it (worst-over-freeze first, matching the expensive
+    // cap) and additionally bound the whole cheap retry pass by a wall
+    // budget; anything dropped is logged like the expensive overflow.
+    val cheapCap =
+      sys.env.getOrElse("SPARK_GRAFT_FINAL_CHEAP_CAP", "20").toInt
+    val cheapBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_FINAL_CHEAP_BUDGET", "60").toDouble
+    val cheapOver = cheapOverAll.take(cheapCap)
+    if (cheapOverAll.size > cheapCap)
+      System.err.println(s"[bench] final pass: cheap >2x lines beyond " +
+        s"cap left as-is: ${cheapOverAll.drop(cheapCap).map(_._1).mkString(",")}")
     val stillOver = (expOver.take(3) ++ cheapOver).map(_._1)
     if (expOver.size > 3)
       System.err.println(s"[bench] final pass: expensive >2x lines beyond " +
         s"cap left as-is: ${expOver.drop(3).map(_._1).mkString(",")}")
     val finalTimes = scala.collection.mutable.Map.empty[String, Double]
+    val cheapT0 = System.nanoTime()
+    def cheapSpent: Double = (System.nanoTime() - cheapT0) / 1e9
     stillOver.foreach { n =>
       val f = frozen01(n)
-      val passes = if (afterMap(n) < 5.0) 2 else 1
-      var cur = afterMap(n)
-      var p = 0
-      while (p < passes && cur > 2 * f) {
-        System.gc()
-        Thread.sleep(2000)
-        preClear()
-        val t = timeOnce(byName(n), sfDir).map(r3)
-        record01(n, t)
-        System.err.println(s"[bench] final adjudication of $n: " +
-          s"${t.fold("failed")(_.toString)} s (freeze $f)")
-        t.foreach { v =>
-          cur = math.min(cur, v)
-          finalTimes(n) = finalTimes.get(n).fold(v)(math.min(v, _))
+      val cheap = afterMap(n) < 5.0
+      if (cheap && cheapSpent > cheapBudgetSec) {
+        System.err.println(s"[bench] final pass: cheap retry budget " +
+          f"($cheapBudgetSec%.0f s) exhausted — $n left as-is")
+      } else {
+        val passes = if (cheap) 2 else 1
+        var cur = afterMap(n)
+        var p = 0
+        while (p < passes && cur > 2 * f &&
+            (!cheap || cheapSpent <= cheapBudgetSec)) {
+          System.gc()
+          Thread.sleep(2000)
+          preClear()
+          val t = timeOnce(byName(n), sfDir).map(r3)
+          record01(n, t)
+          System.err.println(s"[bench] final adjudication of $n: " +
+            s"${t.fold("failed")(_.toString)} s (freeze $f)")
+          t.foreach { v =>
+            cur = math.min(cur, v)
+            finalTimes(n) = finalTimes.get(n).fold(v)(math.min(v, _))
+          }
+          p += 1
         }
-        p += 1
       }
     }
     val results = afterRerun.map { case (n, t) =>

@@ -79,11 +79,19 @@ object IterScale {
   def withEdgeScaledShuffle[T](spark: SparkSession, nRows: Long)(body: => T): T = {
     val depth = activeScopes.computeIfAbsent(
       spark, _ => new java.util.concurrent.atomic.AtomicInteger(0))
-    val observed = spark.conf.get(Key).toInt
-    val base: Int = baseline.compute(spark, (_, prev) =>
-      if (prev == null || (depth.get() == 0 && observed != prev.intValue()))
-        Integer.valueOf(observed)
-      else prev).intValue()
+    // r15 (advisor): read the observed value INSIDE the compute callback —
+    // reading it before opened a TOCTOU window where a concurrent scope's
+    // temporary scaled value was sampled, the scope then exited (depth
+    // back to 0), and the stale sample was adopted as the new baseline.
+    // compute() runs atomically per key, and depth is incremented before
+    // any conf write below, so a depth==0 check and the conf read inside
+    // the same callback can no longer interleave with a scaled scope's
+    // write-then-restore.
+    val base: Int = baseline.compute(spark, (_, prev) => {
+      if (prev == null || depth.get() == 0)
+        Integer.valueOf(spark.conf.get(Key).toInt)
+      else prev
+    }).intValue()
     val parts = scaledParts(base, nRows)
     if (parts == base) body
     else {

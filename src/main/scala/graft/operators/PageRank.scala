@@ -97,12 +97,17 @@ object PageRank {
         val contrib = eo
           .join(rank.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node"), expr("r DIV outdeg").as("c"))
-        rank = nodes
-          .join(contrib.groupBy("node").agg(sum("c").as("sc")),
-            Seq("node"), "left")
+        // r15 (guide §2.4): the per-round "every node exactly once" left
+        // join became a zero-contribution union INTO the same aggregate —
+        // sum(c) + 0 ≡ coalesce(sc, 0), nodes with no in-edges keep the
+        // 0.15 floor from their zero row. One exchange per round (the
+        // aggregate) instead of the aggregate exchange + the join's
+        // re-shuffle of the checkpointed nodes frame.
+        rank = contrib
+          .unionAll(nodes.select(col("node"), lit(0L).as("c")))
+          .groupBy("node").agg(sum("c").as("sc"))
           .select(col("node"),
-            (lit(One * 15 / 100) +
-              expr("(coalesce(sc, CAST(0 AS BIGINT)) * 85) DIV 100")).as("r"))
+            (lit(One * 15 / 100) + expr("(sc * 85) DIV 100")).as("r"))
         // periodic truncation only — the intermediate rounds stay lazy
         // so they execute as one DAG
         if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint()
@@ -148,12 +153,13 @@ object PageRank {
         val contrib = eo
           .join(rank.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node"), expr("(r * w) DIV wsum").as("c"))
-        rank = nodes
-          .join(contrib.groupBy("node").agg(sum("c").as("sc")),
-            Seq("node"), "left")
+        // r15: zero-row union replaces the per-round nodes left join —
+        // see ranks() (one exchange per round instead of two).
+        rank = contrib
+          .unionAll(nodes.select(col("node"), lit(0L).as("c")))
+          .groupBy("node").agg(sum("c").as("sc"))
           .select(col("node"),
-            (lit(One * 15 / 100) +
-              expr("(coalesce(sc, CAST(0 AS BIGINT)) * 85) DIV 100")).as("r"))
+            (lit(One * 15 / 100) + expr("(sc * 85) DIV 100")).as("r"))
         if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint()
       }
       finish(rank, eo)
@@ -189,12 +195,17 @@ object PageRank {
         val contrib = eo
           .join(rank.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node"), expr("r DIV outdeg").as("c"))
-        rank = nodes
-          .join(contrib.groupBy("node").agg(sum("c").as("sc")),
-            Seq("node"), "left")
+        // r15: zero-row union replaces the per-round nodes left join (see
+        // ranks()); every node contributes EXACTLY ONE zero row carrying
+        // its true is_seed flag, contrib rows carry 0 — max(s) recovers
+        // the flag and sum(c)+0 ≡ coalesce(sc, 0).
+        rank = contrib.withColumn("s", lit(0L))
+          .unionAll(nodes.select(col("node"), lit(0L).as("c"),
+            col("is_seed").as("s")))
+          .groupBy("node").agg(sum("c").as("sc"), max("s").as("is_seed"))
           .select(col("node"),
             (col("is_seed") * lit(One * 15 / 100) +
-              expr("(coalesce(sc, CAST(0 AS BIGINT)) * 85) DIV 100")).as("r"))
+              expr("(sc * 85) DIV 100")).as("r"))
         if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint()
       }
       finish(rank, eo)

@@ -524,10 +524,17 @@ object CurationQueries extends QueryModule {
         .withColumn("lang_ok", col("lang") =!= "zh")
         .withColumn("qual_ok", col("lang_ok") && col("n_toks") >= 10 &&
           col("char_mass") <= col("n_toks") * 12)
-      val wDup = Window.partitionBy(sha2(col("text"), 256))
-        .orderBy(col("doc_id").asc)
+      // exact dedup as a map-side-combinable min-struct aggregate (r15):
+      // doc_id is unique, so min(struct(doc_id, lang, n_toks)) over a text
+      // group IS the rn=1 row of the former row_number window ordered by
+      // doc_id asc — same survivor set, but the replica-heavy corpus
+      // collapses in the partial aggregate BEFORE the exchange, where the
+      // window shuffled and sorted every duplicate row (guide §2.3).
       val exact = d0.filter(col("qual_ok"))
-        .withColumn("rn", row_number().over(wDup)).filter(col("rn") === 1)
+        .groupBy(col("text"))
+        .agg(min(struct(col("doc_id"), col("lang"), col("n_toks"))).as("m"))
+        .select(col("m.doc_id").as("doc_id"), col("m.lang").as("lang"),
+          col("m.n_toks").as("n_toks"), col("text"))
         .withColumn("toks", split(col("text"), " "))
         .withColumn("shingles", expr(
           """CASE WHEN size(toks) >= 2
@@ -535,16 +542,21 @@ object CurationQueries extends QueryModule {
                                     i -> concat_ws(' ', slice(toks, i + 1, 2))))
                 ELSE array() END"""))
         .select(col("doc_id"), col("lang"), col("n_toks"), col("shingles"))
-      Cached.withCached(exact) {
+      Cached.withPinned(exact) { case Seq(exact) =>
         // near-dup LSH: 4 bands × 1 row, band hashes are disjoint 64-bit
-        // substrings of ONE sha2 per shingle (q_minhash_lsh_neardup shape)
-        val sh = exact.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-          .withColumn("h", sha2(col("shingle"), 256))
-        val sigCols = (0 until 4).map(b =>
-          min(substring(col("h"), 1 + 16 * b, 16)).as(s"mh$b"))
-        val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-        val bands = sigs.select(col("doc_id"),
-          posexplode(array((0 until 4).map(b => col(s"mh$b")): _*))
+        // substrings of ONE sha2 per shingle (q_minhash_lsh_neardup shape).
+        // r15: the four min(substring(sha2)) aggregates are array_min over
+        // per-row transforms of one hash array — the same values (min over
+        // the same string set) with ZERO exchange, where the former
+        // explode→groupBy shuffled a 64-char hex string per shingle (the
+        // r15 GC profile billed a 107 s collection storm to that stage).
+        // Docs with an empty shingle set produced no exploded rows, so the
+        // size() filter reproduces their absence exactly.
+        val bands = exact.filter(size(col("shingles")) > 0)
+          .withColumn("hs", expr("transform(shingles, x -> sha2(x, 256))"))
+          .select(col("doc_id"), posexplode(array((0 until 4).map(b =>
+            array_min(expr(
+              s"transform(hs, h -> substring(h, ${1 + 16 * b}, 16))"))): _*))
             .as(Seq("band", "mh")))
         val okBuckets = bands.groupBy("band", "mh")
           .agg(count(lit(1)).as("bc")).filter(col("bc") <= E2eMaxBucket)
@@ -555,15 +567,35 @@ object CurationQueries extends QueryModule {
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .distinct()
-        val sets = exact.select(col("doc_id"), col("shingles"))
+          // r15: candidate pairs are byte-light (2 longs) but the jaccard
+          // below is compute-dense (~100 string equality probes per pair —
+          // 8.8e5 pairs at sf0.1), and the shingle sides broadcast, so the
+          // whole verify pipeline runs at the DISTINCT's post-AQE
+          // partition count — coalesced to ceil(6 MB / minPartitionSize)
+          // = 6 tasks (a 7.8 s straggler stage in the r15 profile). An
+          // explicit-N repartition is AQE-non-coalescable and pins the
+          // verify stage at the session's (scale-adaptive) parallelism.
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("id_a"), col("id_b"))
+        // r15 verify rewrite, same values: (1) |A∩B| via the native
+        // sorted-merge count over per-doc sort_array'd sets — equal to
+        // size(array_intersect) on distinct sets, without the per-pair
+        // hash-set build (8.8e5 pairs × ~51-element sets measured 5-7 s
+        // with array_intersect+array_union at sf0.1); (2) |A∪B| =
+        // |A|+|B|−|A∩B| — the identity the oracle's jac CTE already uses —
+        // so the same doubles divide.
+        val sets = exact.select(col("doc_id"),
+          sort_array(col("shingles")).as("shingles"))
         val drops = cand
           .join(sets.withColumnRenamed("doc_id", "id_a")
             .withColumnRenamed("shingles", "sa"), "id_a")
           .join(sets.withColumnRenamed("doc_id", "id_b")
             .withColumnRenamed("shingles", "sb"), "id_b")
-          .withColumn("jaccard",
-            size(array_intersect(col("sa"), col("sb"))).cast("double")
-              / size(array_union(col("sa"), col("sb"))))
+          .withColumn("inter",
+            graft.functions.TextSimilarity.sortedIntersectCount(
+              col("sa"), col("sb")))
+          .withColumn("jaccard", col("inter").cast("double")
+            / (size(col("sa")) + size(col("sb")) - col("inter")))
           .filter(col("jaccard") >= 0.2)
           .select(col("id_b").as("doc_id")).distinct()
         val surv0 = exact.select("doc_id", "lang", "n_toks")
@@ -572,10 +604,14 @@ object CurationQueries extends QueryModule {
         // The census below fans out into ~6 consumers whose lineages all
         // contain the LSH candidate join; without pinning the (tiny)
         // survivor set, Spark re-executes that join once per consumer —
-        // measured 128 s vs ~6 s at sf0.1. Nested withCached pins surv
-        // (and further down sampled) once; in audit mode the wrapper is
-        // transparent so the full plan stays visible to the plan audits.
-        Cached.withCached(surv0) { curationCensus(d0, exact, surv0) }
+        // measured 128 s vs ~6 s at sf0.1. Nested withPinned pins surv
+        // (and further down sampled) once AND truncates the consumers'
+        // plans at the pin (r15 — the un-truncated census plan reached
+        // 3,905 Exchange nodes of duplicated lineage and ~20 s of pure
+        // driver plan work); in audit mode the wrapper is transparent so
+        // the full plan stays visible to the plan audits.
+        Cached.withPinned(surv0) { case Seq(surv) =>
+          curationCensus(d0, exact, surv) }
       }
     },
     curationE2eOracle)
@@ -621,8 +657,8 @@ object CurationQueries extends QueryModule {
           .select("doc_id", "lang", "n_toks")
         // sampled feeds 4 consumers (stats + both shard passes + census) —
         // pin it like surv above
-        Cached.withCached(sampled0) {
-          curationShardCensus(d0, exact, quota, sampled0)
+        Cached.withPinned(sampled0) { case Seq(sampled) =>
+          curationShardCensus(d0, exact, quota, sampled)
         }
   }
 
@@ -648,13 +684,15 @@ object CurationQueries extends QueryModule {
           .withColumn("shard", expr(s"(cum_in + off - n_toks) div $Budget"))
           .groupBy("lang").agg((max("shard") + 1L).cast("long").as("n_shards"))
 
-        // final per-language census across all seven stages
-        val ingest = d0.groupBy("lang").agg(count(lit(1)).as("n_ingest"))
-        val qualC = d0.filter(col("qual_ok")).groupBy("lang")
-          .agg(count(lit(1)).as("n_quality"))
+        // final per-language census across all seven stages. r15: n_ingest
+        // and n_quality come out of ONE d0 scan (conditional sum ≡ the
+        // former count-over-filter + left join + fill-0, since every
+        // quality lang is an ingest lang) — one fewer documents scan and
+        // one fewer broadcast join.
+        val ingest = d0.groupBy("lang").agg(count(lit(1)).as("n_ingest"),
+          sum(when(col("qual_ok"), 1L).otherwise(0L)).as("n_quality"))
         val exactC = exact.groupBy("lang").agg(count(lit(1)).as("n_exact"))
         ingest
-          .join(broadcast(qualC), Seq("lang"), "left")
           .join(broadcast(exactC), Seq("lang"), "left")
           .join(broadcast(quota), Seq("lang"), "left")
           .join(broadcast(sampStats), Seq("lang"), "left")

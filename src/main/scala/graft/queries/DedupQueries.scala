@@ -99,7 +99,7 @@ object DedupQueries extends QueryModule {
       // checkpoint to storage instead). withCached unpersists in finally.
       val d = shingled(collapseExactDups(Tables.documents(s, dir)))
         .select(col("doc_id"), col("shingles"))
-      Cached.withCached(d) {
+      Cached.withPinned(d) { case Seq(d) => // r15: pin + plan-truncate
         // One codegen'd sha2 per shingle; the 4 band hashes are disjoint
         // 64-bit substrings of the single 256-bit digest. The groupBy
         // partial-aggregates map-side, so the shuffle carries only one
@@ -182,7 +182,7 @@ object DedupQueries extends QueryModule {
     (s, dir) => {
       val d = shingled(collapseExactDups(Tables.documents(s, dir)))
         .select(col("doc_id"), col("shingles"))
-      Cached.withCached(d) {
+      Cached.withPinned(d) { case Seq(d) => // r15: pin + plan-truncate
         val sh = d.select(col("doc_id"), explode(col("shingles")).as("shingle"))
           .withColumn("h", sha2(col("shingle"), 256))
         // 8 row-minhashes = 8 disjoint 8-char substrings of one digest
@@ -379,7 +379,7 @@ $rounds"""
     "q_simhash_hamming",
     (s, dir) => {
       val sims = simhashFrame(s, dir)
-      Cached.withCached(sims) {
+      Cached.withPinned(sims) { case Seq(sims) => // r15: pin + plan-truncate
         val vals = simhashValues(sims)
         val same = vals.filter(col("c") >= 2)
           .select(col("lang"), lit(0).as("hamming"),
@@ -432,7 +432,7 @@ $rounds"""
     "q_neardup_clusters",
     (s, dir) => {
       val sims = simhashFrame(s, dir)
-      Cached.withCached(sims) {
+      Cached.withPinned(sims) { case Seq(sims) => // r15: pin + plan-truncate
         // Components over the VALUE graph (node = distinct (lang, simhash),
         // node id = min doc_id carrying it, weight = doc count): docs with
         // equal simhash are hamming-0-connected, so they are by definition
@@ -502,7 +502,7 @@ $ccOracleCtes,
     "q_cluster_canonical",
     (s, dir) => {
       val sims = simhashFrame(s, dir)
-      Cached.withCached(sims) {
+      Cached.withPinned(sims) { case Seq(sims) => // r15: pin + plan-truncate
         val vals = simhashValues(sims)
         val comp = graft.operators.ConnectedComponents.run(
           vals.select(col("vid").as("id")),
@@ -631,7 +631,7 @@ $ccOracleCtes,
       // posting census per gram key, DOC-weighted (sum of value weights) so
       // the stop-gram cap and the reported drop mass keep doc semantics
       val pf = exv.groupBy("lang", "block", "g").agg(sum("c").as("df"))
-      Cached.withCached(vals, pf) {
+      Cached.withPinned(vals, pf) { case Seq(vals, pf) => // r15: pin + plan-truncate
         // closed-form pair counts per (lang, block) cell, recovered from
         // the value weights (n = Σc, ne = Σc over empty values) — the
         // doc-level frame itself never needs pinning
@@ -915,22 +915,26 @@ $ccOracleCtes,
       val c = Tables.documents(s, dir)
         .groupBy("text")
         .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
-      val d = c.select(col("rep"), col("n"),
-        concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"),
-        substring(col("text"), 1, 120).as("pfx"))
-      val a = d.select(col("blk"), col("rep").as("doc_a"),
-        col("n").as("n_a"), col("pfx").as("pfx_a"))
-      val b = d.select(col("blk"), col("rep").as("doc_b"),
-        col("n").as("n_b"), col("pfx").as("pfx_b"))
-      a.join(b, Seq("blk"))
-        .filter(col("doc_a") < col("doc_b"))
-        .filter(abs(length(col("pfx_a")) - length(col("pfx_b"))) <= DistMax)
-        .withColumn("dist",
-          levenshtein(col("pfx_a"), col("pfx_b")).cast("long"))
-        .filter(col("dist") <= DistMax)
-        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
-          col("dist"))
-        .orderBy("doc_a", "doc_b")
+      // r15: pin the (distinct-text-sized) block frame — both join sides
+      // read it, and unpinned each side re-executed the full
+      // groupBy(text) collapse over documents.
+      Cached.withPinned(c.select(col("rep"), col("n"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"),
+          substring(col("text"), 1, 120).as("pfx"))) { case Seq(d) =>
+        val a = d.select(col("blk"), col("rep").as("doc_a"),
+          col("n").as("n_a"), col("pfx").as("pfx_a"))
+        val b = d.select(col("blk"), col("rep").as("doc_b"),
+          col("n").as("n_b"), col("pfx").as("pfx_b"))
+        a.join(b, Seq("blk"))
+          .filter(col("doc_a") < col("doc_b"))
+          .filter(abs(length(col("pfx_a")) - length(col("pfx_b"))) <= DistMax)
+          .withColumn("dist",
+            levenshtein(col("pfx_a"), col("pfx_b")).cast("long"))
+          .filter(col("dist") <= DistMax)
+          .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+            col("dist"))
+          .orderBy("doc_a", "doc_b")
+      }
     },
     Some(s"""
       WITH c AS (SELECT text, min(doc_id) AS rep, count(*) AS n
@@ -991,7 +995,7 @@ $ccOracleCtes,
       val filterDf = seen.agg(
         BloomFunctions.bloomBuild(col("kh"), BloomNumBits, BloomNumHashes)
           .as("bloom_f"))
-      Cached.withCached(filterDf) {
+      Cached.withPinned(filterDf) { case Seq(filterDf) => // r15: pin + plan-truncate
         // The probe is the JOIN CONDITION against the 1-row filter frame,
         // not a projected column: the 1 MiB binary stays on the broadcast
         // build side of the BNLJ and never enters an output row. Round 5
@@ -1218,7 +1222,7 @@ $ccOracleCtes,
         .withColumn("toks", split(col("text"), " "))
         .withColumn("ntok", size(col("toks")).cast("long"))
         .select("ckey", "lang", "m", "toks", "ntok")
-      Cached.withCached(keyed) {
+      Cached.withPinned(keyed) { case Seq(keyed) => // r15: pin + plan-truncate
         // stride-1 8-token windows with their start position. The doc key
         // is (ckey, lang), NOT ckey alone: the same text CAN appear under
         // two languages, and a ckey-only key would emit duplicate
@@ -1344,7 +1348,7 @@ $ccOracleCtes,
       // d feeds BOTH sides of the block join: pin it so the exact-dup
       // collapse + 3-gram derivation (split/transform/distinct over every
       // text) runs once, not once per side (round-10: 7.2 -> ~4 s sf0.1)
-      Cached.withCached(d) {
+      Cached.withPinned(d) { case Seq(d) => // r15: pin + plan-truncate
       val a = d.select(col("blk"), col("doc_id").as("doc_a"),
         col("g").as("g_a"))
       val b = d.select(col("blk"), col("doc_id").as("doc_b"),
@@ -1418,7 +1422,7 @@ $ccOracleCtes,
           """array_distinct(transform(sequence(0, size(toks) - 3),
                             i -> concat_ws(' ', slice(toks, i + 1, 3))))"""))
           .as("gram"))
-      Cached.withCached(dg) {
+      Cached.withPinned(dg) { case Seq(dg) => // r15: pin + plan-truncate
         val firstSeen = dg.groupBy("gram").agg(min("doc_id").as("first_doc"))
         val mid = dg.agg(expr("(min(doc_id) + max(doc_id) + 1) div 2")
           .as("mid"))
@@ -1479,7 +1483,7 @@ $ccOracleCtes,
       val d = shingled(collapseExactDups(Tables.documents(s, dir)))
         .filter(col("doc_id") < 200 && size(col("shingles")) > 0)
         .select(col("doc_id"), col("shingles"))
-      Cached.withCached(d) {
+      Cached.withPinned(d) { case Seq(d) => // r15: pin + plan-truncate
         val truth = d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
           .withColumn("jaccard",
             size(array_intersect(col("a.shingles"), col("b.shingles")))
@@ -1596,7 +1600,7 @@ $ccOracleCtes,
       }
       // the incremental fold: stored old-batch rows + new-batch-only work
       val index = bandRows(oldC).unionByName(bandRows(newC))
-      Cached.withCached(index) {
+      Cached.withPinned(index) { case Seq(index) => // r15: pin + plan-truncate
         val buckets = index.groupBy("band", "mh")
           .agg(count(lit(1)).as("bc"))
         val pairs = buckets

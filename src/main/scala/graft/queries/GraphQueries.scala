@@ -34,8 +34,13 @@ object GraphQueries extends QueryModule {
         .select((col("o_custkey") * 2).as("c"),
           (col("l_suppkey") * 2 + 1).as("p"))
         .distinct()
-      val edges = e0.select(col("c").as("src"), col("p").as("dst"))
-        .union(e0.select(col("p").as("src"), col("c").as("dst")))
+      // r15: symmetrize in ONE pass — the union form duplicated the
+      // join+distinct subtree (two full lineitem⋈orders scans); explode
+      // of the two directed structs emits the same rows from one scan.
+      val edges = e0.select(explode(array(
+          struct(col("c").as("src"), col("p").as("dst")),
+          struct(col("p").as("src"), col("c").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val ranks = graft.operators.PageRank.ranks(edges, Iters)
       ranks.filter(col("node") % 2 === 1)
         .select(((col("node") - 1) / 2).cast("long").as("s_suppkey"),
@@ -176,8 +181,13 @@ object GraphQueries extends QueryModule {
           col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("c"),
           (col("l_suppkey") * 2 + 1).as("p"))
-      val edges = e0.select(col("c").as("src"), col("p").as("dst"))
-        .union(e0.select(col("p").as("src"), col("c").as("dst")))
+      // r15: one-pass symmetrization — the union form duplicated the e0
+      // subtree (two full upstream scans); explode emits both directions
+      // from one scan, same row multiset.
+      val edges = e0.select(explode(array(
+          struct(col("c").as("src"), col("p").as("dst")),
+          struct(col("p").as("src"), col("c").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val seeds = (0L until 5L).map(k => 2 * k + 1).toDF("node")
       val nodes = edges.select(col("src").as("node")).distinct()
       val levels = graft.operators.BfsLevels.levels(edges, seeds, MaxHops)
@@ -296,8 +306,12 @@ object GraphQueries extends QueryModule {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       val und = orderedCoPairs(li)
-      val edges = und.select(col("a").as("src"), col("b").as("dst"))
-        .union(und.select(col("b").as("src"), col("a").as("dst")))
+      // r15: one-pass symmetrization (see q_bfs_levels) — union form
+      // re-derived the orderedCoPairs subtree twice.
+      val edges = und.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       var lab = edges.select(col("src").as("node")).distinct()
         .withColumn("label", col("node"))
       val wMode = org.apache.spark.sql.expressions.Window
@@ -362,8 +376,13 @@ object GraphQueries extends QueryModule {
         .select((col("o_custkey") * 2).as("c"),
           (col("l_suppkey") * 2 + 1).as("p"))
         .distinct()
-      val edges = e0.select(col("c").as("src"), col("p").as("dst"))
-        .union(e0.select(col("p").as("src"), col("c").as("dst")))
+      // r15: one-pass symmetrization — the union form duplicated the e0
+      // subtree (two full upstream scans); explode emits both directions
+      // from one scan, same row multiset.
+      val edges = e0.select(explode(array(
+          struct(col("c").as("src"), col("p").as("dst")),
+          struct(col("p").as("src"), col("c").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val seeds = (0L until 5L).map(k => 2 * k + 1).toDF("node")
       graft.operators.PageRank.personalizedRanks(edges, seeds, Iters)
         .filter(col("node") % 2 === 0)
@@ -432,8 +451,13 @@ object GraphQueries extends QueryModule {
         .select((col("o_custkey") * 2).as("c"),
           (col("l_suppkey") * 2 + 1).as("p"))
         .distinct()
-      val edges = e0.select(col("c").as("src"), col("p").as("dst"))
-        .union(e0.select(col("p").as("src"), col("c").as("dst")))
+      // r15: one-pass symmetrization — the union form duplicated the e0
+      // subtree (two full upstream scans); explode emits both directions
+      // from one scan, same row multiset.
+      val edges = e0.select(explode(array(
+          struct(col("c").as("src"), col("p").as("dst")),
+          struct(col("p").as("src"), col("c").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
       val wDst = org.apache.spark.sql.expressions.Window.partitionBy("dst")
       val xy = edges
@@ -507,8 +531,12 @@ object GraphQueries extends QueryModule {
           (col("l_suppkey") * 2 + 1).as("p"),
           greatest(datediff(col("l_shipdate"), col("o_orderdate")), lit(1))
             .cast("long").as("w"))
-      val edges = e0.select(col("c").as("src"), col("p").as("dst"), col("w"))
-        .union(e0.select(col("p").as("src"), col("c").as("dst"), col("w")))
+      // r15: one-pass symmetrization (see q_bfs_levels) — union form
+      // re-derived the e0 subtree twice.
+      val edges = e0.select(explode(array(
+          struct(col("c").as("src"), col("p").as("dst"), col("w")),
+          struct(col("p").as("src"), col("c").as("dst"), col("w")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
       val seeds = (0L until 5L).map(k => 2 * k + 1).toDF("node")
       val nodes = edges.select(col("src").as("node")).distinct()
       val dist = graft.operators.Sssp.distances(edges, seeds, SsspRounds)
@@ -584,10 +612,17 @@ object GraphQueries extends QueryModule {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
         .distinct()
-      Cached.withCached(e) {
+      Cached.withPinned(e) { case Seq(e) => // r15: pin + plan-truncate
         val a1 = e.groupBy("p").agg(count(lit(1)).as("a"))
-        val h1 = e.join(a1, "p").groupBy("c").agg(sum("a").as("h"))
-        val a2 = e.join(h1, "c").groupBy("p").agg(sum("h").as("a"))
+        // r15: h1 feeds THREE consumers (a2, the L1 sum, the hub top-10)
+        // and a2 two — only e was cached, so the e⋈a1 and e⋈h1 joins
+        // re-executed per consumer. Pin both score frames (node-sized).
+        Cached.withPinned(
+            e.join(a1, "p").groupBy("c").agg(sum("a").as("h"))) {
+          case Seq(h1) =>
+        Cached.withPinned(
+            e.join(h1, "c").groupBy("p").agg(sum("h").as("a"))) {
+          case Seq(a2) =>
         val sH = h1.agg(sum("h").as("sh"))
         val sA = a2.agg(sum("a").as("sa"))
         val hubs = h1.crossJoin(broadcast(sH))
@@ -600,6 +635,7 @@ object GraphQueries extends QueryModule {
           .orderBy(col("score").desc, col("node_key").asc).limit(10)
         hubs.unionByName(auths).orderBy(col("role"), col("score").desc,
           col("node_key").asc)
+        }}
       }
     },
     Some("""
@@ -636,7 +672,7 @@ object GraphQueries extends QueryModule {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("pk"))
         .distinct()
-      Cached.withCached(li) {
+      Cached.withPinned(li) { case Seq(li) => // r15: pin + plan-truncate
         val deg = li.groupBy("pk").agg(count(lit(1)).as("deg"))
         // map-side per-order pair expansion (the orderedCoPairs rework,
         // sans distinct): one base shuffle, pair multiplicity preserved
@@ -698,8 +734,12 @@ object GraphQueries extends QueryModule {
         .groupBy((col("o_custkey") * 2).as("c"),
           (col("l_suppkey") * 2 + 1).as("p"))
         .agg(sum(col("l_quantity").cast("long")).as("w"))
-      val edges = e0.select(col("c").as("src"), col("p").as("dst"), col("w"))
-        .union(e0.select(col("p").as("src"), col("c").as("dst"), col("w")))
+      // r15: one-pass symmetrization (see q_bfs_levels) — union form
+      // re-derived the e0 subtree twice.
+      val edges = e0.select(explode(array(
+          struct(col("c").as("src"), col("p").as("dst"), col("w")),
+          struct(col("p").as("src"), col("c").as("dst"), col("w")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
       graft.operators.PageRank.weightedRanks(edges, Iters)
         .filter(col("node") % 2 === 1)
         .select(((col("node") - 1) / 2).cast("long").as("s_suppkey"),
@@ -812,7 +852,7 @@ object GraphQueries extends QueryModule {
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
         .distinct()
-      Cached.withCached(e) {
+      Cached.withPinned(e) { case Seq(e) => // r15: pin + plan-truncate
         def fit(df: org.apache.spark.sql.DataFrame, role: String) =
           df.groupBy("node").agg(count(lit(1)).as("deg"))
             .groupBy("deg").agg(count(lit(1)).as("m"))
@@ -900,7 +940,7 @@ object GraphQueries extends QueryModule {
       // construction is dead by the time the runner executes the frame.
       // withCached pins + materializes the edge set, pins the 1-row
       // result, then releases the input.
-      Cached.withCached(flagged) {
+      Cached.withPinned(flagged) { case Seq(flagged) => // r15: pin + plan-truncate
         // Round 13 (verdict #3): DEGREE-ORDERED COMPACT-FORWARD form
         // [Latapy 2008] with per-edge batch flags. Edges re-orient toward
         // the higher-(degree, id) endpoint, every triangle x≺y≺z is then
@@ -937,7 +977,7 @@ object GraphQueries extends QueryModule {
             when(fwd, col("b")).otherwise(col("a")).as("t"),
             when(fwd, col("db")).otherwise(col("da")).as("dt"),
             col("is_delta"))
-        Cached.withCached(oriented) {
+        Cached.withPinned(oriented) { case Seq(oriented) => // r15: pin + plan-truncate
           val nE = oriented.agg(
             sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_edges_base"),
             sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_edges_delta"))

@@ -53,7 +53,7 @@ object InferenceQueries extends QueryModule {
     "q_ks_two_sample",
     (s, dir) => {
       val h = pairHist(s, dir, "purchase", "view")
-      Cached.withCached(h) {
+      Cached.withPinned(h) { case Seq(h) => // r15: pin + plan-truncate
       val cum = GridCum.cum(h, Nil, "v", Seq("n1", "n2"))
       val tot = h.agg(sum("n1").as("n_a"), sum("n2").as("n_b"))
       cum.crossJoin(broadcast(tot))
@@ -90,7 +90,7 @@ object InferenceQueries extends QueryModule {
     "q_mannwhitney_u",
     (s, dir) => {
       val h = pairHist(s, dir, "click", "error")
-      Cached.withCached(h) {
+      Cached.withPinned(h) { case Seq(h) => // r15: pin + plan-truncate
       val cum = GridCum.cum(h, Nil, "v", Seq("n1", "n2"))
         .withColumn("t", col("n1") + col("n2"))
         .withColumn("below", col("cum_n1") + col("cum_n2") - col("t"))
@@ -148,7 +148,7 @@ object InferenceQueries extends QueryModule {
         .select(col("event_type"),
           expr("((ts_us div 86400000000) + 4) % 7").as("dow"))
         .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
-      Cached.withCached(cells) {
+      Cached.withPinned(cells) { case Seq(cells) => // r15: pin + plan-truncate
       val rt = cells.groupBy("event_type").agg(sum("o").as("rt"))
       val ct = cells.groupBy("dow").agg(sum("o").as("ct"))
       val tot = cells.agg(sum("o").as("nn"),
@@ -289,7 +289,7 @@ object InferenceQueries extends QueryModule {
         .join(broadcast(Tables.nation(s, dir)),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), col("x")).agg(count(lit(1)).as("m"))
-      Cached.withCached(byNation) {
+      Cached.withPinned(byNation) { case Seq(byNation) => // r15: pin + plan-truncate
       val cum = GridCum.cum(byNation, Seq("n_name"), "x", Seq("m"),
         bucketWidth = 1L << 22)
         .withColumn("below", col("cum_m") - col("m"))
@@ -347,7 +347,7 @@ object InferenceQueries extends QueryModule {
       val daily = Tables.events(s, dir)
         .groupBy(expr("ts_us div 86400000000").as("day"))
         .agg(sum(expr(centsEv)).as("x"))
-      Cached.withCached(daily) {
+      Cached.withPinned(daily) { case Seq(daily) => // r15: pin + plan-truncate
         val mo = daily.agg(
           (sum("x").cast("double") / count(lit(1))).as("xbar"),
           count(lit(1)).as("nd"))
@@ -403,7 +403,7 @@ object InferenceQueries extends QueryModule {
         .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
         .agg(sum(expr(centsEv)).as("sc"), count(lit(1)).as("c"))
         .withColumn("x", col("sc").cast("double") / col("c") / 100.0)
-      Cached.withCached(daily) {
+      Cached.withPinned(daily) { case Seq(daily) => // r15: pin + plan-truncate
       val stats = daily.groupBy("event_type")
         .agg((sum("x") / count(lit(1))).as("mu"),
           count(lit(1)).as("n_days"),
@@ -468,7 +468,7 @@ object InferenceQueries extends QueryModule {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), expr("ts_us div 86400000000").as("day"),
           expr(centsEv).as("v"))
-      Cached.withCached(ev) {
+      Cached.withPinned(ev) { case Seq(ev) => // r15: pin + plan-truncate
         val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
         val user = ev.crossJoin(broadcast(mid))
           .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
@@ -549,7 +549,7 @@ object InferenceQueries extends QueryModule {
         .groupBy("user_id")
         .agg(expr("min(ts_us div 86400000000)").as("f"),
           expr("max(ts_us div 86400000000)").as("l"))
-      Cached.withCached(spans) {
+      Cached.withPinned(spans) { case Seq(spans) => // r15: pin + plan-truncate
         val horizon = spans.agg(max("l").as("maxd"))
         val durs = spans.crossJoin(broadcast(horizon))
           .select((col("l") - col("f") + 1L).as("t"),
@@ -625,7 +625,7 @@ object InferenceQueries extends QueryModule {
         .join(broadcast(Tables.nation(s, dir)),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), col("x")).agg(count(lit(1)).as("m"))
-      Cached.withCached(byNation) {
+      Cached.withPinned(byNation) { case Seq(byNation) => // r15: pin + plan-truncate
         val stats = byNation.groupBy(col("n_name").as("sn"))
           .agg(sum("m").as("n"), sum(expr("x * m")).as("sx"))
         byNation.join(broadcast(stats), col("n_name") === col("sn"))
@@ -677,7 +677,7 @@ object InferenceQueries extends QueryModule {
         .groupBy("o_custkey")
         .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
         .groupBy("x").agg(count(lit(1)).as("m"))
-      Cached.withCached(hist) {
+      Cached.withPinned(hist) { case Seq(hist) => // r15: pin + plan-truncate
         val tot = hist.agg(sum("m").as("n"), sum(expr("x * m")).as("sx"))
         val cum = GridCum.cum(hist, Nil, "x", Seq("m"), bucketWidth = 1L << 22)
           .withColumn("below", col("cum_m") - col("m"))
@@ -738,7 +738,7 @@ object InferenceQueries extends QueryModule {
     (s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("event_type"), expr(centsEv).as("v"))
-      Cached.withCached(ev) {
+      Cached.withPinned(ev) { case Seq(ev) => // r15: pin + plan-truncate
         val pred = ev.filter(col("event_id") % 2 === 0)
           .groupBy("event_type")
           .agg(expr("sum(v) div count(1)").as("pred"))
@@ -802,7 +802,7 @@ object InferenceQueries extends QueryModule {
       val ev = Tables.events(s, dir)
         .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
           expr(s"least(15, $centsEv div 3125)").as("bkt"))
-      Cached.withCached(ev) {
+      Cached.withPinned(ev) { case Seq(ev) => // r15: pin + plan-truncate
         val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
         val cells = ev.crossJoin(broadcast(mid))
           .groupBy("event_type", "bkt")
@@ -883,7 +883,7 @@ object InferenceQueries extends QueryModule {
           when(col("a.sv") > col("b.sv"), col("b.event_type"))
             .otherwise(col("a.event_type")).as("loser"))
       val n = duels.groupBy("winner", "loser").agg(count(lit(1)).as("cnt"))
-      Cached.withCached(n) {
+      Cached.withPinned(n) { case Seq(n) => // r15: pin + plan-truncate
         // Loop-invariant inputs materialized ONCE (≤ |types|² rows) — the
         // same discipline as PageRank.scala:46: every MM round below joins
         // `m` and `wins`, and without truncation each reference re-derives

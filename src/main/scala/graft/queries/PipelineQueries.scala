@@ -99,7 +99,7 @@ object PipelineQueries extends QueryModule {
         .withColumn("kh", xxhash64(col("content_hash")))
       def kindOf(df: DataFrame, c: String) =
         df.withColumn("kind", when(col(c) % 5 === 0, "pdf").otherwise("html"))
-      Cached.withCached(parsed, sections, chunks) {
+      Cached.withPinned(parsed, sections, chunks) { case Seq(parsed, sections, chunks) => // r15: pin + plan-truncate
         // S12 at the end of the lifecycle: bloom-gated exact dedup of the
         // odd-entity half against the even-entity "already indexed" half,
         // probe in the join condition (the q_bloom_dedup_gate shape)

@@ -115,6 +115,28 @@ object Cached {
       out
     } finally inputs.foreach(_.unpersist())
   }
+
+  /** [[withCached]] + lineage truncation (round 15): `body` receives a
+    * PLAN-PINNED twin of each input — same rows, one-node logical plan
+    * (org.apache.spark.sql.graft.PlanPin) — so a composition that
+    * re-references the inputs many times builds consumer plans of leaf
+    * size instead of duplicating the full upstream subtree per reference
+    * (q_curation_e2e's census reached 3,905 Exchange nodes / ~20 s of
+    * pure driver plan work that way). Execution is unchanged: the pinned
+    * twin reads the SQL cache the persist below fills. In audit mode the
+    * original (transparent) frames pass through so the fleet plan audits
+    * still see the full composition. */
+  def withPinned(inputs: DataFrame*)(body: Seq[DataFrame] => DataFrame): DataFrame = {
+    if (audit.get()) return body(inputs)
+    inputs.foreach(_.persist())
+    try {
+      inputs.foreach(_.count())
+      val out = body(inputs.map(org.apache.spark.sql.graft.PlanPin.truncated))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally inputs.foreach(_.unpersist())
+  }
 }
 
 /** DuckDB twin of `graft.stats.SemConfidence.reliability`: mean of the VALID

@@ -1152,7 +1152,7 @@ object RelationalQueries extends QueryModule {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      Cached.withCached(li) {
+      Cached.withPinned(li) { case Seq(li) => // r15: pin + plan-truncate
         val nB = li.select("ok").distinct().count()
         val item = li.groupBy(col("pk")).agg(count(lit(1)).as("supp_i"))
         // map-side per-order pair expansion (GraphQueries.orderedCoPairs
@@ -1222,7 +1222,7 @@ object RelationalQueries extends QueryModule {
     (s, dir) => {
       val p = Tables.part(s, dir)
         .withColumn("cents", expr("CAST(round(p_retailprice * 100) AS BIGINT)"))
-      Cached.withCached(p) {
+      Cached.withPinned(p) { case Seq(p) => // r15: pin + plan-truncate
         val h = p.groupBy("cents").agg(max("p_size").as("msize"))
           .withColumn("b", expr("cents div 8192"))
         val bmax = h.groupBy("b").agg(max("msize").as("bm"))

@@ -364,7 +364,7 @@ object RetrievalQueries extends QueryModule {
       val cand = scored.withColumn("rn", row_number().over(wRel))
         .filter(col("rn") <= MmrCands)
         .select("q_id", "vec_id", "rel_i", "vecd", "nrm")
-      Cached.withCached(cand) {
+      Cached.withPinned(cand) { case Seq(cand) => // r15: pin + plan-truncate
         val candSlim = cand.select("q_id", "vec_id", "rel_i")
         val pa = cand.select(col("q_id"), col("vec_id").as("a"),
           col("vecd").as("av"), col("nrm").as("an"))

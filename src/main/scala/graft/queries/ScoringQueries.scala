@@ -495,7 +495,7 @@ object ScoringQueries extends QueryModule {
         .agg(max(day).cast("long").as("lastday"),
           count(lit(1)).as("f"),
           sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("m"))
-      Cached.withCached(cust) {
+      Cached.withPinned(cust) { case Seq(cust) => // r15: pin + plan-truncate
         val horizon = cust.agg(max("lastday").as("maxday"))
         val withR = cust.crossJoin(broadcast(horizon))
           .withColumn("r", col("maxday") - col("lastday"))

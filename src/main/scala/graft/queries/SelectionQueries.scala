@@ -378,6 +378,17 @@ object SelectionQueries extends QueryModule {
         .select("syms", "cnt")
         .localCheckpoint(true)
     }
+    // r15 (advisor): exhaustion must be LOUD, not silent. If any round's
+    // argmax frame came up empty (merge candidates ran dry before step
+    // nMerges), the crossJoin above emptied v PERMANENTLY and both
+    // engines would emit a silently-truncated merge table that still
+    // hash-matches. One cheap limit-1 probe of the final (checkpointed)
+    // vocab converts that class to an immediate failure; v is never
+    // legitimately empty (merges rewrite rows, never delete them).
+    require(!v.isEmpty,
+      s"BPE trainer: merge candidates exhausted before step $nMerges " +
+        "(or empty training corpus) — the vocab frame is empty and the " +
+        "merge table would be silently truncated")
     (v, merges.toList)
   }
 
@@ -996,7 +1007,7 @@ object SelectionQueries extends QueryModule {
         .groupBy(col("score_i").as("v"))
         .agg(sum("label").as("n1"),
           sum(lit(1L) - col("label")).as("n2"))
-      Cached.withCached(h) {
+      Cached.withPinned(h) { case Seq(h) => // r15: pin + plan-truncate
         val cum = GridCum.cum(h, Nil, "v", Seq("n1", "n2"),
             bucketWidth = 65536L)
           .withColumn("t", col("n1") + col("n2"))
@@ -1124,7 +1135,7 @@ object SelectionQueries extends QueryModule {
       val h = scoredDocs(s, dir)
         .groupBy(col("score_i").as("v"))
         .agg(count(lit(1)).as("m"), sum("label").as("p"))
-      Cached.withCached(h) {
+      Cached.withPinned(h) { case Seq(h) => // r15: pin + plan-truncate
         val tot = h.agg(sum("m").as("n"), sum("p").as("np"))
         val cum = GridCum.cum(h, Nil, "v", Seq("m"), bucketWidth = 65536L)
         val deciles = (0 until 10).toDF("k")

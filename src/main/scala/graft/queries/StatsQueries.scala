@@ -633,7 +633,7 @@ object StatsQueries extends QueryModule {
           .cast("double") / count(lit(1))).as("mean_c"))
         .withColumn("qm", dround(col("mean_c"), 4))
         .withColumn("bkt", floor(col("qm") / 100).cast("long"))
-      Cached.withCached(pu) {
+      Cached.withPinned(pu) { case Seq(pu) => // r15: pin + plan-truncate
         val counts = pu.groupBy("event_type", "bkt")
           .agg(count(lit(1)).as("bn"))
         val offs = counts.withColumn("off", coalesce(
@@ -737,7 +737,7 @@ object StatsQueries extends QueryModule {
       import graft.operators.HistQuantiles
       val o = Tables.orders(s, dir)
         .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-      Cached.withCached(o) {
+      Cached.withPinned(o) { case Seq(o) => // r15: pin + plan-truncate
         val cuts = HistQuantiles.quantiles(o, col("cents"), Seq(0.05, 0.95))
           .agg(min(when(col("q") === 0.05,
             floor(col("value") + 0.5).cast("long"))).as("lo"),

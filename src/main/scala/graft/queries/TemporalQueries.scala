@@ -911,7 +911,7 @@ object TemporalQueries extends QueryModule {
       val du = Tables.events(s, dir)
         .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
         .distinct()
-      Cached.withCached(du) {
+      Cached.withPinned(du) { case Seq(du) => // r15: pin + plan-truncate
         val days = du.select(col("day").as("d")).distinct()
         val fan = du.join(broadcast(days),
           col("day") <= col("d") && col("day") > col("d") - 30L)
@@ -961,7 +961,7 @@ object TemporalQueries extends QueryModule {
           count(lit(1)).as("c"))
         .withColumn("x", col("sc").cast("double") / col("c") / 100.0)
         .withColumn("dow", expr("(day + 4) % 7"))
-      Cached.withCached(daily) {
+      Cached.withPinned(daily) { case Seq(daily) => // r15: pin + plan-truncate
         val dowMean = daily.groupBy("event_type", "dow")
           .agg((sum("x") / count(lit(1))).as("dm"))
         daily.join(broadcast(dowMean), Seq("event_type", "dow"))
@@ -1019,7 +1019,7 @@ object TemporalQueries extends QueryModule {
         .filter(col("event_type").isin("view", "purchase"))
         .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
         .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
-      Cached.withCached(daily) {
+      Cached.withPinned(daily) { case Seq(daily) => // r15: pin + plan-truncate
         val a = daily.filter(col("event_type") === "view")
           .select(col("day"), col("x").as("xa"))
         val b = daily.filter(col("event_type") === "purchase")
@@ -1084,7 +1084,7 @@ object TemporalQueries extends QueryModule {
       val du = Tables.events(s, dir)
         .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
         .distinct()
-      Cached.withCached(du) {
+      Cached.withPinned(du) { case Seq(du) => // r15: pin + plan-truncate
         val first = du.groupBy("user_id").agg(min("day").as("first_day"))
         du.join(first, "user_id")
           .groupBy("day")
@@ -1124,7 +1124,7 @@ object TemporalQueries extends QueryModule {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), col("ts_us"),
           col("event_type"))
-      Cached.withCached(ev) {
+      Cached.withPinned(ev) { case Seq(ev) => // r15: pin + plan-truncate
         val fp = ev.filter(col("event_type") === "purchase")
           .groupBy("user_id").agg(min("ts_us").as("fp_ts"))
         val pre = ev.join(fp, "user_id")
@@ -1198,7 +1198,7 @@ object TemporalQueries extends QueryModule {
         .agg(min(when(col("event_type") === "signup", col("ts_us"))).as("su"),
           min(when(col("event_type") === "purchase", col("ts_us"))).as("pu"))
         .filter(col("su").isNotNull)
-      Cached.withCached(firsts) {
+      Cached.withPinned(firsts) { case Seq(firsts) => // r15: pin + plan-truncate
         val conv = firsts.filter(col("pu") > col("su"))
           .select(expr("(pu - su) div 1000000").as("delay_s"))
         val qs = HistQuantiles.quantiles(conv, col("delay_s"), Seq(0.5, 0.9))
@@ -1252,7 +1252,7 @@ object TemporalQueries extends QueryModule {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), expr("ts_us div 604800000000").as("wk"),
           expr("CAST(round(value * 100) AS BIGINT)").as("v"))
-      Cached.withCached(ev) {
+      Cached.withPinned(ev) { case Seq(ev) => // r15: pin + plan-truncate
         val firstWk = ev.groupBy("user_id").agg(min("wk").as("cohort"))
         val sized = firstWk.groupBy("cohort").agg(count(lit(1)).as("n_users"))
         val rev = ev.join(firstWk, "user_id")

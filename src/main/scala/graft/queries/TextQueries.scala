@@ -110,7 +110,7 @@ object TextQueries extends QueryModule {
         .groupBy(sha2(col("text"), 256).as("ckey"), col("lang"))
         .agg(min("text").as("text"), count(lit(1)).as("m"))
       // one scan+hash feeds the train and classify sides
-      Cached.withCached(keyed) {
+      Cached.withPinned(keyed) { case Seq(keyed) => // r15: pin + plan-truncate
         val tok = keyed.select(col("lang"), col("m"),
           explode(split(col("text"), " ")).as("tok"))
         val freq = tok.groupBy("lang", "tok").agg(sum("m").as("n"))
@@ -556,7 +556,7 @@ object TextQueries extends QueryModule {
       val keyed = Tables.documents(s, dir)
         .groupBy(sha2(col("text"), 256).as("ckey"), col("lang"))
         .agg(min("text").as("text"), count(lit(1)).as("m"))
-      Cached.withCached(keyed) {
+      Cached.withPinned(keyed) { case Seq(keyed) => // r15: pin + plan-truncate
         val tok = keyed.select(col("ckey"), col("lang"), col("m"),
           explode(split(col("text"), " ")).as("tok"))
         val freq = tok.groupBy("lang", "tok").agg(sum("m").as("n"))
@@ -767,7 +767,7 @@ object TextQueries extends QueryModule {
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 2)
         .select("ckey", "lang", "m", "toks")
-      Cached.withCached(keyed) {
+      Cached.withPinned(keyed) { case Seq(keyed) => // r15: pin + plan-truncate
         // bigram positions (w1, w2) per distinct content
         val big = keyed.select(col("ckey"), col("lang"), col("m"),
           explode(expr(
@@ -893,7 +893,7 @@ object TextQueries extends QueryModule {
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 2)
         .select("ckey", "lang", "m", "toks")
-      Cached.withCached(keyed) {
+      Cached.withPinned(keyed) { case Seq(keyed) => // r15: pin + plan-truncate
         val big = keyed.select(col("ckey"), col("lang"), col("m"),
           explode(expr(
             """transform(sequence(0, size(toks) - 2),
@@ -1133,7 +1133,7 @@ object TextQueries extends QueryModule {
         .select(col("lang"), col("m"),
           col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       val cBig = big.groupBy("lang", "w1", "w2").agg(sum("m").as("c_b"))
-      Cached.withCached(cBig) {
+      Cached.withPinned(cBig) { case Seq(cBig) => // r15: pin + plan-truncate
         val ctx = cBig.groupBy("lang", "w1").agg(sum("c_b").as("c_ctx"))
         val mrg = cBig.groupBy("lang", "w2").agg(sum("c_b").as("c_w2"))
         val tot = cBig.groupBy("lang").agg(sum("c_b").as("n_l"))
@@ -1216,7 +1216,7 @@ object TextQueries extends QueryModule {
         .select(col("source"), explode(split(col("text"), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
         .distinct()
-      Cached.withCached(st) {
+      Cached.withPinned(st) { case Seq(st) => // r15: pin + plan-truncate
         val sz = st.groupBy("source").agg(count(lit(1)).as("v"))
         val inter = st.as("a").join(st.as("b"),
             col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
@@ -1275,7 +1275,7 @@ object TextQueries extends QueryModule {
         .agg(min("text").as("text"), count(lit(1)).as("m"))
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 2)
-      Cached.withCached(keyed) {
+      Cached.withPinned(keyed) { case Seq(keyed) => // r15: pin + plan-truncate
         val freq = keyed.select(col("m"), explode(col("toks")).as("tok"))
           .groupBy("tok").agg(sum("m").as("f"))
         val wV = org.apache.spark.sql.expressions.Window
@@ -1297,8 +1297,12 @@ object TextQueries extends QueryModule {
             .withColumnRenamed("id", "id2"), "w2")
           .select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
           .distinct()
-        val edges = ids.select(col("a").as("src"), col("b").as("dst"))
-          .union(ids.select(col("b").as("src"), col("a").as("dst")))
+        // r15: one-pass symmetrization — the union form duplicated the
+        // ids subtree (pair window + two vocab joins + distinct) twice.
+        val edges = ids.select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
           .distinct()
         val ranks = graft.operators.PageRank.ranks(edges, TrIters)
         ranks.join(broadcast(vocab), col("node") === col("id"))
@@ -1376,7 +1380,7 @@ object TextQueries extends QueryModule {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           explode(split(col("text"), " ")).as("tok"))
-      Cached.withCached(docs) {
+      Cached.withPinned(docs) { case Seq(docs) => // r15: pin + plan-truncate
         val train = docs.filter(col("doc_id") % 2 === 0)
         val test = docs.filter(col("doc_id") % 2 === 1)
         val lt = train.groupBy("lang", "tok").agg(count(lit(1)).as("c"))

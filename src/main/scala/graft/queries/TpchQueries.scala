@@ -99,7 +99,7 @@ object TpchQueries extends QueryModule {
         .select(col("l_partkey"), col("l_orderkey"),
           expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qc"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"))
-      Cached.withCached(li) {
+      Cached.withPinned(li) { case Seq(li) => // r15: pin + plan-truncate
         val perPart = li.groupBy("l_partkey")
           .agg(sum("qc").as("sum_qc"), count(lit(1)).as("n_part"))
         val brand = Tables.part(s, dir)
@@ -145,7 +145,7 @@ object TpchQueries extends QueryModule {
         .withColumn("is_late",
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
             .cast("int"))
-      Cached.withCached(flagged) {
+      Cached.withPinned(flagged) { case Seq(flagged) => // r15: pin + plan-truncate
         val census = flagged.groupBy("l_orderkey")
           .agg(countDistinct("l_suppkey").as("n_supp"),
             countDistinct(when(col("is_late") === 1, col("l_suppkey")))
@@ -202,7 +202,7 @@ object TpchQueries extends QueryModule {
       val c = Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_mktsegment"),
           expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cc"))
-      Cached.withCached(c) {
+      Cached.withPinned(c) { case Seq(c) => // r15: pin + plan-truncate
         val avgPos = c.filter(col("cc") > 0L)
           .agg(sum("cc").as("sum_cc"), count(lit(1)).as("n_pos"))
         val o = Tables.orders(s, dir)
@@ -261,7 +261,7 @@ object TpchQueries extends QueryModule {
           col("l_suppkey") === col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(min("pc").as("cost_c"))
-      Cached.withCached(ps) {
+      Cached.withPinned(ps) { case Seq(ps) => // r15: pin + plan-truncate
         val minPerPart = ps.groupBy("l_partkey").agg(min("cost_c").as("min_c"))
         val parts = Tables.part(s, dir).filter(col("p_type") === "LARGE")
           .select("p_partkey")
@@ -324,7 +324,7 @@ object TpchQueries extends QueryModule {
         .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(sum("pc").as("value_cents"))
-      Cached.withCached(perPart) {
+      Cached.withPinned(perPart) { case Seq(perPart) => // r15: pin + plan-truncate
         val total = perPart.agg(sum("value_cents").as("total_c"),
           count(lit(1)).as("n_parts"))
         perPart.crossJoin(broadcast(total))
@@ -366,7 +366,7 @@ object TpchQueries extends QueryModule {
             .as("re4"))
         .groupBy("l_suppkey")
         .agg(sum("re4").as("total_revenue_e4"))
-      Cached.withCached(rev) {
+      Cached.withPinned(rev) { case Seq(rev) => // r15: pin + plan-truncate
         val mx = rev.agg(max("total_revenue_e4").as("mx"))
         rev.crossJoin(broadcast(mx))
           .filter(col("total_revenue_e4") === col("mx"))
@@ -458,7 +458,7 @@ object TpchQueries extends QueryModule {
         .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(sum("qc").as("sq"))
-      Cached.withCached(perPartSupp) {
+      Cached.withPinned(perPartSupp) { case Seq(perPartSupp) => // r15: pin + plan-truncate
         val perPart = perPartSupp.groupBy("l_partkey").agg(sum("sq").as("tq"))
         val qualifying = perPartSupp.join(perPart, "l_partkey")
           .filter(col("sq") * lit(2L) > col("tq"))

@@ -1,0 +1,53 @@
+// Lives under org.apache.spark.sql because LogicalRDD and the classic
+// Dataset.ofRows bridge are private[sql] extension surface — same
+// rationale as AsOfJoinNative / KmvSketchAgg.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.Dataset
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Lineage truncation WITHOUT new block materialization (round 15).
+  *
+  * A composed lazy DAG that re-references shared intermediates duplicates
+  * each intermediate's logical subtree per reference, and the duplication
+  * COMPOUNDS through the composition: q_curation_e2e's final census plan
+  * reached 3,905 Exchange nodes / 5.8 MB of formatted text while executing
+  * almost nothing (the shared subtrees are persisted by
+  * `graft.queries.Cached.withCached`). Catalyst walks — analysis,
+  * optimizer batches, and the CacheManager's canonicalize-and-match on
+  * every consumer — are tree walks, so the DRIVER pays the duplicated
+  * size on every round trip; at sf0.1 plan work was ~2/3 of that query's
+  * wall time (plan-only explain ≈ 20 s), and in the one-JVM bench sweep
+  * the churned Catalyst trees billed a 107 s GC storm to 32 idle tasks.
+  *
+  * `truncated` rebuilds a DataFrame on a ONE-NODE plan (LogicalRDD over
+  * the frame's own executed RDD) — the exact mechanism of
+  * `Dataset.localCheckpoint`, WITHOUT the checkpoint: no deserialized row
+  * blocks enter the block manager (the round-10 sweep-hygiene lesson —
+  * `clearCache()` cannot free checkpoint blocks), nothing executes at
+  * wrap time. Consumers' plans become leaf-sized; each consumer's
+  * execution runs the wrapped RDD, which reads the SQL cache while the
+  * caller's persist is live and recomputes via RDD lineage after. The
+  * per-row `copy()` mirrors Dataset.checkpoint's own discipline (buffered
+  * consumers must not alias the scan's reused row).
+  *
+  * Trade-offs (why this is not the default for every frame): the wrapped
+  * frame is opaque to the optimizer — no filter/column pruning can cross
+  * it (irrelevant for frames that are persisted in full anyway) — and
+  * its stats are the origin Dataset's, so join-side estimates stay as
+  * good as the cache's. Use it for SMALL shared intermediates with MANY
+  * consumers, after persist() + count().
+  */
+object PlanPin {
+
+  /** Same rows as `df`, one-node logical plan. Call AFTER `df` is
+    * persisted and materialized (the wrap itself plans `df` once — the
+    * last full-tree walk — and never again). */
+  def truncated(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    Dataset.ofRows(ds.sparkSession,
+      LogicalRDD.fromDataset(rdd, ds, isStreaming = false))
+  }
+}

@@ -143,7 +143,11 @@ object ScorePipeline {
       .withColumn("_qvr", qvr)
       .withColumn("_bkt", floor(col("_qvr")).cast("long"))
       .persist() // consumed twice: bucket counts + final scoring
-    val counts = joined0.groupBy("_bkt").agg(count(lit(1)).as("_bn"))
+    // r15: plan-truncate the persisted frame — its lineage (vr/cv/hhi/
+    // synergy joins over the shared dims) otherwise re-embeds per
+    // consumer (PlanPin; execution already deduped by the persist)
+    val joined0p = org.apache.spark.sql.graft.PlanPin.truncated(joined0)
+    val counts = joined0p.groupBy("_bkt").agg(count(lit(1)).as("_bn"))
     // constant partition key: ≤101 bucket rows by construction; the
     // explicit spec keeps the bounded window out of WindowExec's
     // no-partition warning (pmod(_bkt,1) ≡ 0, non-foldable on purpose)
@@ -156,7 +160,7 @@ object ScorePipeline {
     // total over the tiny counts frame — NOT a third scan of joined0
     val total = counts.agg(sum("_bn").as("_n"))
     val wIn = Window.partitionBy("_bkt").orderBy(col("_qvr").asc)
-    val scored = joined0
+    val scored = joined0p
       .join(broadcast(offsets), "_bkt")
       .crossJoin(broadcast(total))
       .withColumn("_rn", rank().over(wIn))
@@ -197,8 +201,14 @@ object ScorePipeline {
   def fullScoresFrom(spark: SparkSession, dimsIn: DataFrame): DataFrame = {
     import graft.stats.SemConfidence
     // one persisted dims frame feeds the composite chain, sigma, and the
-    // reliability pivot (otherwise the events scan + agg runs 3×)
-    val dimsShared = dimsIn.persist()
+    // reliability pivot (otherwise the events scan + agg runs 3×).
+    // r15: materialize once and plan-truncate (PlanPin) — the chain
+    // references dims ~8×, and each reference re-embedded the events
+    // scan+agg subtree in the analyzed plan (143 KB / 98 Exchange nodes
+    // for q_full_scores before the pin).
+    val dims0 = dimsIn.persist()
+    dims0.count()
+    val dimsShared = org.apache.spark.sql.graft.PlanPin.truncated(dims0)
     val base = compositeFrom(spark, "", dimsShared)
 
     // M9: talent concentration — from the dims frame's per-dimension

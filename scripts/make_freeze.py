@@ -41,16 +41,30 @@ def load_maps(path):
 def main(argv):
     out, label = argv[0], argv[1]
     paths, resets = [], []
-    for a in argv[2:]:
+    rest = list(argv[2:])
+    i = 0
+    while i < len(rest):
+        a = rest[i]
         if a.startswith("--reset"):
-            spec = a.split(" ", 1)[1] if " " in a else a[len("--reset"):]
-            spec = spec.lstrip("=")
+            # r16 (advisor): accept all three spellings — '--reset q@sf=v',
+            # '--reset=q@sf=v', and a single quoted '--reset q@sf=v' token.
+            # The r15 parser made the documented space-separated form a
+            # ValueError (spec '') and would have consumed the value token
+            # as an artifact path.
+            if a == "--reset":
+                assert i + 1 < len(rest), "--reset needs a <query>@<sf>=<v> argument"
+                spec = rest[i + 1]
+                i += 1
+            else:
+                spec = a.split(" ", 1)[1] if " " in a else a[len("--reset"):]
+                spec = spec.lstrip("=")
             name_sf, val = spec.split("=")
             name, sf = name_sf.split("@")
             assert sf in ("sf01", "sf1"), f"bad reset sf: {sf}"
             resets.append((name, sf, float(val)))
         else:
             paths.append(a)
+        i += 1
     sf01, sf1 = {}, {}
     for p in paths:
         q01, q1 = load_maps(p)
@@ -66,6 +80,12 @@ def main(argv):
                 {"query": name, "sf": sf, "old": target[name], "new": val})
             print(f"reset {name}@{sf}: {target[name]} -> {val}")
             target[name] = val
+        else:
+            # r16 (advisor): a reset naming an absent query must fail loud,
+            # not silently vanish — it is evidence-backed surgery on a
+            # specific entry, and a typo'd name means the surgery didn't
+            # happen while the operator believes it did.
+            sys.exit(f"--reset target {name}@{sf} not present in merged map")
     freeze = {
         "label": label,
         "sources": paths,

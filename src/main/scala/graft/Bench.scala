@@ -447,8 +447,13 @@ object Bench {
       System.err.println(s"[bench] final pass: expensive >2x lines beyond " +
         s"cap left as-is: ${expOver.drop(3).map(_._1).mkString(",")}")
     val finalTimes = scala.collection.mutable.Map.empty[String, Double]
-    val cheapT0 = System.nanoTime()
-    def cheapSpent: Double = (System.nanoTime() - cheapT0) / 1e9
+    // r16 (advisor): the cheap-retry wall budget counts ONLY time spent
+    // inside cheap retries. The r15 clock started before the adjudication
+    // loop, and stillOver runs the expensive entries first — each
+    // expensive retry (gc + 2 s settle + full run) was charged to the
+    // cheap budget, so with any expensive lines present the capped cheap
+    // pass the change introduced was typically skipped entirely.
+    var cheapSpent = 0.0
     stillOver.foreach { n =>
       val f = frozen01(n)
       val cheap = afterMap(n) < 5.0
@@ -461,11 +466,13 @@ object Bench {
         var p = 0
         while (p < passes && cur > 2 * f &&
             (!cheap || cheapSpent <= cheapBudgetSec)) {
+          val t0 = System.nanoTime()
           System.gc()
           Thread.sleep(2000)
           preClear()
           val t = timeOnce(byName(n), sfDir).map(r3)
           record01(n, t)
+          if (cheap) cheapSpent += (System.nanoTime() - t0) / 1e9
           System.err.println(s"[bench] final adjudication of $n: " +
             s"${t.fold("failed")(_.toString)} s (freeze $f)")
           t.foreach { v =>
@@ -522,14 +529,25 @@ object Bench {
           Seq("q_curation_e2e", "q_ingest_pipeline_e2e"),
           Seq("q_pagerank_suppliers", "q_weighted_pagerank"))
         val benchedNames = benched.map(_.name).toSet
-        val reserved = tier0Families.flatMap { fam =>
-          val present = fam.filter(benchedNames)
-          // the member NOT measured last round runs this round; if both
-          // were measured (budget reached everything), take the tail to
-          // offset the head's natural tier ordering advantage
-          present.filterNot(prevSf1.contains).headOption
-            .orElse(present.lastOption)
-        }.toSet
+        // r16 (verdict #5): the sf0.1 scaling block cannot demonstrate
+        // parallel speedup — 2-4 s sf0.1 queries are overhead-bound (the
+        // r15 8-core run finished the WHOLE suite faster than 32 cores).
+        // The shuffle-heavy sf1 flagships are where a core ratio can
+        // show, so they are a FIXED reserve, measured every round at
+        // every core count the driver runs — the c8/c32 artifacts then
+        // carry directly comparable sf1 lines (~50 s of the 300 s
+        // budget). Ordering/coverage only; timing methodology unchanged.
+        val fixedReserve = Seq("q_curation_e2e", "q_pagerank_suppliers",
+          "q_tpch_q7_nation_volume", "q_bloom_dedup_gate")
+        val reserved = (fixedReserve.filter(benchedNames) ++
+          tier0Families.flatMap { fam =>
+            val present = fam.filter(benchedNames)
+            // the member NOT measured last round runs this round; if both
+            // were measured (budget reached everything), take the tail to
+            // offset the head's natural tier ordering advantage
+            present.filterNot(prevSf1.contains).headOption
+              .orElse(present.lastOption)
+          }).toSet
         if (reserved.nonEmpty)
           System.err.println(s"[bench] sf1 tier-0 reserve: ${reserved.mkString(", ")}")
         val ordered = benched.sortBy { q =>

@@ -105,8 +105,20 @@ object Verify {
             // cancelled must still advance the sweep cadence — degraded
             // runs (failure bursts) are exactly the ones that leak most,
             // and a counter gated on success would stall the sweep then.
+            // r16 (verdict #7): 2 s was never enough for the write lock
+            // under 8 always-occupied read slots (the non-fair lock also
+            // let new readers barge past the waiting writer), so the
+            // deterministic clear ~never ran and the emergency
+            // BlockManager unpersist fired instead — 3× per sweep in the
+            // r15 driver log. With CacheHygiene's lock now FAIR, the
+            // boundary is a deliberate drain point: new readers queue
+            // behind the waiting writer, so the wait is bounded by the
+            // slowest in-flight query (q_bpe_train_k's ~20 s driver-floor
+            // loop at sf0.01 outlived a first-cut 15 s window — hence
+            // 45 s, still ≪ the 180 s query timeout). The emergency path
+            // remains as the true-zombie fallback.
             if (done.incrementAndGet() % 32 == 0 &&
-                !graft.plans.CacheHygiene.tryClear(spark, 2)) {
+                !graft.plans.CacheHygiene.tryClear(spark, 45)) {
               val n = graft.plans.CacheHygiene.emergencyUnpersist(spark)
               System.err.println(
                 s"[verify] clearCache skipped (queries in flight) — " +

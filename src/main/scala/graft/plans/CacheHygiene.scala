@@ -32,7 +32,17 @@ import org.apache.spark.sql.SparkSession
   * wrong).
   */
 object CacheHygiene {
-  private val lock = new ReentrantReadWriteLock()
+  // FAIR (r16, verdict #7): under Verify's 8-wide concurrent sweep the
+  // write lock was starved by construction — non-fair readers barge past
+  // a waiting writer, so with 8 slots always occupied the periodic
+  // clearCache ~never ran and the emergency BlockManager unpersist fired
+  // instead (3× per 249-query sweep in the r15 driver log, the same
+  // leaked-pin pressure class as the round-9 phantom outliers). Fair mode
+  // queues new readers behind the waiting writer, so the in-flight
+  // queries drain (sub-second each in verify) and the deterministic
+  // CacheManager clear runs. Lock traffic is per-query, not per-row —
+  // fairness costs nothing measurable here.
+  private val lock = new ReentrantReadWriteLock(true)
 
   /** Run a query action (plan build + job) under the read gate. */
   def withQuery[T](body: => T): T = {

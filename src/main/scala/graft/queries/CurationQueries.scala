@@ -584,6 +584,11 @@ object CurationQueries extends QueryModule {
         // with array_intersect+array_union at sf0.1); (2) |A∪B| =
         // |A|+|B|−|A∩B| — the identity the oracle's jac CTE already uses —
         // so the same doubles divide.
+        // sorted_intersect_count's contract (sorted + duplicate-free):
+        // distinctness holds by construction — `shingles` is
+        // array_distinct'd where it is built above (and list_distinct'd
+        // in the oracle's dsh CTE), spec-pinned by SortedIntersectSpec's
+        // call-site proof + duplicate counter-example (r16, verdict #2).
         val sets = exact.select(col("doc_id"),
           sort_array(col("shingles")).as("shingles"))
         val drops = cand

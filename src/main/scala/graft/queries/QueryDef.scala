@@ -87,6 +87,16 @@ object Cached {
   private val audit = new ThreadLocal[java.lang.Boolean] {
     override def initialValue: java.lang.Boolean = false
   }
+  // r16: posture mode — persists/materialization run exactly as in real
+  // mode, but PlanPin wrapping is skipped, so the EXECUTED plan keeps the
+  // InMemoryTableScan/window/join structure visible for the plan-posture
+  // guards (PlanSpec's scoring-DAG test asserts on the raw executed plan;
+  // under the pins every shared frame reads as an opaque `Scan
+  // ExistingRDD` — the r15 537/538 failure). Execution semantics are
+  // identical: the pin never changes rows, only plan size.
+  private val noPin = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = false
+  }
 
   /** Build with [[withCached]] transparent — no persist, nothing
     * executed — so the FULL logical/physical plan of the body stays
@@ -96,6 +106,28 @@ object Cached {
   def auditPlan[T](body: => T): T = {
     audit.set(true)
     try body finally audit.set(false)
+  }
+
+  /** Build with persist/materialization as in real mode but WITHOUT
+    * PlanPin wrapping — the executed-plan posture (cache scans, window
+    * partitioning, join strategies) stays inspectable. For plan-posture
+    * tests only; never used by the timed runners. */
+  def posturePlan[T](body: => T): T = {
+    noPin.set(true)
+    try body finally noPin.set(false)
+  }
+
+  /** Persist + materialize `df` and return its plan-pinned twin — the
+    * single-frame seam for builders that manage their own frame scoping
+    * (ScorePipeline). Audit mode is fully transparent (no persist, no
+    * count, no pin — auditPlan promises "nothing executed", which the
+    * r15 unconditional dims0.count() violated, the r15 advisor's high
+    * item); posture mode persists but skips the pin. */
+  def pinned(df: DataFrame): DataFrame = {
+    if (audit.get()) return df
+    val p = df.persist()
+    p.count()
+    if (noPin.get()) p else org.apache.spark.sql.graft.PlanPin.truncated(p)
   }
 
   def withCached(inputs: DataFrame*)(body: => DataFrame): DataFrame = {
@@ -131,7 +163,10 @@ object Cached {
     inputs.foreach(_.persist())
     try {
       inputs.foreach(_.count())
-      val out = body(inputs.map(org.apache.spark.sql.graft.PlanPin.truncated))
+      val shared =
+        if (noPin.get()) inputs
+        else inputs.map(org.apache.spark.sql.graft.PlanPin.truncated)
+      val out = body(shared)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count()
       out

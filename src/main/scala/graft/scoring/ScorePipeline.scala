@@ -142,11 +142,14 @@ object ScorePipeline {
       .crossJoin(broadcast(sectorAvg))
       .withColumn("_qvr", qvr)
       .withColumn("_bkt", floor(col("_qvr")).cast("long"))
-      .persist() // consumed twice: bucket counts + final scoring
-    // r15: plan-truncate the persisted frame — its lineage (vr/cv/hhi/
-    // synergy joins over the shared dims) otherwise re-embeds per
-    // consumer (PlanPin; execution already deduped by the persist)
-    val joined0p = org.apache.spark.sql.graft.PlanPin.truncated(joined0)
+    // consumed twice (bucket counts + final scoring): persist +
+    // plan-truncate — its lineage (vr/cv/hhi/synergy joins over the
+    // shared dims) otherwise re-embeds per consumer. r16: routed through
+    // Cached.pinned so audit mode stays transparent (nothing persisted or
+    // executed) and posture mode keeps the InMemoryTableScan visible to
+    // PlanSpec's scoring-DAG guard — the r15 unconditional PlanPin here
+    // was the 537/538 PlanSpec failure.
+    val joined0p = graft.queries.Cached.pinned(joined0)
     val counts = joined0p.groupBy("_bkt").agg(count(lit(1)).as("_bn"))
     // constant partition key: ≤101 bucket rows by construction; the
     // explicit spec keeps the bounded window out of WindowExec's
@@ -205,10 +208,10 @@ object ScorePipeline {
     // r15: materialize once and plan-truncate (PlanPin) — the chain
     // references dims ~8×, and each reference re-embedded the events
     // scan+agg subtree in the analyzed plan (143 KB / 98 Exchange nodes
-    // for q_full_scores before the pin).
-    val dims0 = dimsIn.persist()
-    dims0.count()
-    val dimsShared = org.apache.spark.sql.graft.PlanPin.truncated(dims0)
+    // for q_full_scores before the pin). r16: via Cached.pinned, so audit
+    // mode executes nothing and posture mode keeps the cache scan
+    // visible (the r15 PlanSpec failure + advisor high item).
+    val dimsShared = graft.queries.Cached.pinned(dimsIn)
     val base = compositeFrom(spark, "", dimsShared)
 
     // M9: talent concentration — from the dims frame's per-dimension

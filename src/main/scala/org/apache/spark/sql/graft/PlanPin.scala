@@ -28,16 +28,33 @@ import org.apache.spark.sql.execution.LogicalRDD
   * `clearCache()` cannot free checkpoint blocks), nothing executes at
   * wrap time. Consumers' plans become leaf-sized; each consumer's
   * execution runs the wrapped RDD, which reads the SQL cache while the
-  * caller's persist is live and recomputes via RDD lineage after. The
-  * per-row `copy()` mirrors Dataset.checkpoint's own discipline (buffered
-  * consumers must not alias the scan's reused row).
+  * caller's persist is live and recomputes via RDD lineage after.
+  *
+  * NO per-row `copy()` (r16 — the r15 wrapper copied every row, the
+  * r15 verdict's measured per-consumer-read cost): Dataset.checkpoint
+  * copies because it STORES the rows (block-manager blocks must not
+  * alias a scan's reused buffer), but this RDD is never stored — its
+  * only consumer is the `RDDScanExec` the LogicalRDD plans to, whose
+  * `doExecute` maps every row through a fresh `UnsafeProjection`
+  * (verified against the Spark 4.1.2 bytecode: $anonfun$doExecute$3/4
+  * in RDDScanExec, and the codegen path via InputRDDCodegen with
+  * createUnsafeProjection=true) — i.e. each row's bytes are re-copied
+  * into the projection's own buffer at consumption time, one row at a
+  * time, before any downstream operator sees it. Buffering operators
+  * then copy what THEY retain, per SparkPlan's row-reuse contract. The
+  * r15 copy was therefore a redundant second copy per row per consumer
+  * read (PlanPinSpec exercises sort/join/agg consumers over reused-row
+  * sources; the 249-query oracle gate re-proved byte-identical results
+  * after removal).
   *
   * Trade-offs (why this is not the default for every frame): the wrapped
   * frame is opaque to the optimizer — no filter/column pruning can cross
-  * it (irrelevant for frames that are persisted in full anyway) — and
-  * its stats are the origin Dataset's, so join-side estimates stay as
-  * good as the cache's. Use it for SMALL shared intermediates with MANY
-  * consumers, after persist() + count().
+  * it, so a consumer that reads 2 of 10 columns still materializes all
+  * 10 from the cache (an InMemoryTableScan consumer would prune at the
+  * columnar cache) — and its stats are the origin Dataset's. Use it for
+  * shared intermediates with MANY consumers that read most of the frame,
+  * after persist() + count(); prefer plain withCached when consumers are
+  * narrow projections of a wide (e.g. array-carrying) frame.
   */
 object PlanPin {
 
@@ -46,8 +63,7 @@ object PlanPin {
     * last full-tree walk — and never again). */
   def truncated(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
-    val rdd = ds.queryExecution.toRdd.map(_.copy())
     Dataset.ofRows(ds.sparkSession,
-      LogicalRDD.fromDataset(rdd, ds, isStreaming = false))
+      LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false))
   }
 }

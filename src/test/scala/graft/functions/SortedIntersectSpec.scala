@@ -41,6 +41,52 @@ class SortedIntersectSpec extends SparkSpec {
     viaDf(rows).foreach { case (n, b) => assert(n == b) }
   }
 
+  test("duplicate-bearing counter-example: the precondition is load-bearing") {
+    // r16 (verdict #2): WITH duplicates three semantics diverge — the
+    // merge counts min-multiplicity matches (2 below), set semantics
+    // (size(array_intersect)) counts 1, and the oracle's
+    // list_filter(A, contains(B)) counts A-multiset hits. The expression
+    // is only exchangeable for array_intersect on DISTINCT inputs, which
+    // is why the call sites must (and do — see the next test) distinct
+    // before sorting.
+    import spark.implicits._
+    val r = Seq((Seq("x", "x", "y"), Seq("x", "x")))
+      .toDF("a", "b")
+      .select(
+        TextSimilarity.sortedIntersectCount(col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).as("builtin"))
+      .collect().head
+    assert(r.getInt(0) == 2) // min-multiplicity merge
+    assert(r.getInt(1) == 1) // set semantics
+  }
+
+  test("curation shingles are duplicate-free by construction (call-site proof)") {
+    // The exact shingle expression from q_curation_e2e
+    // (CurationQueries:539-543): array_distinct over adjacent-bigram
+    // transforms. Texts with repeated bigrams ("a b a b a" yields "a b"
+    // twice and "b a" twice pre-distinct) must still produce distinct
+    // arrays, so sort_array(shingles) satisfies sorted_intersect_count's
+    // sorted+duplicate-free contract and the merge equals set semantics.
+    import spark.implicits._
+    val texts = Seq("a b a b a", "x x x x", "p q r p q r", "solo", "")
+    val df = texts.toDF("text")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        """CASE WHEN size(toks) >= 2
+              THEN array_distinct(transform(sequence(0, size(toks) - 2),
+                                  i -> concat_ws(' ', slice(toks, i + 1, 2))))
+              ELSE array() END"""))
+      .select(col("shingles"),
+        (size(col("shingles")) === size(array_distinct(col("shingles"))))
+          .as("distinct_ok"))
+    assert(df.collect().forall(_.getBoolean(1)))
+    // and on such (sorted) sets the native count equals array_intersect
+    val pairs = df.select(sort_array(col("shingles")).as("s")).collect()
+      .map(_.getSeq[String](0).toSeq).toSeq
+    val cross = for (a <- pairs; b <- pairs) yield (a, b)
+    viaDf(cross).foreach { case (n, b) => assert(n == b) }
+  }
+
   test("null array yields null") {
     import spark.implicits._
     val df = Seq((Some(Seq("a", "b")), Option.empty[Seq[String]]))

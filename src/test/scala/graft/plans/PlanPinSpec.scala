@@ -32,6 +32,32 @@ class PlanPinSpec extends SparkSpec {
     assert(pinned.orderBy("g").collect().toSeq == expect)
   }
 
+  test("no-copy pin: buffering consumers (sort, window) see distinct rows") {
+    // r16: PlanPin no longer copies rows per read — RDDScanExec itself
+    // re-projects every row into its own buffer before any downstream
+    // operator sees it. If that were wrong, a buffering consumer over the
+    // pin would alias one reused row: a global sort would collapse to
+    // copies of a single value and window ranks would be garbage. This
+    // test fails loudly in that world.
+    import spark.implicits._
+    val base = (1 to 5000).map(i => (i.toLong, s"s$i")).toDF("k", "v")
+      .withColumn("g", expr("k % 13"))
+    base.persist()
+    base.count()
+    val pinned = PlanPin.truncated(base)
+    val sorted = pinned.orderBy(col("v")).collect()
+    assert(sorted.map(_.getString(1)).distinct.length == 5000)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("k")
+    val rnSum = pinned.withColumn("rn", row_number().over(w))
+      .agg(sum("rn")).collect().head.getLong(0)
+    val expect = (1 to 5000).groupBy(_ % 13).values
+      .map { grp => val m = grp.size.toLong; m * (m + 1) / 2 }.sum
+    assert(rnSum == expect)
+    base.unpersist(true)
+    spark.catalog.clearCache()
+  }
+
   test("withPinned body receives truncated frames and returns same result") {
     import spark.implicits._
     val in = (1 to 100).map(i => (i % 5, i.toLong)).toDF("g", "x")

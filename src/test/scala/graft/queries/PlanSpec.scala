@@ -70,8 +70,16 @@ class PlanSpec extends SparkSpec {
 
   test("q_full_scores: scoring DAG posture — cached single events scan, " +
       "partitioned entity windows, broadcast attachment joins") {
-    val exec = SparkEntry.queries("q_full_scores")(spark, sfDir)
-      .queryExecution.executedPlan
+    // posturePlan (r16): persists/materialization run exactly as in the
+    // timed path, but PlanPin wrapping is skipped — under the pins every
+    // shared frame reads as an opaque `Scan ExistingRDD` and the posture
+    // assertions below (cache scan census, window partitioning, join
+    // strategy) go blind. The r15 round shipped the pins unconditional
+    // and this test red (537/538) — the pin changes plan SIZE only, so
+    // the posture checked here is the posture the pinned plan executes.
+    val exec = Cached.posturePlan(
+      SparkEntry.queries("q_full_scores")(spark, sfDir)
+        .queryExecution.executedPlan)
     // 1. events is read through the ONE persisted dims frame: the top-level
     // plan must contain no direct file scan of events (only
     // InMemoryTableScans over the shared cache, which materializes from a
@@ -104,6 +112,9 @@ class PlanSpec extends SparkSpec {
       "bucketed rank window missing or not partitioned by _bkt")
     // 3. the scalar/offset attachments broadcast
     assert(exec.toString.contains("BroadcastHashJoin"))
+    // posture mode materialized the shared frames into the test session's
+    // cache; reclaim them so later suites start clean
+    spark.catalog.clearCache()
   }
 
   test("q_orders_pagination: row ranking is bucket-partitioned, not global") {

@@ -21,49 +21,50 @@ import org.apache.spark.sql.execution.LogicalRDD
   * wall time (plan-only explain ≈ 20 s), and in the one-JVM bench sweep
   * the churned Catalyst trees billed a 107 s GC storm to 32 idle tasks.
   *
-  * `truncated` rebuilds a DataFrame on a ONE-NODE plan (LogicalRDD over
-  * the frame's own executed RDD) — the exact mechanism of
-  * `Dataset.localCheckpoint`, WITHOUT the checkpoint: no deserialized row
-  * blocks enter the block manager (the round-10 sweep-hygiene lesson —
-  * `clearCache()` cannot free checkpoint blocks), nothing executes at
-  * wrap time. Consumers' plans become leaf-sized; each consumer's
-  * execution runs the wrapped RDD, which reads the SQL cache while the
-  * caller's persist is live and recomputes via RDD lineage after.
-  *
-  * NO per-row `copy()` (r16 — the r15 wrapper copied every row, the
-  * r15 verdict's measured per-consumer-read cost): Dataset.checkpoint
-  * copies because it STORES the rows (block-manager blocks must not
-  * alias a scan's reused buffer), but this RDD is never stored — its
-  * only consumer is the `RDDScanExec` the LogicalRDD plans to, whose
-  * `doExecute` maps every row through a fresh `UnsafeProjection`
-  * (verified against the Spark 4.1.2 bytecode: $anonfun$doExecute$3/4
-  * in RDDScanExec, and the codegen path via InputRDDCodegen with
-  * createUnsafeProjection=true) — i.e. each row's bytes are re-copied
-  * into the projection's own buffer at consumption time, one row at a
-  * time, before any downstream operator sees it. Buffering operators
-  * then copy what THEY retain, per SparkPlan's row-reuse contract. The
-  * r15 copy was therefore a redundant second copy per row per consumer
-  * read (PlanPinSpec exercises sort/join/agg consumers over reused-row
-  * sources; the 249-query oracle gate re-proved byte-identical results
-  * after removal).
-  *
-  * Trade-offs (why this is not the default for every frame): the wrapped
-  * frame is opaque to the optimizer — no filter/column pruning can cross
-  * it, so a consumer that reads 2 of 10 columns still materializes all
-  * 10 from the cache (an InMemoryTableScan consumer would prune at the
-  * columnar cache) — and its stats are the origin Dataset's. Use it for
-  * shared intermediates with MANY consumers that read most of the frame,
-  * after persist() + count(); prefer plain withCached when consumers are
-  * narrow projections of a wide (e.g. array-carrying) frame.
+  * `truncated` rebuilds a DataFrame on a ONE-NODE logical plan — r16:
+  * the cached InMemoryRelation leaf itself (see the method doc; the r15
+  * shape was a LogicalRDD over the frame's executed RDD, whose
+  * per-consumer-read costs two A/B rounds measured and killed). Nothing
+  * executes at wrap time; no deserialized row blocks enter the block
+  * manager (the round-10 sweep-hygiene lesson — `clearCache()` cannot
+  * free checkpoint blocks). Consumers' plans become leaf-sized and read
+  * the SQL cache while the caller's persist is live.
   */
 object PlanPin {
 
   /** Same rows as `df`, one-node logical plan. Call AFTER `df` is
     * persisted and materialized (the wrap itself plans `df` once — the
-    * last full-tree walk — and never again). */
+    * last full-tree walk — and never again).
+    *
+    * r16: the pin is the cached InMemoryRelation LEAF itself (the
+    * CacheManager's own representation of the persisted frame), not a
+    * LogicalRDD over `toRdd`. Both are one-node logical plans, but the
+    * LogicalRDD was opaque at READ time too: every consumer read ran the
+    * wrapped RDD behind an `RDDScanExec` — an un-fusable iterator
+    * boundary plus an extra per-row UnsafeProjection, with the cache's
+    * column pruning and batch-level filter pushdown lost. A 62-site
+    * interleaved same-JVM A/B (AbProbe, r16) measured that as a
+    * consistent 5-65% per-query cost on mid-tier queries. The IMR leaf
+    * plans to the same InMemoryTableScan a withCached consumer gets —
+    * pruned, filter-pushed, fused into the consumer's WholeStageCodegen
+    * — while consumer logical plans stay leaf-sized (the r15 win: no
+    * re-analysis/re-canonicalization of the duplicated upstream subtree
+    * per reference).
+    *
+    * Lifetime: while the caller's persist is live, reads hit the built
+    * buffers; after unpersist, InMemoryTableScan re-materializes from
+    * the relation's embedded physical plan (Spark's standard
+    * lost-block recompute path — PlanPinSpec pins survive-unpersist).
+    * Fallback for an uncached frame: the r15 LogicalRDD wrapper (no
+    * per-row copy — RDDScanExec re-projects every row into its own
+    * buffer anyway, verified against the 4.1.2 bytecode). */
   def truncated(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
-    Dataset.ofRows(ds.sparkSession,
-      LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false))
+    ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds) match {
+      case Some(cd) => Dataset.ofRows(ds.sparkSession, cd.cachedRepresentation)
+      case None =>
+        Dataset.ofRows(ds.sparkSession,
+          LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false))
+    }
   }
 }

@@ -21,6 +21,10 @@ object AbProbe {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val byName = graft.queries.Registry.all.map(q => q.name -> q).toMap
     for (r <- 1 to reps; n <- names;
+        // arms ALTERNATE first position per rep: the first cut of this
+        // probe ran the pin arm first every rep, and three pinless
+        // control queries read 15-30% "pin losses" — pure ordering
+        // artifact (the first arm inherits the previous query's GC debt)
         mode <- if (r % 2 == 1) Seq("pin", "nopin") else Seq("nopin", "pin")) {
       spark.catalog.clearCache()
       val q = byName(n)

@@ -21,14 +21,15 @@ import org.apache.spark.sql.execution.LogicalRDD
   * wall time (plan-only explain ≈ 20 s), and in the one-JVM bench sweep
   * the churned Catalyst trees billed a 107 s GC storm to 32 idle tasks.
   *
-  * `truncated` rebuilds a DataFrame on a ONE-NODE logical plan — r16:
-  * the cached InMemoryRelation leaf itself (see the method doc; the r15
-  * shape was a LogicalRDD over the frame's executed RDD, whose
-  * per-consumer-read costs two A/B rounds measured and killed). Nothing
-  * executes at wrap time; no deserialized row blocks enter the block
-  * manager (the round-10 sweep-hygiene lesson — `clearCache()` cannot
-  * free checkpoint blocks). Consumers' plans become leaf-sized and read
-  * the SQL cache while the caller's persist is live.
+  * `truncated` rebuilds a DataFrame on a ONE-NODE plan (LogicalRDD over
+  * the frame's own executed RDD) — the exact mechanism of
+  * `Dataset.localCheckpoint`, WITHOUT the checkpoint: no deserialized row
+  * blocks enter the block manager (the round-10 sweep-hygiene lesson —
+  * `clearCache()` cannot free checkpoint blocks), nothing executes at
+  * wrap time, and — r16 — without checkpoint's per-row copy (see the
+  * method doc). Consumers' plans become leaf-sized; each consumer's
+  * execution runs the wrapped RDD, which reads the SQL cache while the
+  * caller's persist is live and recomputes via RDD lineage after.
   */
 object PlanPin {
 
@@ -36,35 +37,39 @@ object PlanPin {
     * persisted and materialized (the wrap itself plans `df` once — the
     * last full-tree walk — and never again).
     *
-    * r16: the pin is the cached InMemoryRelation LEAF itself (the
-    * CacheManager's own representation of the persisted frame), not a
-    * LogicalRDD over `toRdd`. Both are one-node logical plans, but the
-    * LogicalRDD was opaque at READ time too: every consumer read ran the
-    * wrapped RDD behind an `RDDScanExec` — an un-fusable iterator
-    * boundary plus an extra per-row UnsafeProjection, with the cache's
-    * column pruning and batch-level filter pushdown lost. A 62-site
-    * interleaved same-JVM A/B (AbProbe, r16) measured that as a
-    * consistent 5-65% per-query cost on mid-tier queries. The IMR leaf
-    * plans to the same InMemoryTableScan a withCached consumer gets —
-    * pruned, filter-pushed, fused into the consumer's WholeStageCodegen
-    * — while consumer logical plans stay leaf-sized (the r15 win: no
-    * re-analysis/re-canonicalization of the duplicated upstream subtree
-    * per reference).
+    * NO per-row `copy()` (r16): Dataset.checkpoint copies because it
+    * STORES the rows (block-manager blocks must not alias a scan's
+    * reused buffer), but this RDD is never stored — its only consumer is
+    * the `RDDScanExec` the LogicalRDD plans to, whose `doExecute` maps
+    * every row through a fresh `UnsafeProjection` (verified against the
+    * Spark 4.1.2 bytecode: $anonfun$doExecute$3/4 in RDDScanExec, and
+    * the codegen path via InputRDDCodegen, createUnsafeProjection=true)
+    * — each row's bytes are re-copied into the projection's own buffer
+    * at consumption time, one row at a time, before any downstream
+    * operator sees it; buffering operators then copy what THEY retain,
+    * per SparkPlan's row-reuse contract. The r15 copy was a redundant
+    * second copy per row per consumer read — the whole r15-measured
+    * "pin tax" (q_ngram_jaccard_blocked −35%): with it removed, the
+    * order-balanced interleaved A/B (AbProbe) reads pin-vs-no-pin
+    * geomean 0.97 on the previously-worst mid-tier slice while the
+    * flagship wins stand (q_curation_e2e 8.4 vs 12.9 s same JVM).
+    * PlanPinSpec pins the aliasing-safety claim with buffering
+    * (sort/window) consumers; the 249-query oracle gate re-proved
+    * byte-identical results.
     *
-    * Lifetime: while the caller's persist is live, reads hit the built
-    * buffers; after unpersist, InMemoryTableScan re-materializes from
-    * the relation's embedded physical plan (Spark's standard
-    * lost-block recompute path — PlanPinSpec pins survive-unpersist).
-    * Fallback for an uncached frame: the r15 LogicalRDD wrapper (no
-    * per-row copy — RDDScanExec re-projects every row into its own
-    * buffer anyway, verified against the 4.1.2 bytecode). */
+    * Rejected alternative (r16, measured): pinning to the cached
+    * InMemoryRelation leaf instead. It restores fused/pruned
+    * InMemoryTableScan reads, and beat no-pin fleet-wide (geomean 0.998,
+    * 70 queries) — but on the composed flagship DAGs the nested IMR
+    * embeddings re-inflate explain/canonicalization trees (raw curation
+    * plan text 4.7 MB; warm solo 17.4-22.8 s vs 10.7-12.6 s with this
+    * wrapper, same box back-to-back), and a 4-arm same-JVM A/B showed
+    * the LogicalRDD pin matching or beating the IMR pin on the mid-tier
+    * too once the copy was gone. The opaque wrapper stops the nesting
+    * recursion: each pin level stays leaf-sized in EVERY tree walk. */
   def truncated(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
-    ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds) match {
-      case Some(cd) => Dataset.ofRows(ds.sparkSession, cd.cachedRepresentation)
-      case None =>
-        Dataset.ofRows(ds.sparkSession,
-          LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false))
-    }
+    Dataset.ofRows(ds.sparkSession,
+      LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false))
   }
 }

@@ -67,7 +67,8 @@ object PageRank {
     * whole fixed point executes eagerly inside the scaled-conf scope
     * (finish's localCheckpoint), so the caller's session conf is restored
     * before the materialized result returns. */
-  def ranks(edges: DataFrame, iters: Int, checkpointEvery: Int = 4): DataFrame = {
+  def ranks(edges: DataFrame, iters: Int, checkpointEvery: Int = 4,
+      symmetricEdges: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
@@ -88,8 +89,17 @@ object PageRank {
     val nEdges = e.count()
     IterScale.withEdgeScaledShuffle(e.sparkSession, nEdges) {
       val eo = degreeAnnotated(e, count(lit(1)), "outdeg")
-      val nodes = eo.select(col("src").as("node"))
-        .union(eo.select(col("dst").as("node"))).distinct()
+      // r16 (guide §2.3 "shuffle fewer bytes"): with `symmetricEdges`
+      // the caller guarantees (u,v) ∈ E ⇔ (v,u) ∈ E, so the src set IS
+      // the node set — the dst-side union pass over the edge cache and
+      // half the distinct's exchange rows are redundant. All four
+      // registry callers symmetrize explicitly (explode of both directed
+      // structs); PageRankSpec pins set-equality of the two node
+      // derivations on a random symmetric graph.
+      val nodeSrc = eo.select(col("src").as("node"))
+      val nodes = (if (symmetricEdges) nodeSrc
+        else nodeSrc.union(eo.select(col("dst").as("node"))))
+        .distinct()
         .localCheckpoint()
       e.unpersist() // annotated cache materialized by nodes
       var rank = nodes.withColumn("r", lit(One))
@@ -136,7 +146,7 @@ object PageRank {
     * drops to 1e-6 or the product lifts to DECIMAL(38). Same
     * one-shuffle-per-round shape and truncation cadence as [[ranks]]. */
   def weightedRanks(edges: DataFrame, iters: Int,
-      checkpointEvery: Int = 4): DataFrame = {
+      checkpointEvery: Int = 4, symmetricEdges: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("w").cast("long")).filter(col("w") > 0)
@@ -144,8 +154,13 @@ object PageRank {
     val nEdges = e.count() // fills the raw cache and sizes the conf — see ranks
     IterScale.withEdgeScaledShuffle(e.sparkSession, nEdges) {
       val eo = degreeAnnotated(e, sum("w"), "wsum")
-      val nodes = eo.select(col("src").as("node"))
-        .union(eo.select(col("dst").as("node"))).distinct()
+      // symmetricEdges: see ranks() — note the w>0 filter above preserves
+      // symmetry (both directions of a pair carry the SAME w, so both are
+      // dropped or both kept)
+      val nodeSrc = eo.select(col("src").as("node"))
+      val nodes = (if (symmetricEdges) nodeSrc
+        else nodeSrc.union(eo.select(col("dst").as("node"))))
+        .distinct()
         .localCheckpoint()
       e.unpersist() // annotated cache materialized by nodes
       var rank = nodes.withColumn("r", lit(One))
@@ -175,7 +190,7 @@ object PageRank {
     * truncation cadence as [[ranks]]; the seed membership joins as a tiny
     * broadcast flag. */
   def personalizedRanks(edges: DataFrame, seeds: DataFrame, iters: Int,
-      checkpointEvery: Int = 4): DataFrame = {
+      checkpointEvery: Int = 4, symmetricEdges: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -184,8 +199,10 @@ object PageRank {
       val eo = degreeAnnotated(e, count(lit(1)), "outdeg")
       val sd = seeds.select(col("node").cast("long")).distinct()
         .withColumn("is_seed", lit(1L)).localCheckpoint()
-      val nodes = eo.select(col("src").as("node"))
-        .union(eo.select(col("dst").as("node"))).distinct()
+      val nodeSrc = eo.select(col("src").as("node"))
+      val nodes = (if (symmetricEdges) nodeSrc // see ranks()
+        else nodeSrc.union(eo.select(col("dst").as("node"))))
+        .distinct()
         .join(org.apache.spark.sql.functions.broadcast(sd), Seq("node"), "left")
         .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
         .localCheckpoint()

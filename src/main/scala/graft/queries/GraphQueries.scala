@@ -41,7 +41,8 @@ object GraphQueries extends QueryModule {
           struct(col("c").as("src"), col("p").as("dst")),
           struct(col("p").as("src"), col("c").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      val ranks = graft.operators.PageRank.ranks(edges, Iters)
+      val ranks = graft.operators.PageRank.ranks(edges, Iters,
+        symmetricEdges = true) // explode-symmetrized above
       ranks.filter(col("node") % 2 === 1)
         .select(((col("node") - 1) / 2).cast("long").as("s_suppkey"),
           dround(col("r") / 1e9, 6).as("rank"))
@@ -384,7 +385,8 @@ object GraphQueries extends QueryModule {
           struct(col("p").as("src"), col("c").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val seeds = (0L until 5L).map(k => 2 * k + 1).toDF("node")
-      graft.operators.PageRank.personalizedRanks(edges, seeds, Iters)
+      graft.operators.PageRank.personalizedRanks(edges, seeds, Iters,
+        symmetricEdges = true) // explode-symmetrized above
         .filter(col("node") % 2 === 0)
         .select((col("node") / 2).cast("long").as("c_custkey"),
           dround(col("r") / 1e9, 6).as("rank"))
@@ -740,7 +742,8 @@ object GraphQueries extends QueryModule {
           struct(col("c").as("src"), col("p").as("dst"), col("w")),
           struct(col("p").as("src"), col("c").as("dst"), col("w")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
-      graft.operators.PageRank.weightedRanks(edges, Iters)
+      graft.operators.PageRank.weightedRanks(edges, Iters,
+        symmetricEdges = true) // explode-symmetrized above; w shared per pair
         .filter(col("node") % 2 === 1)
         .select(((col("node") - 1) / 2).cast("long").as("s_suppkey"),
           dround(col("r") / 1e9, 6).as("rank"))

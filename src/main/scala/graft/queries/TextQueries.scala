@@ -1304,7 +1304,8 @@ object TextQueries extends QueryModule {
             struct(col("b").as("src"), col("a").as("dst")))).as("e"))
           .select(col("e.src").as("src"), col("e.dst").as("dst"))
           .distinct()
-        val ranks = graft.operators.PageRank.ranks(edges, TrIters)
+        val ranks = graft.operators.PageRank.ranks(edges, TrIters,
+          symmetricEdges = true) // explode-symmetrized above
         ranks.join(broadcast(vocab), col("node") === col("id"))
           .select(col("tok").as("keyword"), dround(col("r") / 1e9, 6).as("rank"))
           .orderBy(col("rank").desc, col("keyword").asc)

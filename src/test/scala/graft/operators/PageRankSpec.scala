@@ -23,6 +23,30 @@ class PageRankSpec extends SparkSpec {
     assert(rankMap(edges, 3, 8) === r1)
   }
 
+  test("symmetricEdges: identical ranks to the union node derivation") {
+    // r16: all registry callers symmetrize edges (both directions emitted
+    // per pair), making src-set == node-set; the shortcut must be exactly
+    // the union derivation on such a graph — every rank identical,
+    // including isolated-in-one-direction corner shapes.
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val sym = (pairs ++ pairs.map(_.swap)).distinct
+    val df = sym.toDF("src", "dst").repartition(5)
+    val viaUnion = PageRank.ranks(df, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSrc = PageRank.ranks(df, 3, symmetricEdges = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSrc === viaUnion)
+    val wdf = sym.map { case (a, b) => (a, b, 1L + (a + b) % 7) }
+      .toDF("src", "dst", "w").repartition(3)
+    val wUnion = PageRank.weightedRanks(wdf, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wSrc = PageRank.weightedRanks(wdf, 2, symmetricEdges = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wSrc === wUnion)
+  }
+
   test("sink nodes keep the damping floor; hubs accumulate mass") {
     // star: 1..5 -> 0; node 0 has no out-edges (sink)
     val edges = (1L to 5L).map(i => (i, 0L))
